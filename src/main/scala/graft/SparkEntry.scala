@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.harness.{Oracle, QuerySet, TextQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every operator claimed done in SURVEY.md §2 has a `queries` entry; the
+  * SQL-expressible ones also have a DuckDB oracle in `oracleSql` with
+  * identical column names. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * BM25 top-10 for "fast join merge" over the documents corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextQueries.bm25TopK(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_tokens" -> TextQueries.docTokens _,
+    "q_tf" -> TextQueries.tf _,
+    "q_df" -> TextQueries.df _,
+    "q_corpus_stats" -> TextQueries.corpusStats _,
+    "q_bm25_topk" -> TextQueries.bm25TopK _,
+    "q_bm25_queryset" -> TextQueries.bm25QuerySet _,
+    "q_dedup_exact" -> TextQueries.dedupExact _,
+    "q_dedup_lww" -> TextQueries.dedupLww _,
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_tokens" -> Oracle.docTokensSql,
+    "q_tf" -> Oracle.tfSql,
+    "q_df" -> Oracle.dfSql,
+    "q_corpus_stats" -> Oracle.corpusStatsSql,
+    "q_bm25_topk" -> Oracle.topkSql(QuerySet.flagshipTerms, QuerySet.K),
+    "q_bm25_queryset" -> Oracle.topkSql(QuerySet.terms, QuerySet.K),
+    "q_dedup_exact" -> Oracle.dedupExactSql,
+    "q_dedup_lww" -> Oracle.dedupLwwSql,
+  )
 }

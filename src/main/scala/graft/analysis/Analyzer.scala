@@ -1,0 +1,107 @@
+package graft.analysis
+
+import java.text.{BreakIterator, Normalizer}
+import java.util.Locale
+import scala.collection.mutable.ArrayBuffer
+
+/** The engine's analysis chain — the "reference extractor" for the per-url
+  * byte-identity invariant (BASELINE.json `input_hint`).
+  *
+  * Re-expresses the Elasticsearch analyzer spec declared in the reference at
+  * `elastic/settings.go:56-84` (four analyzers built from: keyword or standard
+  * tokenizer, lowercase, asciifolding, `_english_` stopwords) as deterministic,
+  * JVM-stable Scala:
+  *
+  *  - tokenizer: UAX#29-style word segmentation via
+  *    `java.text.BreakIterator.getWordInstance(Locale.ROOT)`, keeping tokens
+  *    that contain a letter or digit (the Lucene `standard` tokenizer contract,
+  *    public behavior);
+  *  - lowercase: `String.toLowerCase(Locale.ROOT)` per token (Lucene
+  *    `lowercase` token filter);
+  *  - asciifolding: NFD normalize + strip combining marks (documented subset of
+  *    Lucene's ASCIIFoldingFilter — covers Latin diacritics);
+  *  - stopwords: the public Lucene `_english_` 33-word set (reference
+  *    `elastic/settings.go:57-62` configures `"stopwords": "_english_"`).
+  *
+  * Pure functions, no Spark dependency — the exact same code generates golden
+  * test outputs and runs inside Spark UDFs/kernels, which is what makes
+  * "byte-identical extracted text per url" checkable with `sbt -batch test`.
+  */
+object Analyzer extends Serializable {
+
+  /** Lucene `_english_` stopword set (public). */
+  val EnglishStop: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will",
+    "with")
+
+  /** Stable, sorted form for embedding in oracle SQL IN-lists. */
+  val EnglishStopSorted: Seq[String] = EnglishStop.toSeq.sorted
+
+  /** UAX#29 word segmentation; keep tokens containing a letter/digit. */
+  def tokenize(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty[String]
+    val bi = BreakIterator.getWordInstance(Locale.ROOT)
+    bi.setText(text)
+    val out = new ArrayBuffer[String](16)
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      var hasAlnum = false
+      var i = start
+      while (i < end && !hasAlnum) {
+        val cp = text.codePointAt(i)
+        if (Character.isLetterOrDigit(cp)) hasAlnum = true
+        i += Character.charCount(cp)
+      }
+      if (hasAlnum) out += text.substring(start, end)
+      start = end
+      end = bi.next()
+    }
+    out.toArray
+  }
+
+  private def isCombiningMark(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+    t == Character.ENCLOSING_MARK
+  }
+
+  /** ASCII folding: NFD-decompose then drop combining marks ("Åström"→"Astrom").
+    * ASCII fast path keeps the hot loop allocation-free. */
+  def fold(s: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val d = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var j = 0
+    while (j < d.length) {
+      val cp = d.codePointAt(j)
+      if (!isCombiningMark(cp)) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** `case_insensitive_folding_text` chain (reference settings.go:74-78):
+    * standard tokenize → lowercase → asciifold. */
+  def analyze(text: String): Array[String] =
+    tokenize(text).map(t => fold(t.toLowerCase(Locale.ROOT)))
+
+  /** `case_insensitive_folding_text_stopwords` chain (settings.go:79-83):
+    * standard tokenize → lowercase → asciifold → `_english_` stop filter. */
+  def analyzeStop(text: String): Array[String] =
+    analyze(text).filterNot(EnglishStop.contains)
+
+  /** `case_insensitive_keyword` chain (settings.go:64-68): whole string is one
+    * token, lowercased. */
+  def analyzeKeyword(text: String): String =
+    if (text == null) null else text.toLowerCase(Locale.ROOT)
+
+  /** `case_insensitive_folding_keyword` chain (settings.go:69-73). */
+  def analyzeKeywordFold(text: String): String =
+    if (text == null) null else fold(text.toLowerCase(Locale.ROOT))
+}

@@ -1,0 +1,110 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analysis.Analyzer
+import graft.query.Bm25
+
+/** Catalyst-native index statistics + exact BM25 scoring over a corpus
+  * DataFrame with columns (doc_id: long, text: string).
+  *
+  * This is the declarative "slice 2" of the build plan (SURVEY.md §7.2): every
+  * stage here is a plain DataFrame op — explode, hash-aggregate with map-side
+  * partial aggregation, broadcast join — so Catalyst handles pushdown,
+  * pruning, partial aggs and AQE. It serves two roles:
+  *  1. the rank-identity oracle that the compressed-postings / block-max-WAND
+  *     path (PostingsBuilder / BlockMaxWand) must match exactly;
+  *  2. the DuckDB-checkable query surface exposed via SparkEntry.
+  *
+  * Scale notes (100 TB design): tokenization is a narrow map; tf is one
+  * shuffle on (term, doc_id) with partial aggregation; df reuses the tf
+  * output's (term) grouping — at 10^12 docs these stay a single exact
+  * shuffle each per the north_rule ("exact via Catalyst aggregates"). Query
+  * scoring broadcasts the tiny query-term relation, never the corpus.
+  */
+object TextIndex {
+
+  /** Analysis chain as a UDF. UDF (not native expr) is deliberate: the chain
+    * must be byte-identical to [[Analyzer]], which also generates the golden
+    * test outputs. Runs inside whole-stage codegen as a deterministic
+    * non-null-propagating call; upgrade path to a custom Expression is
+    * perf-only (SURVEY §2.12). */
+  val analyzeStopUdf = udf((s: String) => Analyzer.analyzeStop(s))
+  val analyzeUdf = udf((s: String) => Analyzer.analyze(s))
+
+  /** (doc_id, pos, term) token stream after the stopword analysis chain. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(analyzeStopUdf(col("text"))).as(Seq("pos", "term")))
+
+  /** Exact term frequency per (term, doc_id). One shuffle, partial-agg'd. */
+  def termFreqs(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** Exact document frequency per term, derived from the (term, doc_id)
+    * grouping — north_rule forbids approx_count_distinct. */
+  def docFreqs(termFreqs: DataFrame): DataFrame =
+    termFreqs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Exact per-doc token count (dl), including zero-token docs. */
+  def docLens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(analyzeStopUdf(col("text"))).cast("long").as("dl"))
+
+  /** Exact corpus stats (N, avgdl) — one row. dl sums are integral so the
+    * double avg is exact (< 2^53), making it bit-reproducible across engines. */
+  def corpusStats(docLens: DataFrame): DataFrame =
+    docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+  /** BM25 per-(term,doc) contribution as a Catalyst column. Parenthesization
+    * deliberately mirrors the DuckDB oracle SQL so per-term doubles are
+    * bit-comparable. */
+  def bm25Col(tf: Column, df: Column, nDocs: Column, dl: Column, avgdl: Column): Column =
+    log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5))) *
+      (tf / (tf + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * dl / avgdl)))
+
+  /** Score a set of analyzed queries (qid, term — duplicates meaningful, as in
+    * Lucene a repeated query term contributes once per occurrence) against the
+    * corpus; returns (qid, doc_id, score). The query relation is broadcast;
+    * the only corpus-sized shuffles are the exact tf/df aggregations. */
+  def scoreQueries(spark: SparkSession, docs: DataFrame,
+                   queryTerms: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    val q = queryTerms.toDF("qid", "term")
+    val tf = termFreqs(tokens(docs))
+    // df over the full corpus vocabulary restricted to query terms (identical
+    // values either way; restricting first keeps the broadcast tiny).
+    val dfT = docFreqs(tf.join(broadcast(q.select("term").distinct()), "term"))
+    val dl = docLens(docs)
+    val stats = corpusStats(dl)
+    tf.join(broadcast(q), "term")
+      .join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(bm25Col(col("tf"), col("df"), col("n_docs"), col("dl"),
+        col("avgdl"))).as("score"))
+  }
+
+  /** Deterministic micro-unit rounding used for all cross-engine float
+    * comparison (ULP noise from differing FP sum orders must not flip ranks,
+    * so ranking uses the rounded value too). */
+  def microRound(c: Column): Column = round(c * lit(1000000.0)).cast("long")
+
+  /** Top-k per query with deterministic tie-break (rounded score desc,
+    * doc_id asc): (qid, rnk, doc_id, score_x6). */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
+    val sx = microRound(col("score")).as("score_x6")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+    scored.select(col("qid"), col("doc_id"), sx)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      // BIGINT on both engines (DuckDB row_number returns BIGINT)
+      .select(col("qid").cast("long").as("qid"), col("rnk").cast("long").as("rnk"),
+        col("doc_id"), col("score_x6"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.index.Codec
+
+/** Property tests for the posting codec (FIXTURES.md §4):
+  * decode(encode(xs)) == xs for any sorted strictly-increasing docIDs and
+  * positive tfs. ScalaCheck props driven with a fixed seed via Prop checks
+  * inside FunSuite (scalatestplus bridge not available offline). */
+class CodecSpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val docIdsGen: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 1L << 40)).map(_.distinct.sorted.toArray)
+
+  test("varlong round-trip") {
+    check("varlong", Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { v =>
+      val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
+      Codec.writeVarLong(buf, v)
+      val (got, pos) = Codec.readVarLong(buf.toArray, 0)
+      got == v && pos == buf.length
+    })
+  }
+
+  test("docID delta-gap round-trip") {
+    check("docids", Prop.forAll(docIdsGen) { ids =>
+      Codec.decodeDocIds(Codec.encodeDocIds(ids), ids.length).toSeq == ids.toSeq
+    })
+  }
+
+  test("tf round-trip") {
+    check("tfs", Prop.forAll(Gen.listOf(Gen.chooseNum(1, 1 << 20))) { tfsList =>
+      val tfs = tfsList.toArray
+      Codec.decodeTfs(Codec.encodeTfs(tfs), tfs.length).toSeq == tfs.toSeq
+    })
+  }
+
+  test("gap encoding is compact: dense ids cost ~1 byte each") {
+    val ids = Array.tabulate(10000)(i => i.toLong * 2)
+    assert(Codec.encodeDocIds(ids).length <= 10000 + 4)
+  }
+
+  test("strictly-increasing precondition enforced") {
+    intercept[IllegalArgumentException] {
+      Codec.encodeDocIds(Array(3L, 3L))
+    }
+  }
+}
