@@ -23,6 +23,7 @@ object SparkEntry {
     "q_corpus_stats" -> TextQueries.corpusStats _,
     "q_bm25_topk" -> TextQueries.bm25TopK _,
     "q_bm25_queryset" -> TextQueries.bm25QuerySet _,
+    "q_bm25_wand" -> TextQueries.bm25Wand _,
     "q_dedup_exact" -> TextQueries.dedupExact _,
     "q_dedup_lww" -> TextQueries.dedupLww _,
   )
@@ -36,6 +37,7 @@ object SparkEntry {
     "q_corpus_stats" -> Oracle.corpusStatsSql,
     "q_bm25_topk" -> Oracle.topkSql(QuerySet.flagshipTerms, QuerySet.K),
     "q_bm25_queryset" -> Oracle.topkSql(QuerySet.terms, QuerySet.K),
+    "q_bm25_wand" -> Oracle.topkSql(QuerySet.terms, QuerySet.K),
     "q_dedup_exact" -> Oracle.dedupExactSql,
     "q_dedup_lww" -> Oracle.dedupLwwSql,
   )

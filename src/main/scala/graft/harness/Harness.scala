@@ -121,6 +121,28 @@ object Oracle {
   * directory (driver contract) and must produce column names identical to the
   * oracle SQL. */
 object TextQueries {
+  import graft.index.PostingsBuilder
+  import graft.query.Searcher
+
+  /** Index format version — bump to invalidate cached on-disk test indexes. */
+  private val IdxVersion = "v1"
+
+  /** Build (once, snapshot-idempotent) the on-disk index for an sf dir. */
+  def ensureIndex(spark: SparkSession, dir: String): String = {
+    val name = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val idxDir = s"${sys.props("user.dir")}/target/graft-idx/${IdxVersion}_$name"
+    if (!PostingsBuilder.isComplete(idxDir)) {
+      PostingsBuilder.build(spark, docs(spark, dir), idxDir,
+        PostingsBuilder.Config(shardSize = 128, shardGroups = 2))
+    }
+    idxDir
+  }
+
+  /** Full engine path: compressed doc-sharded postings + block-max WAND.
+    * Oracle-checked against the same SQL as the naive scorer — the driver's
+    * gate therefore proves WAND rank-identity end-to-end. */
+  def bm25Wand(spark: SparkSession, dir: String): DataFrame =
+    Searcher.search(spark, ensureIndex(spark, dir), QuerySet.queries, QuerySet.K)
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -1,0 +1,81 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-semantics table layout over Parquet directories (SURVEY.md §1.4).
+  *
+  * The sandbox ships no Iceberg runtime (verified: /opt/spark/jars has
+  * Parquet 1.16 + Avro only, coursier offline), so this seam implements the
+  * Iceberg behaviors the north_rule needs — atomic snapshot commit,
+  * idempotent re-run, checkpoint resume — over plain directories:
+  *
+  *   indexDir/
+  *     postings/ term_stats/ stats/ doc_map/ lineage/   (parquet tables)
+  *     _snapshot/snap-<id>.json      (manifest: completed steps)
+  *     _snapshot/CURRENT             (atomic pointer, rename-committed)
+  *
+  * A build step is visible iff the CURRENT manifest lists it, and CURRENT is
+  * advanced by write-temp-then-atomic-rename, so a killed build never
+  * publishes partial state and a restarted build resumes from the last
+  * committed step (mirror of the reference's idempotent index DDL,
+  * elastic/elastic.go:89-114 "already exists" swallowed). Swapping in real
+  * `iceberg-spark-runtime` later replaces this file, not the engine.
+  */
+final class TableIO(val indexDir: String) extends Serializable {
+  def tablePath(name: String): String = s"$indexDir/$name"
+
+  private def snapDir: Path = Paths.get(indexDir, "_snapshot")
+  private def currentPtr: Path = snapDir.resolve("CURRENT")
+
+  /** Completed step names in the current snapshot (empty if none). */
+  def committedSteps(): Set[String] = {
+    if (!Files.exists(currentPtr)) return Set.empty
+    val id = Files.readString(currentPtr).trim
+    val snap = snapDir.resolve(s"snap-$id.json")
+    if (!Files.exists(snap)) return Set.empty
+    // manifest format: one step name per line after the header line
+    Files.readAllLines(snap).asScala.drop(1).map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  def currentSnapshotId(): Option[String] =
+    if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim)
+    else None
+
+  /** Commit `steps` as the new snapshot (monotonic id). Atomic: manifest is
+    * fully written before CURRENT is renamed over. */
+  def commit(steps: Set[String]): String = {
+    Files.createDirectories(snapDir)
+    val prev = currentSnapshotId().map(_.toLong).getOrElse(-1L)
+    val id = (prev + 1).toString
+    val snap = snapDir.resolve(s"snap-$id.json")
+    val body = (s"snapshot $id" +: steps.toSeq.sorted).mkString("\n")
+    Files.writeString(snap, body)
+    val tmp = snapDir.resolve(s"CURRENT.tmp$id")
+    Files.writeString(tmp, id)
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    id
+  }
+
+  /** Run `body` unless `step` is already committed; commit it after. */
+  def step(name: String)(body: => Unit): Unit = {
+    val done = committedSteps()
+    if (!done.contains(name)) {
+      body
+      commit(done + name)
+    }
+  }
+
+  def isComplete(finalStep: String): Boolean =
+    committedSteps().contains(finalStep)
+
+  def deleteAll(): Unit = {
+    val root = Paths.get(indexDir)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+}

@@ -1,0 +1,216 @@
+package graft.query
+
+import scala.collection.mutable
+
+import graft.index.Codec
+import graft.model.PostingBlock
+
+/** Block-max WAND top-k over decoded posting blocks — the engine kernel the
+  * reference delegates to Lucene 8's WAND implementation (public algorithm:
+  * Broder et al. 2003; Ding & Suel SIGIR'11 block-max variant).
+  *
+  * Exactness contract: must be rank-identical to the naive Catalyst scorer
+  * under the deterministic final ordering (micro-rounded score desc, doc_id
+  * asc). The heap therefore orders by (score_x6, doc_id), and the pruning
+  * threshold θ is derived from the weakest heap entry with a conservative
+  * slack so FP-sum-order noise can never prune a doc the naive path keeps.
+  */
+object BlockMaxWand {
+
+  /** One query term's state: idf, query-occurrence weight, and its posting
+    * blocks (block_id-sorted) within the current shard. */
+  final case class QueryTerm(term: String, idf: Double, weight: Int)
+
+  final case class WandQuery(qid: Int, terms: Array[QueryTerm])
+
+  private final val Slack = 0.6e-6 // half a micro-unit + FP headroom
+
+  /** Cursor over one term's blocks; skips whole blocks via last_doc_id
+    * without decoding (the block-max skip). */
+  private final class TermIter(blocks: IndexedSeq[PostingBlock],
+                               val idf: Double, val weight: Int, avgdl: Double) {
+    private var bi = 0
+    private var pi = 0
+    private var ids: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var dls: Array[Int] = _
+    private var decodedBi = -1
+
+    val ub: Double = { // global term upper bound
+      var m = 0.0; var i = 0
+      while (i < blocks.length) { if (blocks(i).max_tf_norm > m) m = blocks(i).max_tf_norm; i += 1 }
+      idf * weight * m
+    }
+
+    private def decode(): Unit = {
+      if (decodedBi != bi && bi < blocks.length) {
+        val b = blocks(bi)
+        ids = Codec.decodeDocIds(b.doc_ids, b.n)
+        tfs = Codec.decodeTfs(b.tfs, b.n)
+        dls = Codec.decodeTfs(b.dls, b.n)
+        decodedBi = bi
+      }
+    }
+
+    def exhausted: Boolean = bi >= blocks.length
+
+    def curDoc: Long =
+      if (exhausted) Long.MaxValue
+      else { decode(); ids(pi) }
+
+    /** Upper bound of this term's contribution for docs >= d, using block-max
+      * metadata of the block that would contain d (and later blocks). */
+    def blockUbAt(d: Long): Double = {
+      var i = bi
+      while (i < blocks.length && blocks(i).last_doc_id < d) i += 1
+      // bound at the pivot itself (shallow check): the block containing or
+      // following d. Docs past this block are re-checked on later pivots.
+      if (i >= blocks.length) 0.0 else idf * weight * blocks(i).max_tf_norm
+    }
+
+    /** First doc beyond the block containing/following d — the skip target
+      * when the block-max check fails. */
+    def blockBoundary(d: Long): Long = {
+      var i = bi
+      while (i < blocks.length && blocks(i).last_doc_id < d) i += 1
+      if (i >= blocks.length) Long.MaxValue else blocks(i).last_doc_id + 1
+    }
+
+    def score: Double = {
+      decode()
+      weight * idf * Bm25.tfNorm(tfs(pi).toDouble, dls(pi).toDouble, avgdl)
+    }
+
+    def next(): Unit = {
+      decode()
+      pi += 1
+      if (pi >= blocks(bi).n) { bi += 1; pi = 0 }
+    }
+
+    def advanceTo(d: Long): Unit = {
+      // skip whole blocks without decoding
+      while (bi < blocks.length && blocks(bi).last_doc_id < d) { bi += 1; pi = 0 }
+      if (exhausted) return
+      decode()
+      // binary search within the block
+      var lo = pi; var hi = blocks(bi).n - 1
+      if (ids(lo) >= d) return
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) < d) lo = mid + 1 else hi = mid
+      }
+      pi = lo
+    }
+  }
+
+  /** Run one query against one shard's blocks. Returns up to k
+    * (doc_id, exact score) hits — unordered; the caller applies the global
+    * deterministic ordering. */
+  def scoreShard(q: WandQuery, blocksByTerm: Map[String, IndexedSeq[PostingBlock]],
+                 avgdl: Double, k: Int): Array[(Long, Double)] = {
+    val iters: Array[TermIter] = q.terms.flatMap { t =>
+      blocksByTerm.get(t.term).map(bs => new TermIter(bs, t.idf, t.weight, avgdl))
+    }
+    if (iters.isEmpty) return Array.empty
+
+    // heap of (score_x6, doc_id, exactScore); head = weakest under the final
+    // ordering (lowest x6; ties: highest doc_id)
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by[(Long, Long, Double), (Long, Long)] { case (x6, d, _) => (-x6, d) }
+    val heap = mutable.PriorityQueue.empty[(Long, Long, Double)]
+
+    def theta: Double =
+      if (heap.size < k) Double.NegativeInfinity
+      else heap.head._1 / 1e6 - Slack
+
+    def drain(): Array[(Long, Double)] =
+      heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
+
+    def offer(doc: Long, s: Double): Unit = {
+      val x6 = math.round(s * 1e6)
+      if (heap.size < k) heap.enqueue((x6, doc, s))
+      else {
+        val (hx6, hdoc, _) = heap.head
+        if (x6 > hx6 || (x6 == hx6 && doc < hdoc)) {
+          heap.dequeue(); heap.enqueue((x6, doc, s))
+        }
+      }
+    }
+
+    val n = iters.length
+    val order = iters.indices.toArray
+
+    while (true) {
+      // sort term cursors by current doc
+      val sorted = order.sortBy(i => iters(i).curDoc)
+      var acc = 0.0
+      var p = -1
+      var i = 0
+      while (i < n && p == -1) {
+        acc += iters(sorted(i)).ub
+        if (acc > theta) p = i
+        i += 1
+      }
+      if (p == -1) return drain()
+      val pivot = iters(sorted(p)).curDoc
+      if (pivot == Long.MaxValue)
+        return drain()
+      // fold ties into the pivot set so every term that can contribute to
+      // the pivot doc is counted by the block-max check below
+      while (p + 1 < n && iters(sorted(p + 1)).curDoc == pivot) p += 1
+
+      // block-max refinement: tighter bound from the blocks at the pivot
+      var bacc = 0.0
+      var j = 0
+      while (j <= p) { bacc += iters(sorted(j)).blockUbAt(pivot); j += 1 }
+      if (bacc <= theta) {
+        // no doc in these blocks can make the heap — jump past the nearest
+        // block boundary among the pivot terms, but never past the current
+        // doc of a term beyond the pivot (its uncounted contribution could
+        // make a doc in between viable — Ding & Suel candidate selection)
+        var boundary = Long.MaxValue
+        j = 0
+        while (j <= p) {
+          val b = iters(sorted(j)).blockBoundary(pivot)
+          if (b < boundary) boundary = b
+          j += 1
+        }
+        j = p + 1
+        while (j < n) {
+          val d = iters(sorted(j)).curDoc
+          if (d < boundary) boundary = d
+          j += 1
+        }
+        val target = math.max(boundary, pivot + 1)
+        j = 0
+        while (j <= p) {
+          if (iters(sorted(j)).curDoc < target) iters(sorted(j)).advanceTo(target)
+          j += 1
+        }
+      } else if (iters(sorted(0)).curDoc == pivot) {
+        // all cursors up to the pivot are aligned — score it fully
+        var s = 0.0
+        var m = 0
+        while (m < n) {
+          val it = iters(sorted(m))
+          if (it.curDoc == pivot) { s += it.score; it.next() }
+          m += 1
+        }
+        offer(pivot, s)
+      } else {
+        // advance the highest-impact cursor below the pivot up to the pivot
+        var best = 0
+        var bestUb = -1.0
+        j = 0
+        while (j < p) {
+          if (iters(sorted(j)).curDoc < pivot && iters(sorted(j)).ub > bestUb) {
+            bestUb = iters(sorted(j)).ub; best = j
+          }
+          j += 1
+        }
+        iters(sorted(best)).advanceTo(pivot)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
