@@ -26,6 +26,9 @@ object SparkEntry {
     "q_bm25_wand" -> TextQueries.bm25Wand _,
     "q_dedup_exact" -> TextQueries.dedupExact _,
     "q_dedup_lww" -> TextQueries.dedupLww _,
+    "q_crossref_simplify" -> TextQueries.crossrefSimplify _,
+    "q_crossref_dump" -> TextQueries.crossrefDump _,
+    "q_crossref_gz" -> TextQueries.crossrefGz _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +43,8 @@ object SparkEntry {
     "q_bm25_wand" -> Oracle.topkSql(QuerySet.terms, QuerySet.K),
     "q_dedup_exact" -> Oracle.dedupExactSql,
     "q_dedup_lww" -> Oracle.dedupLwwSql,
+    "q_crossref_simplify" -> Oracle.crossrefSimplifySql,
+    "q_crossref_dump" -> Oracle.crossrefDumpSql,
+    "q_crossref_gz" -> Oracle.crossrefGzSql,
   )
 }

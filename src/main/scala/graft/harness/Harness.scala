@@ -106,6 +106,67 @@ object Oracle {
     s"""WITH $baseCtes
        |SELECT n_docs, CAST(round(avgdl * 1000000.0) AS BIGINT) AS avgdl_x6 FROM stats""".stripMargin
 
+  // ---- Crossref extract layer: the oracle re-specifies F1-F5 in DuckDB SQL
+  // over the same deterministic fixture file the Spark side reads through
+  // its real reader path (sniff → schema'd JSON parse → simplify) ----------
+
+  def fixturesDir: String = s"${sys.props("user.dir")}/target/fixtures"
+
+  private def yearCase(prefix: String): String =
+    s"""CASE WHEN ${prefix}issued."date-parts" IS NOT NULL THEN coalesce(${prefix}issued."date-parts"[1][1], 0)
+       |  WHEN $prefix"published-online" IS NOT NULL THEN coalesce($prefix"published-online"."date-parts"[1][1], 0)
+       |  WHEN $prefix"published-print" IS NOT NULL THEN coalesce($prefix"published-print"."date-parts"[1][1], 0)
+       |  WHEN ${prefix}created."date-parts" IS NOT NULL THEN coalesce(${prefix}created."date-parts"[1][1], 0)
+       |  ELSE 0 END""".stripMargin
+
+  private val titleCleanExpr =
+    """CASE WHEN title IS NULL OR len(title)=0 THEN ['']
+      |  ELSE list_transform(title, t -> trim(replace(replace(t, chr(10), ' '), '( )+', ' '))) END""".stripMargin
+
+  private val firstPageExpr =
+    """regexp_split_to_array(coalesce(page,''), ',|-|\s')[1]"""
+
+  def crossrefSimplifySql: String =
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('$fixturesDir/ndjson_plain.ndjson', format='newline_delimited', columns={
+       |    'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'author':'STRUCT(given VARCHAR, family VARCHAR, sequence VARCHAR)[]',
+       |    'container-title':'VARCHAR[]','short-container-title':'VARCHAR[]',
+       |    'volume':'VARCHAR','issue':'VARCHAR',
+       |    'issued':'STRUCT("date-parts" BIGINT[][])',
+       |    'published-online':'STRUCT("date-parts" BIGINT[][])',
+       |    'published-print':'STRUCT("date-parts" BIGINT[][])',
+       |    'created':'STRUCT("date-parts" BIGINT[][], "date-time" TIMESTAMP, timestamp BIGINT)',
+       |    'page':'VARCHAR'}))
+       |SELECT DOI AS doi,
+       |  coalesce(array_to_string($titleCleanExpr, '|'), '') AS title_j,
+       |  $firstPageExpr AS first_page,
+       |  coalesce(array_to_string(coalesce("container-title", []), '|'), '') AS journal_j,
+       |  coalesce(array_to_string(coalesce("short-container-title", []), '|'), '') AS abbrev_j,
+       |  coalesce(volume,'') AS volume, coalesce(issue,'') AS issue,
+       |  CAST(${yearCase("")} AS BIGINT) AS year,
+       |  concat_ws(' ',
+       |    coalesce(trim(array_to_string(list_filter(list_transform(author, a -> a.family), f -> f IS NOT NULL AND f <> ''), ' ')), ''),
+       |    ($titleCleanExpr)[1],
+       |    coalesce(array_to_string(coalesce("container-title", []), ' '), ''),
+       |    coalesce(array_to_string(coalesce("short-container-title", []), ' '), ''),
+       |    coalesce(volume, ''), coalesce(issue, ''),
+       |    $firstPageExpr,
+       |    CAST((${yearCase("")}) AS VARCHAR)) AS bibliographic
+       |FROM src ORDER BY doi""".stripMargin
+
+  def crossrefDumpSql: String =
+    s"""WITH src AS (SELECT unnest(items) AS r
+       |  FROM read_json('$fixturesDir/dump_plain.json', maximum_object_size=268435456))
+       |SELECT CAST(coalesce(r.issued."date-parts"[1][1], 0) AS BIGINT) AS year,
+       |       count(*)::BIGINT AS n
+       |FROM src GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def crossrefGzSql: String =
+    s"""SELECT count(*)::BIGINT AS n, count(DISTINCT DOI)::BIGINT AS n_doi
+       |FROM read_json('$fixturesDir/ndjson_gz.json.gz', format='newline_delimited',
+       |               columns={'DOI':'VARCHAR'})""".stripMargin
+
   val dedupExactSql: String =
     """SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
@@ -184,6 +245,43 @@ object TextQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
       .orderBy("keep_id")
+
+  // ---- Crossref extract layer queries ------------------------------------
+  import graft.extract.{Crossref, CrossrefFixtures, CrossrefReader}
+
+  private def fixtures(): String = CrossrefFixtures.ensure(Oracle.fixturesDir)
+
+  /** Full extract pipeline over the NDJSON fixture via the real reader path:
+    * sniff → pinned-schema JSON parse → F1-F5 simplify. */
+  def crossrefSimplify(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtures()
+    Crossref.simplify(CrossrefReader.load(spark, s"$fix/ndjson_plain.ndjson"))
+      .select(col("DOI").as("doi"),
+        array_join(col("title"), "|").as("title_j"),
+        col("first_page"),
+        array_join(col("journal"), "|").as("journal_j"),
+        array_join(col("abbreviated_journal"), "|").as("abbrev_j"),
+        col("volume"), col("issue"),
+        col("year").cast("long").as("year"),
+        col("bibliographic"))
+      .orderBy("doi")
+  }
+
+  /** Dump-format reader (multiLine + explode items) aggregated by year. */
+  def crossrefDump(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtures()
+    Crossref.simplify(CrossrefReader.load(spark, s"$fix/dump_plain.json"))
+      .groupBy(col("year").cast("long").as("year"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("year")
+  }
+
+  /** Gzip NDJSON source (extension-selected codec, like data.go:186-196). */
+  def crossrefGz(spark: SparkSession, dir: String): DataFrame = {
+    val fix = fixtures()
+    CrossrefReader.load(spark, s"$fix/ndjson_gz.json.gz")
+      .agg(count(lit(1)).as("n"), countDistinct(col("DOI")).as("n_doi"))
+  }
 
   /** Last-write-wins dedup — the engine analogue of ES doc-id overwrite
     * semantics (reference elastic/elastic.go:165-167), as a window op. */
