@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.harness.{Oracle, QuerySet, TextQueries}
+import graft.harness.{Oracle, PipelineQueries, QuerySet, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed done in SURVEY.md §2 has a `queries` entry; the
@@ -29,6 +29,16 @@ object SparkEntry {
     "q_crossref_simplify" -> TextQueries.crossrefSimplify _,
     "q_crossref_dump" -> TextQueries.crossrefDump _,
     "q_crossref_gz" -> TextQueries.crossrefGz _,
+    "q_lang_id" -> PipelineQueries.langId _,
+    "q_quality" -> PipelineQueries.quality _,
+    "q_token_count" -> PipelineQueries.tokenCount _,
+    "q_fingerprint" -> PipelineQueries.fingerprint _,
+    "q_dedup_ngram" -> PipelineQueries.dedupNgram _,
+    "q_dedup_minhash" -> PipelineQueries.dedupMinhash _,
+    "q_dedup_simhash" -> PipelineQueries.dedupSimhash _,
+    "q_ann_topk" -> PipelineQueries.annTopK _,
+    "q_ann_pairs" -> PipelineQueries.annPairs _,
+    "q_ann_lsh" -> PipelineQueries.annLsh _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +56,16 @@ object SparkEntry {
     "q_crossref_simplify" -> Oracle.crossrefSimplifySql,
     "q_crossref_dump" -> Oracle.crossrefDumpSql,
     "q_crossref_gz" -> Oracle.crossrefGzSql,
+    "q_lang_id" -> PipelineQueries.langIdSql,
+    "q_quality" -> PipelineQueries.qualitySql,
+    "q_token_count" -> PipelineQueries.tokenCountSql,
+    "q_fingerprint" -> PipelineQueries.fingerprintSql,
+    "q_dedup_ngram" -> PipelineQueries.dedupNgramSql,
+    "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
+    "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,
+    "q_ann_topk" -> PipelineQueries.annTopKSql,
+    "q_ann_pairs" -> PipelineQueries.annPairsSql,
+    // q_ann_lsh: approximate by design — rows-only check (recall vs brute
+    // force asserted in AnnSpec)
   )
 }

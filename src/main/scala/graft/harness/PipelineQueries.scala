@@ -1,0 +1,185 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextOps
+
+/** Spark side of the training-data-pipeline operators (dedup / similarity /
+  * text analysis) + their DuckDB oracle SQL. Thresholds and hash constants
+  * are shared between both sides by construction. */
+object PipelineQueries {
+
+  val JaccardThr = 0.2
+  val CosineThr = 0.4
+  val AnnQueryVec = 0L
+  val AnnK = 10
+
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- Spark query fns ----------------------------------------------------
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir))
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.quality(docs(spark, dir))
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCount(docs(spark, dir))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(docs(spark, dir))
+
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), JaccardThr)
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(docs(spark, dir), JaccardThr)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(docs(spark, dir))
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    Ann.bruteTopK(emb(spark, dir), AnnQueryVec, AnnK)
+
+  def annPairs(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(emb(spark, dir), CosineThr)
+
+  /** rows-only (no oracle): LSH-bucketed ANN — approximate by design,
+    * recall vs bruteTopK asserted in AnnSpec. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(emb(spark, dir), AnnQueryVec, AnnK)
+
+  // ---- DuckDB oracle SQL --------------------------------------------------
+
+  private val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+
+  val langIdSql: String = {
+    val hitCols = TextOps.LangProfiles.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList)))::BIGINT AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = TextOps.LangProfiles.map(_._1)
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"hits_$l >= hits_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  $hitCols
+       |FROM t)
+       |SELECT doc_id,
+       |  CASE $caseChain ELSE '${langs.last}' END AS pred_lang,
+       |  greatest(${langs.map(l => s"hits_$l").mkString(", ")}) AS best_hits
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  val qualitySql: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |  len(toks)::BIGINT AS n_tokens,
+       |  length(text)::BIGINT AS n_chars,
+       |  CAST(round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) * 1000000.0) AS BIGINT) AS avg_word_len_x6,
+       |  CAST(round(CAST(len(list_filter(toks, x -> x IN ($stopIn))) AS DOUBLE) / len(toks) * 1000000.0) AS BIGINT) AS stop_ratio_x6,
+       |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1000000.0) AS BIGINT) AS uniq_ratio_x6
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id, len(regexp_extract_all(text, '${TextOps.BpeTokenRegex}'))::BIGINT AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val fingerprintSql: String =
+    s"""WITH tok AS (SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
+       |              unnest(string_split(text,' ')) AS term FROM documents),
+       |dict AS (SELECT term, dense_rank() OVER (ORDER BY term) AS tid
+       |         FROM (SELECT DISTINCT term FROM tok)),
+       |lists AS (SELECT doc_id, list(tid ORDER BY pos) AS ids
+       |          FROM tok JOIN dict USING(term) GROUP BY doc_id)
+       |SELECT doc_id, list_reduce(list_prepend(0, ids), (a, b) -> (a*31 + b) % ${TextOps.HashP}) AS fp
+       |FROM lists ORDER BY doc_id""".stripMargin
+
+  private val shingleCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM t, unnest(range(1, len(toks)-1)) AS r(i) WHERE len(toks) >= 3),
+      |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  val dedupNgramSql: String =
+    s"""WITH $shingleCtes,
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS c
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+       |        FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, CAST(round(jac * 1000000.0) AS BIGINT) AS jac_x6
+       |FROM jac WHERE jac >= $JaccardThr ORDER BY a_id, b_id""".stripMargin
+
+  val dedupMinhashSql: String = {
+    val fnVals = Dedup.MinHashFns.map { case (h, a, b) => s"($h, $a, $b)" }.mkString(", ")
+    s"""WITH $shingleCtes,
+       |dict AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
+       |         FROM (SELECT DISTINCT shingle FROM sh)),
+       |ids AS (SELECT doc_id, sid FROM sh JOIN dict USING(shingle)),
+       |fns(hid, a, b) AS (VALUES $fnVals),
+       |sigs AS (SELECT doc_id, hid, min((a*sid + b) % ${Dedup.P}) AS mh
+       |         FROM ids CROSS JOIN fns GROUP BY doc_id, hid),
+       |bands AS (SELECT doc_id, hid // ${Dedup.BandRows} AS band,
+       |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hid) AS sig
+       |          FROM sigs GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+       |              AND x.doc_id < y.doc_id),
+       |inter AS (SELECT a_id, b_id, count(*)::BIGINT AS c
+       |          FROM cand JOIN sh a ON a.doc_id = a_id
+       |               JOIN sh b ON b.doc_id = b_id AND a.shingle = b.shingle
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+       |        FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, CAST(round(jac * 1000000.0) AS BIGINT) AS jac_x6
+       |FROM jac WHERE jac >= $JaccardThr ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val dedupSimhashSql: String = {
+    val fnVals = Dedup.SimHashFns.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dict AS (SELECT term, dense_rank() OVER (ORDER BY term) AS tid
+       |         FROM (SELECT DISTINCT term FROM tf)),
+       |fns(j, a, b) AS (VALUES $fnVals),
+       |s AS (SELECT doc_id, j, sum(tf * (((a*tid + b) % ${Dedup.P} % 2) * 2 - 1)) AS s
+       |      FROM tf JOIN dict USING(term) CROSS JOIN fns GROUP BY doc_id, j)
+       |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val embCtes =
+    """x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id)""".stripMargin
+
+  val annTopKSql: String =
+    s"""WITH $embCtes,
+       |q AS (SELECT i, v FROM x WHERE vec_id = $AnnQueryVec),
+       |d AS (SELECT x.vec_id, sum(x.v * q.v) AS dot
+       |      FROM x JOIN q ON x.i = q.i WHERE x.vec_id <> $AnnQueryVec GROUP BY 1),
+       |c AS (SELECT d.vec_id, CAST(round(d.dot / (n1.nrm * nq.nrm) * 1000000.0) AS BIGINT) AS cos_x6
+       |      FROM d JOIN nrm n1 ON n1.vec_id = d.vec_id
+       |      CROSS JOIN (SELECT nrm FROM nrm WHERE vec_id = $AnnQueryVec) nq)
+       |SELECT vec_id, cos_x6 FROM c ORDER BY cos_x6 DESC, vec_id ASC LIMIT $AnnK""".stripMargin
+
+  val annPairsSql: String =
+    s"""WITH $embCtes,
+       |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dot
+       |      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+       |c AS (SELECT a_id, b_id, CAST(round(d.dot / (na.nrm * nb.nrm) * 1000000.0) AS BIGINT) AS cos_x6
+       |      FROM d JOIN nrm na ON na.vec_id = a_id JOIN nrm nb ON nb.vec_id = b_id)
+       |SELECT a_id, b_id, cos_x6 FROM c WHERE cos_x6 >= ${math.round(CosineThr * 1e6)}
+       |ORDER BY a_id, b_id""".stripMargin
+}

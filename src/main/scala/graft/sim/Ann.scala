@@ -1,0 +1,115 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float], 64-dim):
+  * brute-force cosine top-k as the exact baseline, pairwise near-dup pairs,
+  * and a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * All vector math is pure column expressions (zip_with/aggregate folds run
+  * inside whole-stage codegen — no UDF, no explode shuffle for the
+  * brute-force path; the per-row fold is index-ordered so it is
+  * deterministic). Floats are cast to double per element before any
+  * arithmetic for cross-engine reproducibility; comparisons use micro-unit
+  * rounding. */
+object Ann {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => d(x) * d(x)), lit(0.0), (s, v) => s + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k against one stored query vector (vec_id = qid).
+    * The query row is broadcast; the scan is one narrow pass — at cluster
+    * scale this is the per-query fan-out model (score all, TakeOrdered k). */
+  def bruteTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")) * 1e6).cast("long")
+          .as("cos_x6"))
+      .orderBy(col("cos_x6").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** All pairs with cosine ≥ thr — embedding near-dup dedup. Brute force
+    * O(n²) here (exact oracle); the LSH bucketing below is the scale path. */
+  def nearDupPairs(emb: DataFrame, thr: Double): DataFrame = {
+    val a = emb.as("a"); val b = emb.as("b")
+    a.crossJoin(b)
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(cosine(col("a.embedding"), col("b.embedding")) * 1e6)
+          .cast("long").as("cos_x6"))
+      // threshold on the ROUNDED value so ULP noise can't flip inclusion
+      // between engines
+      .filter(col("cos_x6") >= math.round(thr * 1e6))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Deterministic pseudo-random hyperplane component r(j,i) ∈ [-0.5, 0.5):
+    * splitmix64 finalizer over the flat plane index — exact integer
+    * arithmetic, reproducible anywhere, and (unlike a Weyl sequence) free of
+    * serial correlation across components, so the planes are isotropic. */
+  def planeComponent(j: Int, i: Int): Double = {
+    var z = (j.toLong * 64 + i) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 40).toDouble / (1L << 24).toDouble - 0.5
+  }
+
+  /** Multi-table LSH parameters: L tables of m sign-bits each. A single
+    * table's collision probability for angle θ is (1−θ/π)^m — far too low
+    * for useful recall — so candidates are unioned across L independent
+    * tables (standard multi-table random-hyperplane LSH). */
+  val LshTables = 24
+  val LshBits = 6
+
+  /** Sign-bucket of a vector in table t (uses planes t·m … t·m+m−1). */
+  def bucketCol(emb: Column, table: Int): Column = {
+    val bits = (0 until LshBits).map { j =>
+      val dotP = aggregate(
+        zip_with(emb,
+          array((0 until 64).map(i =>
+            lit(planeComponent(table * LshBits + j, i))): _*),
+          (x, p) => d(x) * p),
+        lit(0.0), (s, v) => s + v)
+      when(dotP > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Array of all L bucket ids for a vector. */
+  def bucketsCol(emb: Column): Column =
+    array((0 until LshTables).map(t => bucketCol(emb, t)): _*)
+
+  /** LSH-bucketed ANN: a candidate shares ≥1 of L sign-buckets with the
+    * query; exact cosine on candidates only; top-k. Approximate by design
+    * (recall asserted vs bruteTopK in PipelineSpec); at scale the bucket
+    * join touches a small fraction of the corpus instead of the n² cross
+    * product, and buckets are computed once at ingest, not per query. */
+  def lshTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val withBuckets = emb.select(col("vec_id"), col("embedding"),
+      posexplode(bucketsCol(col("embedding"))).as(Seq("t", "bucket")))
+    val q = withBuckets.filter(col("vec_id") === queryVecId)
+      .select(col("t"), col("bucket"), col("embedding").as("q_emb"))
+    withBuckets.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q), Seq("t", "bucket"))
+      .select(col("vec_id"), col("embedding"), col("q_emb"))
+      .distinct()
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")) * 1e6).cast("long")
+          .as("cos_x6"))
+      .orderBy(col("cos_x6").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

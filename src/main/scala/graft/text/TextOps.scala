@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID, quality scoring, BPE-ish token counting, and document
+  * fingerprinting. All column-expression based (whole-stage codegen, no
+  * UDFs in the hot path) and narrow — per-row maps over the corpus, no
+  * shuffle except where an op is inherently relational (the fingerprint's
+  * term dictionary).
+  */
+object TextOps {
+
+  val HashP = 1000000007L
+
+  /** Tiny per-language function-word profiles (public common words). The
+    * profile scorer is deliberately simple arithmetic so it is expressible
+    * in both Spark and the DuckDB oracle. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "in", "that"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  private def tokensCol: Column = split(col("text"), " ")
+
+  /** Per-language profile hit counts + argmax prediction with deterministic
+    * lexicographic tie-break. Output: doc_id, pred_lang, best_hits. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokensCol
+    val scored = LangProfiles.foldLeft(docs.select(col("doc_id"), toks.as("toks"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"hits_$lang",
+          size(filter(col("toks"), t => t.isin(words: _*))).cast("long"))
+    }
+    // argmax over langs: greatest hits, lexicographically-first lang on ties
+    val best = LangProfiles.map { case (lang, _) =>
+      struct(col(s"hits_$lang").as("h"), lit(lang).as("l"))
+    }
+    // maximize (hits, reverse-lang): encode lexicographic-first tie-break by
+    // comparing structs (hits asc, lang desc) and taking greatest
+    val pick = LangProfiles.map { case (lang, _) =>
+      struct(col(s"hits_$lang").as("h"),
+        // invert lang bytes so greatest() prefers the alphabetically first
+        lit(-LangProfiles.indexWhere(_._1 == lang)).as("nl"),
+        lit(lang).as("l"))
+    }
+    scored.withColumn("best", greatest(pick: _*))
+      .select(col("doc_id"), col("best.l").as("pred_lang"),
+        col("best.h").as("best_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality metrics: raw token count, char count, mean word length,
+    * stopword ratio, unique-token ratio (all micro-unit longs where
+    * fractional). */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokensCol
+    val stopArr = array(Analyzer.EnglishStopSorted.map(lit): _*)
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      round(aggregate(transform(toks, t => length(t).cast("double")),
+        lit(0.0), (acc, x) => acc + x) / size(toks) * 1e6).cast("long")
+        .as("avg_word_len_x6"),
+      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+        / size(toks) * 1e6).cast("long").as("stop_ratio_x6"),
+      round(size(array_distinct(toks)).cast("double") / size(toks) * 1e6)
+        .cast("long").as("uniq_ratio_x6"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation marks —
+    * the pre-tokenization regex shape used by byte-pair encoders. */
+  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenRegex), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * dense term-id sequence, h ← (31·h + tid) mod p. The term dictionary is
+    * data-derived (dense_rank over the distinct vocabulary) so both engines
+    * compute the identical fingerprint. One small dictionary join —
+    * broadcast — plus a per-doc fold. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), posexplode(tokensCol).as(Seq("pos", "term")))
+    val dict = tok.select("term").distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy("term")).cast("long"))
+    tok.join(broadcast(dict), "term")
+      .groupBy("doc_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid")),
+        lit(0L), (h, x) => (h * 31 + x) % HashP).as("fp"))
+      .orderBy("doc_id")
+  }
+}

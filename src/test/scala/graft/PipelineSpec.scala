@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.harness.PipelineQueries
+import graft.sim.Ann
+import graft.dedup.Dedup
+
+/** Training-data-pipeline operator tests at sf0.001: LSH recall vs the exact
+  * baseline, minhash-vs-exact agreement, simhash locality, text-op sanity. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("LSH ANN hits are a subset of the corpus and recall@10 >= 0.3 vs brute force") {
+    val brute = Ann.bruteTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val lsh = Ann.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(lsh.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // 8 hyperplanes over 500 vectors: bucket holds ~1/256 of corpus plus the
+    // query's near neighbours; recall is approximate by design
+    assert(recall >= 0.3, s"recall=$recall brute=$brute lsh=$lsh")
+  }
+
+  test("LSH hit scores match brute-force scores for shared vec_ids") {
+    val brute = Ann.bruteTopK(emb, 0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Ann.lshTopK(emb, 0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, s) <- lsh if brute.contains(id)) assert(brute(id) === s)
+  }
+
+  test("minhash+LSH verified pairs ⊆ exact ngram pairs (same threshold)") {
+    val exact = Dedup.ngramJaccardPairs(docs, PipelineQueries.JaccardThr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mh = Dedup.minHashLshPairs(docs, PipelineQueries.JaccardThr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mh.subsetOf(exact), s"minhash found non-pairs: ${mh -- exact}")
+    assert(mh.nonEmpty)
+    // high-similarity pairs (jac >= 0.5) are found w.h.p. with 4x4 bands
+    val strong = exact.filter(_._3 >= 500000)
+    assert(strong.subsetOf(mh), s"missed strong pairs: ${strong -- mh}")
+  }
+
+  test("simhash: near-identical docs land at small hamming distance") {
+    val fp = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    for ((a, b) <- near) {
+      val ham = java.lang.Long.bitCount(fp(a) ^ fp(b))
+      assert(ham <= 4, s"docs $a,$b jac>=0.8 but hamming $ham")
+    }
+  }
+
+  test("text ops sanity: ratios bounded, fingerprint order-sensitive") {
+    val q = PipelineQueries.quality(spark, sf).collect()
+    for (r <- q) {
+      assert(r.getAs[Long]("stop_ratio_x6") <= 1000000L)
+      assert(r.getAs[Long]("uniq_ratio_x6") <= 1000000L)
+      assert(r.getAs[Long]("avg_word_len_x6") > 0)
+    }
+    import spark.implicits._
+    val two = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fps = graft.text.TextOps.fingerprint(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) !== fps(2L))
+  }
+
+  test("lang id predicts profile languages on real multilingual text") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "der hund und die katze ist nicht hier"),
+      (2L, "the cat is in the house and that is fine"),
+      (3L, "el perro es un animal de la casa"),
+      (4L, "le chat est dans la maison des voisins"),
+      (5L, "我 是 一 个 学生 的 朋友 和 不 在")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.langId(samples).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "de")
+    assert(got(2L) === "en")
+    assert(got(3L) === "es")
+    assert(got(4L) === "fr")
+    assert(got(5L) === "zh")
+  }
+}
