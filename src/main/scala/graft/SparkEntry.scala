@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.harness.{Oracle, PipelineQueries, QuerySet, TextQueries}
+import graft.harness.{Oracle, PipelineQueries, QuerySet, TextQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed done in SURVEY.md §2 has a `queries` entry; the
@@ -39,6 +39,8 @@ object SparkEntry {
     "q_ann_topk" -> PipelineQueries.annTopK _,
     "q_ann_pairs" -> PipelineQueries.annPairs _,
     "q_ann_lsh" -> PipelineQueries.annLsh _,
+    "q_web_lww" -> WebQueries.webLww _,
+    "q_web_df" -> WebQueries.webDf _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +69,7 @@ object SparkEntry {
     "q_ann_pairs" -> PipelineQueries.annPairsSql,
     // q_ann_lsh: approximate by design — rows-only check (recall vs brute
     // force asserted in AnnSpec)
+    "q_web_lww" -> WebQueries.webLwwSql,
+    "q_web_df" -> WebQueries.webDfSql,
   )
 }

@@ -21,17 +21,22 @@ import graft.query.Bm25
   *    term-range layout would need salted repartitionByRange + a second merge
   *    pass to defeat the same skew (SURVEY §2.6); doc-sharding makes that a
   *    non-problem and matches how the reference system actually scales.
-  *  - **Shuffles**: exactly three corpus-sized exchanges — tf aggregation on
-  *    (term, doc_id) with map-side partial agg, the tf⋈dl join on doc_id,
-  *    and the encode repartition on (doc_shard, term). df/stats reuse the tf
-  *    output. All exact (no approximations, per north_rule).
+  *  - **Single tokenization pass.** The analysis chain (UDF) is the CPU-hot
+  *    stage, and snapshot steps re-execute lazy lineage, so the tf relation
+  *    (term, doc_id, tf) is materialized ONCE as a staged table and every
+  *    later stage reads it back: dl = Σtf per doc (no re-tokenize), stats,
+  *    df, and the posting encode all derive from the same pass. Staged
+  *    materialization is also what makes each step independently resumable.
+  *  - **Shuffles**: tokenize+tf aggregation (1), the tf⋈dl join + encode
+  *    repartition on (doc_shard, term) (2). df/stats reuse the tf table.
+  *    All exact (no approximations, per north_rule).
   *  - **Encode kernel**: `mapPartitions` over rows sorted within partitions
   *    by (doc_shard, term, doc_id) — streaming, constant memory per
   *    (shard, term) group (≤ shardSize postings), emits delta-gap varbyte
   *    blocks of [[Codec.BlockSize]] with exact per-block max-impact metadata.
-  *  - **Resumability**: shard groups are built as separate committed steps
-  *    (postings/group=g subtrees); a killed build resumes from the last
-  *    committed group via the [[TableIO]] snapshot manifest. Lineage rows
+  *  - **Resumability**: every stage is a committed snapshot step; shard
+  *    groups subdivide the postings stage. A killed build resumes from the
+  *    last committed step via the [[TableIO]] manifest. Lineage rows
   *    (shard, doc range, bytes, wall-time) land in a metrics table.
   */
 object PostingsBuilder {
@@ -55,17 +60,27 @@ object PostingsBuilder {
     val io = new TableIO(indexDir)
     if (io.isComplete(FinalStep)) return io // idempotent re-run: no-op
 
-    val dl = TextIndex.docLens(docs)
+    // THE tokenization pass: materialized once, reused by every later step.
+    io.step("tf") {
+      TextIndex.termFreqs(TextIndex.tokens(docs))
+        .write.mode("overwrite").parquet(io.tablePath("tf"))
+    }
+    val tf = spark.read.parquet(io.tablePath("tf"))
+
+    // dl derived from tf (Σ tf per doc == token count); zero-token docs kept
+    // via left join on the doc universe.
+    io.step("doc_lens") {
+      docs.select(col("doc_id"))
+        .join(tf.groupBy("doc_id").agg(sum("tf").as("_dl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("_dl"), lit(0L)).as("dl"))
+        .write.mode("overwrite").parquet(io.tablePath("doc_lens"))
+    }
+    val dl = spark.read.parquet(io.tablePath("doc_lens"))
 
     io.step("stats") {
       TextIndex.corpusStats(dl).write.mode("overwrite")
         .parquet(io.tablePath("stats"))
     }
-
-    // tf is recomputed deterministically on resume; avgdl is read back from
-    // the committed stats table so every posting block (whenever built) uses
-    // the same exact global norm.
-    lazy val tf = TextIndex.termFreqs(TextIndex.tokens(docs))
 
     io.step("term_stats") {
       TextIndex.docFreqs(tf).write.mode("overwrite")
