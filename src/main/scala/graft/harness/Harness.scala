@@ -186,7 +186,7 @@ object TextQueries {
   import graft.query.Searcher
 
   /** Index format version — bump to invalidate cached on-disk test indexes. */
-  private val IdxVersion = "v1"
+  private val IdxVersion = "v2"
 
   /** Build (once, snapshot-idempotent) the on-disk index for an sf dir. */
   def ensureIndex(spark: SparkSession, dir: String): String = {

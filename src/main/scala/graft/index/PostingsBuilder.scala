@@ -149,17 +149,19 @@ object PostingsBuilder {
     private def flush(): Unit = {
       if (n == 0) return
       var maxNorm = 0.0
+      var maxTf = 0
       var i = 0
       while (i < n) {
         val norm = Bm25.tfNorm(tfs(i).toDouble, dls(i).toDouble, avgdl)
         if (norm > maxNorm) maxNorm = norm
+        if (tfs(i) > maxTf) maxTf = tfs(i)
         i += 1
       }
       pending = PostingBlock(curShard, curTerm, blockId, n, ids(0), ids(n - 1),
         Codec.encodeDocIds(java.util.Arrays.copyOf(ids, n)),
         Codec.encodeTfs(java.util.Arrays.copyOf(tfs, n)),
         Codec.encodeTfs(java.util.Arrays.copyOf(dls, n)),
-        maxNorm, System.currentTimeMillis() - t0)
+        maxNorm, maxTf, System.currentTimeMillis() - t0)
       blockId += 1
       n = 0
     }

@@ -26,18 +26,21 @@ import graft.query.Bm25
   */
 object TextIndex {
 
-  /** Analysis chain as a UDF. UDF (not native expr) is deliberate: the chain
-    * must be byte-identical to [[Analyzer]], which also generates the golden
-    * test outputs. Runs inside whole-stage codegen as a deterministic
-    * non-null-propagating call; upgrade path to a custom Expression is
-    * perf-only (SURVEY §2.12). */
+  /** Analysis chain as a UDF (kept for API compat) and as the native
+    * Catalyst expression [[graft.analysis.AnalyzeStopExpr]] — both call the
+    * exact same [[Analyzer.analyzeStop]], which also generates the golden
+    * test outputs, so semantics are identical; the expression variant stays
+    * inside whole-stage codegen (SURVEY §2.12 perf-tier upgrade). */
   val analyzeStopUdf = udf((s: String) => Analyzer.analyzeStop(s))
   val analyzeUdf = udf((s: String) => Analyzer.analyze(s))
+
+  def analyzeStopCol(c: Column): Column =
+    graft.analysis.AnalyzeStopExpr.analyzeStop(c)
 
   /** (doc_id, pos, term) token stream after the stopword analysis chain. */
   def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      posexplode(analyzeStopUdf(col("text"))).as(Seq("pos", "term")))
+      posexplode(analyzeStopCol(col("text"))).as(Seq("pos", "term")))
 
   /** Exact term frequency per (term, doc_id). One shuffle, partial-agg'd. */
   def termFreqs(tokens: DataFrame): DataFrame =
@@ -51,12 +54,13 @@ object TextIndex {
   /** Exact per-doc token count (dl), including zero-token docs. */
   def docLens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(analyzeStopUdf(col("text"))).cast("long").as("dl"))
+      size(analyzeStopCol(col("text"))).cast("long").as("dl"))
 
   /** Exact corpus stats (N, avgdl) — one row. dl sums are integral so the
     * double avg is exact (< 2^53), making it bit-reproducible across engines. */
   def corpusStats(docLens: DataFrame): DataFrame =
-    docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+      sum(col("dl")).cast("long").as("total_dl"))
 
   /** BM25 per-(term,doc) contribution as a Catalyst column. Parenthesization
     * deliberately mirrors the DuckDB oracle SQL so per-term doubles are

@@ -12,7 +12,9 @@ case class TfRow(doc_shard: Int, term: String, doc_id: Long, tf: Int, dl: Int)
 /** A compressed posting block: up to Codec.BlockSize postings of one term
   * within one doc shard. doc_ids are delta-gap varbyte; tfs/dls varbyte.
   * max_tf_norm is the exact per-block max of tf/(tf+k1(1-b+b·dl/avgdl)) —
-  * the block-max WAND pruning bound. enc_wall_ms is the encode task's wall
+  * the block-max WAND pruning bound — computed with the avgdl at encode
+  * time; max_tf additionally enables the avgdl-independent fallback bound
+  * tf/(tf+k1(1−b)) that stays valid after streaming appends shift avgdl. enc_wall_ms is the encode task's wall
   * time (same value on every row the task emits; lineage takes max). */
 case class PostingBlock(
     doc_shard: Int,
@@ -25,11 +27,14 @@ case class PostingBlock(
     tfs: Array[Byte],
     dls: Array[Byte],
     max_tf_norm: Double,
+    max_tf: Int,
     enc_wall_ms: Long)
 
 case class TermStat(term: String, df: Long)
 
-case class CorpusStats(n_docs: Long, avgdl: Double)
+/** total_dl keeps the exact token sum so streaming appends can merge
+  * avgdl without accumulating FP error: avgdl = total_dl / n_docs. */
+case class CorpusStats(n_docs: Long, avgdl: Double, total_dl: Long)
 
 /** Per-shard lineage/metrics row (north_rule: partition id, doc range,
   * postings bytes, build wall-time), written to the index's metrics table. */

@@ -28,7 +28,16 @@ object BlockMaxWand {
   /** Cursor over one term's blocks; skips whole blocks via last_doc_id
     * without decoding (the block-max skip). */
   private final class TermIter(blocks: IndexedSeq[PostingBlock],
-                               val idf: Double, val weight: Int, avgdl: Double) {
+                               val idf: Double, val weight: Int, avgdl: Double,
+                               tightBounds: Boolean) {
+    // When the index contains streamed appends, global avgdl has shifted
+    // since blocks were encoded, so the stored (avgdl-dependent) max_tf_norm
+    // may no longer upper-bound true scores. The fallback bound
+    // tf/(tf + k1(1-b)) is the avgdl→∞ limit of tfNorm, valid for any
+    // avgdl/dl — pruning weakens, exactness holds.
+    private def blockBound(b: PostingBlock): Double =
+      if (tightBounds) b.max_tf_norm
+      else b.max_tf.toDouble / (b.max_tf + Bm25.K1 * (1.0 - Bm25.B))
     private var bi = 0
     private var pi = 0
     private var ids: Array[Long] = _
@@ -38,7 +47,7 @@ object BlockMaxWand {
 
     val ub: Double = { // global term upper bound
       var m = 0.0; var i = 0
-      while (i < blocks.length) { if (blocks(i).max_tf_norm > m) m = blocks(i).max_tf_norm; i += 1 }
+      while (i < blocks.length) { val bb = blockBound(blocks(i)); if (bb > m) m = bb; i += 1 }
       idf * weight * m
     }
 
@@ -65,7 +74,7 @@ object BlockMaxWand {
       while (i < blocks.length && blocks(i).last_doc_id < d) i += 1
       // bound at the pivot itself (shallow check): the block containing or
       // following d. Docs past this block are re-checked on later pivots.
-      if (i >= blocks.length) 0.0 else idf * weight * blocks(i).max_tf_norm
+      if (i >= blocks.length) 0.0 else idf * weight * blockBound(blocks(i))
     }
 
     /** First doc beyond the block containing/following d — the skip target
@@ -107,9 +116,10 @@ object BlockMaxWand {
     * (doc_id, exact score) hits — unordered; the caller applies the global
     * deterministic ordering. */
   def scoreShard(q: WandQuery, blocksByTerm: Map[String, IndexedSeq[PostingBlock]],
-                 avgdl: Double, k: Int): Array[(Long, Double)] = {
+                 avgdl: Double, k: Int, tightBounds: Boolean = true): Array[(Long, Double)] = {
     val iters: Array[TermIter] = q.terms.flatMap { t =>
-      blocksByTerm.get(t.term).map(bs => new TermIter(bs, t.idf, t.weight, avgdl))
+      blocksByTerm.get(t.term).map(bs =>
+        new TermIter(bs, t.idf, t.weight, avgdl, tightBounds))
     }
     if (iters.isEmpty) return Array.empty
 

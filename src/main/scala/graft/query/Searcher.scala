@@ -59,16 +59,25 @@ object Searcher {
     }.toArray
     val bcQueries = spark.sparkContext.broadcast(wandQueries)
     val avgdl = stats.avgdl
+    // streamed appends shift avgdl after blocks were encoded — fall back to
+    // the avgdl-independent block bounds then (see BlockMaxWand)
+    val tightBounds = !io.committedSteps().exists(_.startsWith("stream_"))
 
     val hits = spark.read.parquet(io.tablePath("postings"))
       .filter(col("term").isin(uniqueTerms: _*))
       .select("doc_shard", "term", "block_id", "n", "first_doc_id",
-        "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm", "enc_wall_ms")
+        "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm", "max_tf",
+        "enc_wall_ms")
       .repartition(col("doc_shard"))
-      .sortWithinPartitions("doc_shard", "term", "block_id")
+      // sort by first_doc_id, NOT block_id: a shard that spans multiple
+      // posting groups (base shard groups + streamed appends) restarts
+      // block_id per group, and the WAND cursor requires blocks of a
+      // (shard, term) in global doc order — ranges are disjoint, so
+      // first_doc_id totally orders them
+      .sortWithinPartitions("doc_shard", "term", "first_doc_id")
       .as[PostingBlock]
       .mapPartitions { it =>
-        new ShardRunner(it, bcQueries.value, avgdl, k)
+        new ShardRunner(it, bcQueries.value, avgdl, k, tightBounds)
       }
       .toDF("qid", "doc_id", "score")
 
@@ -79,7 +88,7 @@ object Searcher {
     * every query's WAND kernel over that shard's blocks. Memory is bounded by
     * one shard's query-term blocks (≤ |q terms| × shardSize/blockSize). */
   private final class ShardRunner(rows: Iterator[PostingBlock],
-      queries: Array[WandQuery], avgdl: Double, k: Int)
+      queries: Array[WandQuery], avgdl: Double, k: Int, tightBounds: Boolean)
       extends Iterator[(Int, Long, Double)] {
     private val out = mutable.Queue.empty[(Int, Long, Double)]
     private var curShard = Int.MinValue
@@ -92,7 +101,7 @@ object Searcher {
       var qi = 0
       while (qi < queries.length) {
         val q = queries(qi)
-        val top = BlockMaxWand.scoreShard(q, byTerm, avgdl, k)
+        val top = BlockMaxWand.scoreShard(q, byTerm, avgdl, k, tightBounds)
         var i = 0
         while (i < top.length) { out.enqueue((q.qid, top(i)._1, top(i)._2)); i += 1 }
         qi += 1
