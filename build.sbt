@@ -29,4 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local-mode Spark: the driver JVM is the whole "cluster" — size the heap
   // accordingly (box has 125 GiB; benches thrash GC at 8g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // GC selection knob for bench experiments (e.g. GRAFT_GC=Parallel);
+  // default G1
+  sys.env.get("GRAFT_GC").map(g => s"-XX:+Use${g}GC").getOrElse("-XX:+UseG1GC"),
 )

@@ -1,0 +1,80 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused analyze + per-doc term-frequency expression:
+  * `text → struct<dl:int, tfs:array<struct<term:string, tf:int>>>` with
+  * `tfs` term-sorted and `dl` = token count after the stop chain (= Σ tf).
+  *
+  * This is the shuffle-elimination kernel of the index build: computing tf
+  * per (term, doc) as a row-local fold means the corpus-sized token stream
+  * NEVER enters a shuffle — the classic `posexplode → groupBy(term, doc_id)`
+  * plan shuffles one row per distinct (term, doc) pair (~10^14 rows at the
+  * 10^12-doc design point) just to count within a single document, which is
+  * embarrassingly local work. Downstream, dl rides in the same row, so the
+  * tf⋈dl join disappears too. Semantics are pinned to
+  * [[Analyzer.analyzeStop]] (same tokens, same counts — IndexSpec asserts
+  * equality against the groupBy formulation). */
+case class AnalyzeTfExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_analyze_tf requires a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = AnalyzeTfExpr.OutType
+  override def prettyName: String = "graft_analyze_tf"
+
+  override def nullSafeEval(input: Any): Any =
+    AnalyzeTfExpr.analyzeTf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.analysis.AnalyzeTfExpr.analyzeTf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AnalyzeTfExpr =
+    copy(child = newChild)
+}
+
+object AnalyzeTfExpr {
+
+  val TfsType: ArrayType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+
+  val OutType: StructType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tfs", TfsType, nullable = false)))
+
+  /** Static entry the generated code calls. */
+  def analyzeTf(s: UTF8String): InternalRow = {
+    val toks = Analyzer.analyzeStop(s.toString)
+    val counts = new java.util.TreeMap[String, Int]()
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val arr = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      arr(j) = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length, new GenericArrayData(arr)))
+  }
+
+  /** Column API. */
+  def analyzeTf(c: Column): Column =
+    Bridge.column(AnalyzeTfExpr(Bridge.expression(c)))
+}

@@ -39,10 +39,15 @@ object Analyzer extends Serializable {
   /** Stable, sorted form for embedding in oracle SQL IN-lists. */
   val EnglishStopSorted: Seq[String] = EnglishStop.toSeq.sorted
 
+  /** Per-thread BreakIterator (stateful, not thread-safe; constructing one
+    * per call shows up at corpus scale). */
+  private val biCache: ThreadLocal[BreakIterator] =
+    ThreadLocal.withInitial(() => BreakIterator.getWordInstance(Locale.ROOT))
+
   /** UAX#29 word segmentation; keep tokens containing a letter/digit. */
   def tokenize(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty[String]
-    val bi = BreakIterator.getWordInstance(Locale.ROOT)
+    val bi = biCache.get()
     bi.setText(text)
     val out = new ArrayBuffer[String](16)
     var start = bi.first()
@@ -92,9 +97,19 @@ object Analyzer extends Serializable {
     tokenize(text).map(t => fold(t.toLowerCase(Locale.ROOT)))
 
   /** `case_insensitive_folding_text_stopwords` chain (settings.go:79-83):
-    * standard tokenize → lowercase → asciifold → `_english_` stop filter. */
-  def analyzeStop(text: String): Array[String] =
-    analyze(text).filterNot(EnglishStop.contains)
+    * standard tokenize → lowercase → asciifold → `_english_` stop filter.
+    * Single fused pass (identical output to `analyze(_).filterNot(stop)`). */
+  def analyzeStop(text: String): Array[String] = {
+    val toks = tokenize(text)
+    val out = new ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = fold(toks(i).toLowerCase(Locale.ROOT))
+      if (!EnglishStop.contains(t)) out += t
+      i += 1
+    }
+    out.toArray
+  }
 
   /** `case_insensitive_keyword` chain (settings.go:64-68): whole string is one
     * token, lowercased. */

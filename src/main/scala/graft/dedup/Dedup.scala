@@ -70,32 +70,39 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Dense shingle ids — cross-engine-deterministic (sorted vocabulary). */
+  /** Dense shingle ids — cross-engine-deterministic (sorted vocabulary).
+    * The dictionary is vocabulary-sized, so it is broadcast back. */
   private def shingleIds(sh: DataFrame): DataFrame = {
     val dict = sh.select("shingle").distinct()
       .withColumn("sid", dense_rank().over(Window.orderBy("shingle")).cast("long"))
-    sh.join(dict, "shingle").select(col("doc_id"), col("sid"))
+    sh.join(broadcast(dict), "shingle").select(col("doc_id"), col("sid"))
   }
 
   /** MinHash + banded LSH near-dup pairs, exact-verified at thr:
     * signature → band buckets → candidate pairs (bucket join) → exact
     * shingle-Jaccard filter. Output identical to the oracle because the
-    * hash arithmetic and band signatures are identical. */
+    * hash arithmetic and band signatures are identical.
+    *
+    * All 16 minhashes are 16 min-aggregates over ONE pass of the
+    * (doc, sid) relation — not a crossJoin with the function table, which
+    * multiplies the shuffle 16× and needs a 16×-wider aggregate. Band
+    * signatures are plain column concatenation (same equality semantics as
+    * the sorted collect_list formulation). */
   def minHashLshPairs(docs: DataFrame, thr: Double): DataFrame = {
     val sh = shingles(docs).cache()
     val ids = shingleIds(sh)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val fns = MinHashFns.toDF("hid", "a", "b")
-    val sigs = ids.crossJoin(broadcast(fns))
-      .groupBy(col("doc_id"), col("hid"))
-      .agg(min((col("a") * col("sid") + col("b")) % P).as("mh"))
+    val mhAggs = MinHashFns.map { case (h, a, b) =>
+      min((lit(a) * col("sid") + lit(b)) % P).as(s"mh$h")
+    }
+    val sigs = ids.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bandStructs = (0 until MinHashFns.length / BandRows).map { band =>
+      struct(lit(band).as("band"),
+        concat_ws(",", (0 until BandRows).map(r =>
+          col(s"mh${band * BandRows + r}").cast("string")): _*).as("sig"))
+    }
     val bands = sigs
-      .withColumn("band", floor(col("hid") / BandRows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("hid"), col("mh")))),
-        s => s.getField("mh").cast("string")), ",").as("sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))

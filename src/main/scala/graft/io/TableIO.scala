@@ -44,8 +44,10 @@ final class TableIO(val indexDir: String) extends Serializable {
     else None
 
   /** Commit `steps` as the new snapshot (monotonic id). Atomic: manifest is
-    * fully written before CURRENT is renamed over. */
-  def commit(steps: Set[String]): String = {
+    * fully written before CURRENT is renamed over. Synchronized so
+    * concurrent [[stepsPar]] bodies commit without losing each other's
+    * steps. */
+  def commit(steps: Set[String]): String = synchronized {
     Files.createDirectories(snapDir)
     val prev = currentSnapshotId().map(_.toLong).getOrElse(-1L)
     val id = (prev + 1).toString
@@ -59,12 +61,50 @@ final class TableIO(val indexDir: String) extends Serializable {
     id
   }
 
-  /** Run `body` unless `step` is already committed; commit it after. */
+  /** Run `body` unless `step` is already committed; commit it after.
+    * Per-step wall time goes to stderr when GRAFT_STEP_TIMING is set —
+    * the knob the scaling benchmark uses to find serial sections. */
   def step(name: String)(body: => Unit): Unit = {
     val done = committedSteps()
     if (!done.contains(name)) {
+      val t0 = System.nanoTime()
       body
       commit(done + name)
+      if (sys.env.contains("GRAFT_STEP_TIMING"))
+        System.err.println(
+          f"[TableIO] step $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+  }
+
+  /** Run independent steps CONCURRENTLY (driver threads; Spark schedules
+    * their jobs in parallel). Each step commits as it finishes, so a crash
+    * mid-group resumes with only the unfinished members re-run. Barrier
+    * latency of k steps collapses from k·t to ~t — this is what keeps the
+    * serial fraction of the index build flat as executor count grows. */
+  def stepsPar(steps: (String, () => Unit)*): Unit = {
+    val done = committedSteps()
+    val todo = steps.filterNot { case (n, _) => done.contains(n) }
+    if (todo.isEmpty) return
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    val t0 = System.nanoTime()
+    val threads = todo.map { case (name, body) =>
+      val t = new Thread(() => {
+        try {
+          body()
+          commit(committedSteps() + name)
+          if (sys.env.contains("GRAFT_STEP_TIMING"))
+            System.err.println(
+              f"[TableIO] par-step $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        } catch { case e: Throwable => failures.put(name, e) }
+      }, s"graft-step-$name")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) {
+      val (name, e) = { val k = failures.keys().nextElement(); (k, failures.get(k)) }
+      throw new RuntimeException(s"parallel step '$name' failed", e)
     }
   }
 

@@ -30,14 +30,42 @@ import graft.query.BlockMaxWand.{QueryTerm, WandQuery}
   */
 object Searcher {
 
-  /** Search the 20-query set (or any (qid, raw query) seq): returns
-    * (qid, rnk, doc_id, score_x6) under the deterministic global ordering —
-    * identical to TextIndex.topK over the naive scorer. */
-  def search(spark: SparkSession, indexDir: String,
-             rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
+  /** A query-server handle: corpus stats and the term dictionary loaded
+    * once and kept resident (what a serving node does — the per-query work
+    * is then dictionary lookups + the pruned postings scan only). */
+  final class Handle private[Searcher] (val spark: SparkSession,
+      val indexDir: String, val stats: CorpusStats,
+      val dfByTerm: Map[String, Long], val tightBounds: Boolean)
+
+  def open(spark: SparkSession, indexDir: String): Handle = {
     import spark.implicits._
     val io = new TableIO(indexDir)
     val stats = spark.read.parquet(io.tablePath("stats")).as[CorpusStats].head()
+    val dict = spark.read.parquet(io.tablePath("term_stats"))
+      .as[TermStat].collect().map(t => t.term -> t.df).toMap
+    val tight = !io.committedSteps().exists(_.startsWith("stream_"))
+    new Handle(spark, indexDir, stats, dict, tight)
+  }
+
+  /** Search via a resident handle (no per-query metadata jobs). */
+  def search(h: Handle, rawQueries: Seq[(Int, String)], k: Int): DataFrame =
+    run(h.spark, h.indexDir, h.stats, h.dfByTerm, h.tightBounds, rawQueries, k)
+
+  /** Search the 20-query set (or any (qid, raw query) seq): returns
+    * (qid, rnk, doc_id, score_x6) under the deterministic global ordering —
+    * identical to TextIndex.topK over the naive scorer. Cold-start variant:
+    * loads metadata, then delegates. */
+  def search(spark: SparkSession, indexDir: String,
+             rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
+    val h = open(spark, indexDir)
+    run(spark, indexDir, h.stats, h.dfByTerm, h.tightBounds, rawQueries, k)
+  }
+
+  private def run(spark: SparkSession, indexDir: String, stats: CorpusStats,
+                  dfAll: Map[String, Long], tightBounds: Boolean,
+                  rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val io = new TableIO(indexDir)
 
     // analyzed terms with query-occurrence weights (Lucene: a repeated query
     // term contributes once per occurrence)
@@ -47,9 +75,7 @@ object Searcher {
     val uniqueTerms = analyzed.flatMap(_._2.keys).distinct
 
     val dfByTerm: Map[String, Long] =
-      spark.read.parquet(io.tablePath("term_stats"))
-        .filter(col("term").isin(uniqueTerms: _*))
-        .as[TermStat].collect().map(t => t.term -> t.df).toMap
+      uniqueTerms.flatMap(t => dfAll.get(t).map(t -> _)).toMap
 
     val wandQueries: Array[WandQuery] = analyzed.map { case (qid, tw) =>
       WandQuery(qid, tw.toSeq.sortBy(_._1).collect {
@@ -59,9 +85,8 @@ object Searcher {
     }.toArray
     val bcQueries = spark.sparkContext.broadcast(wandQueries)
     val avgdl = stats.avgdl
-    // streamed appends shift avgdl after blocks were encoded — fall back to
-    // the avgdl-independent block bounds then (see BlockMaxWand)
-    val tightBounds = !io.committedSteps().exists(_.startsWith("stream_"))
+    // (tightBounds: streamed appends shift avgdl after blocks were encoded —
+    // fall back to the avgdl-independent block bounds then; see BlockMaxWand)
 
     val hits = spark.read.parquet(io.tablePath("postings"))
       .filter(col("term").isin(uniqueTerms: _*))

@@ -17,37 +17,44 @@ object Ann {
 
   private def d(c: Column): Column = c.cast("double")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (s, v) => s + v)
+  /** Native codegen'd kernel (VecExpressions); left-to-right double sum —
+    * same arithmetic as the zip_with/aggregate fold it replaced. */
+  def dot(a: Column, b: Column): Column = VecExpressions.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => d(x) * d(x)), lit(0.0), (s, v) => s + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k against one stored query vector (vec_id = qid).
     * The query row is broadcast; the scan is one narrow pass — at cluster
-    * scale this is the per-query fan-out model (score all, TakeOrdered k). */
+    * scale this is the per-query fan-out model (score all, TakeOrdered k).
+    * Norms are computed once per side, not per pair. */
   def bruteTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
     emb.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")) * 1e6).cast("long")
-          .as("cos_x6"))
+        round(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")) * 1e6)
+          .cast("long").as("cos_x6"))
       .orderBy(col("cos_x6").desc, col("vec_id").asc)
       .limit(k)
   }
 
   /** All pairs with cosine ≥ thr — embedding near-dup dedup. Brute force
-    * O(n²) here (exact oracle); the LSH bucketing below is the scale path. */
+    * O(n²) here (exact oracle); the LSH bucketing below is the scale path.
+    * Per-row norms are materialized BEFORE the cross join (one dot per pair
+    * instead of three). */
   def nearDupPairs(emb: DataFrame, thr: Double): DataFrame = {
-    val a = emb.as("a"); val b = emb.as("b")
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = withN.as("a"); val b = withN.as("b")
     a.crossJoin(b)
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(cosine(col("a.embedding"), col("b.embedding")) * 1e6)
+        round(dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")) * 1e6)
           .cast("long").as("cos_x6"))
       // threshold on the ROUNDED value so ULP noise can't flip inclusion
       // between engines
@@ -74,7 +81,9 @@ object Ann {
   val LshTables = 24
   val LshBits = 6
 
-  /** Sign-bucket of a vector in table t (uses planes t·m … t·m+m−1). */
+  /** Sign-bucket of a vector in table t (uses planes t·m … t·m+m−1).
+    * Reference formulation (kept as the spec/test oracle for the native
+    * kernel below). */
   def bucketCol(emb: Column, table: Int): Column = {
     val bits = (0 until LshBits).map { j =>
       val dotP = aggregate(
@@ -88,9 +97,9 @@ object Ann {
     bits.reduce(_ + _)
   }
 
-  /** Array of all L bucket ids for a vector. */
-  def bucketsCol(emb: Column): Column =
-    array((0 until LshTables).map(t => bucketCol(emb, t)): _*)
+  /** Array of all L bucket ids for a vector — native one-pass kernel
+    * (144 interpreted folds → one codegen'd loop). */
+  def bucketsCol(emb: Column): Column = VecExpressions.lshBuckets(emb)
 
   /** LSH-bucketed ANN: a candidate shares ≥1 of L sign-buckets with the
     * query; exact cosine on candidates only; top-k. Approximate by design

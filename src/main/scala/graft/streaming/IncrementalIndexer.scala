@@ -46,30 +46,23 @@ object IncrementalIndexer {
     val nextId = spark.read.parquet(io.tablePath("doc_lens"))
       .agg(max("doc_id")).head().getLong(0) + 1
 
-    // extract + within-batch LWW dedup + dense ids continuing the id space
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("url")).orderBy(col("warc_ts").desc, xxhash64(col("html")).desc)
-    val deduped = batch
-      .withColumn("text", HtmlExtract.extractCol(col("html")))
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select("url", "text")
-    // MATERIALIZE before deriving anything: DocIds.assign rests on
-    // monotonically_increasing_id, which re-evaluates differently per
-    // downstream action — the staged write pins the ids (same rule as
-    // WebIndex.build's staged docs table)
-    DocIds.assign(deduped)
+    // extract + within-batch LWW dedup (same max_by aggregate as the batch
+    // build), then dense ids continuing the id space — DocIds tag/resolve
+    // protocol: `_mid` is materialized in the staged write and ids are
+    // derived from the files, never from a replannable in-memory layout
+    val deduped = graft.web.WebIndex.extractAndDedup(batch)
+      .select(col("url"), col("extracted").as("text"))
+    DocIds.tag(deduped)
+      .write.mode("overwrite").parquet(io.tablePath(s"stream_docs/batch=$batchId"))
+    val withIds = DocIds.resolve(
+      spark.read.parquet(io.tablePath(s"stream_docs/batch=$batchId")))
       .withColumn("doc_id", col("doc_id") + lit(nextId))
       .select("doc_id", "url", "text")
-      .write.mode("overwrite").parquet(io.tablePath(s"stream_docs/batch=$batchId"))
-    val withIds = spark.read
-      .parquet(io.tablePath(s"stream_docs/batch=$batchId"))
 
-    // one tokenization pass for the batch
-    val tf = TextIndex.termFreqs(TextIndex.tokens(withIds)).cache()
-    val dl = withIds.select(col("doc_id"))
-      .join(tf.groupBy("doc_id").agg(sum("tf").as("_dl")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("_dl"), lit(0L)).as("dl"))
-      .cache()
+    // one tokenization pass for the batch — row-local tf (no token shuffle,
+    // no tf⋈dl join; same kernel as the batch build)
+    val docTerms = TextIndex.docTermFreqs(withIds).cache()
+    val dl = docTerms.select(col("doc_id"), col("dl"))
 
     // merged exact stats (additive in N and total_dl)
     val batchAgg = dl.agg(count(lit(1)), sum("dl")).head()
@@ -88,27 +81,25 @@ object IncrementalIndexer {
     // merged small tables: write-new-then-swap (atomic-ish on local fs; the
     // manifest commit below is what makes the batch visible)
     val dfMerged = spark.read.parquet(io.tablePath("term_stats"))
-      .unionByName(TextIndex.docFreqs(tf))
+      .unionByName(docTerms.select(explode(col("tfs.term")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df")))
       .groupBy("term").agg(sum("df").as("df"))
     swapWrite(spark, dfMerged, io.tablePath("term_stats"))
     swapWrite(spark,
       Seq(CorpusStats(nNew, avgdlNew, dlNew)).toDF(),
       io.tablePath("stats"))
 
-    // batch postings: new group (numeric, disjoint from build groups)
-    val enriched = tf.join(dl, "doc_id")
-      .withColumn("doc_shard", (col("doc_id") / lit(cfg.shardSize)).cast("int"))
-      .select(col("doc_shard"), col("term"), col("doc_id"),
-        col("tf").cast("int").as("tf"), col("dl").cast("int").as("dl"))
-    enriched
-      .repartition(col("doc_shard"), col("term"))
-      .sortWithinPartitions("doc_shard", "term", "doc_id")
-      .as[TfRow]
-      .mapPartitions(PostingsBuilder.encodePartition(avgdlNew, cfg.blockSize))
+    // batch postings: new group (numeric, disjoint from build groups);
+    // same shuffle shape as the batch build — fat per-doc rows by doc_shard,
+    // explode after the exchange
+    PostingsBuilder.invertStage(
+      docTerms.withColumn("doc_shard",
+        (col("doc_id") / lit(cfg.shardSize)).cast("int")),
+      avgdlNew, cfg.blockSize)
       .write.mode("overwrite").partitionBy("doc_shard")
       .parquet(io.tablePath(s"postings/group=${1000 + batchId}"))
 
-    tf.unpersist(); dl.unpersist()
+    docTerms.unpersist()
     io.commit(io.committedSteps() + step) // visibility point
   }
 

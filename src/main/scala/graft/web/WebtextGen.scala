@@ -60,20 +60,46 @@ object WebtextGen {
     sb.toString
   }
 
-  private def escape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  /** Single-pass escape into an existing builder (byte-identical to the
+    * chained String.replace formulation, which allocated a Pattern+Matcher
+    * and an intermediate String per pass — the generator runs once per
+    * synthetic doc, so its allocation rate is benchmark-visible). */
+  private def escapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+  }
 
   /** html wraps the text in 10-token paragraphs with escaped entities plus
-    * head/style noise the extractor must drop. */
+    * head/style noise the extractor must drop. Built in one pass. */
   def htmlFor(docId: Long, text: String): Array[Byte] = {
-    val toks = text.split(' ')
-    val paras = toks.grouped(10).map(g =>
-      s"<p class=\"x\">${escape(g.mkString(" "))}</p>").mkString
-    (s"<html><head><title>doc $docId</title>" +
-      "<style>p { color: #000; }</style>" +
-      "<script>var x = 1 < 2;</script></head>" +
-      s"<body>$paras</body></html>").getBytes("UTF-8")
+    val sb = new java.lang.StringBuilder(text.length * 2 + 160)
+    sb.append("<html><head><title>doc ").append(docId).append("</title>")
+      .append("<style>p { color: #000; }</style>")
+      .append("<script>var x = 1 < 2;</script></head><body>")
+    // paragraphs of 10 space-separated tokens, escaped inline
+    var i = 0
+    var tok = 0
+    val n = text.length
+    while (i < n) {
+      if (tok % 10 == 0) sb.append("<p class=\"x\">")
+      val end = { val e = text.indexOf(' ', i); if (e < 0) n else e }
+      escapeInto(sb, text.substring(i, end))
+      tok += 1
+      val lastInPara = tok % 10 == 0 || end >= n
+      if (lastInPara) sb.append("</p>") else sb.append(' ')
+      i = end + 1
+    }
+    sb.append("</body></html>")
+    sb.toString.getBytes("UTF-8")
   }
 
   val Langs = Array("en", "en", "en", "de", "es", "fr", "zh")

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Spark 4 made the Column ⇄ Expression bridge `private[sql]`
   * (columnNodeSupport.scala); third-party Catalyst extensions reach it by
@@ -12,4 +14,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Tungsten-level mapPartitions: runs `f` over the physical plan's
+    * InternalRows and re-wraps the result as a DataFrame of `schema`.
+    *
+    * This is the zero-copy analogue of `Dataset.mapPartitions` for
+    * engine kernels on wide hot paths: the typed route deserializes every
+    * row into case-class objects (one object + one decoded String per
+    * posting — tens of millions per build, enough to make the encode stage
+    * memory-bandwidth-bound), whereas `f` here reads primitives straight
+    * from the sorter's UnsafeRows. CONTRACT for `f`: input rows are
+    * REUSED buffers — copy anything retained across `next()` (e.g.
+    * `UTF8String.clone()`); output rows must be fresh per emit. */
+  def internalMapPartitions(df: DataFrame, schema: StructType)(
+      f: Iterator[InternalRow] => Iterator[InternalRow]): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    session.internalCreateDataFrame(
+      df.queryExecution.toRdd.mapPartitions(f, preservesPartitioning = true),
+      schema)
+  }
 }

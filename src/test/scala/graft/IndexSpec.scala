@@ -48,6 +48,23 @@ class IndexSpec extends AnyFunSuite {
     assert(decoded === expected)
   }
 
+  test("row-local docTermFreqs equals the groupBy tf relation and docLens") {
+    val docs = TextQueries.docs(spark, sf)
+    val local = TextIndex.docTermFreqs(docs)
+      .select(col("doc_id"), explode(col("tfs")).as("t"))
+      .select(col("t.term"), col("doc_id"), col("t.tf").cast("long").as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val shuffled = TextIndex.termFreqs(TextIndex.tokens(docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(local === shuffled)
+
+    val dlLocal = TextIndex.docTermFreqs(docs).select("doc_id", "dl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dlRef = TextIndex.docLens(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dlLocal === dlRef)
+  }
+
   test("WAND search is rank- and score-identical to the naive Catalyst scorer") {
     val dir = freshDir("wand")
     PostingsBuilder.build(spark, TextQueries.docs(spark, sf), dir, buildCfg)

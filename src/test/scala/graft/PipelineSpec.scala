@@ -93,4 +93,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L) === "fr")
     assert(got(5L) === "zh")
   }
+
+  test("native dot/lsh-bucket kernels match the Column-fold reference formulation") {
+    import org.apache.spark.sql.functions._
+    // dot + norm: native expression vs zip_with/aggregate fold, same rows
+    val foldDot = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+    val both = emb.select(col("vec_id"),
+      Ann.dot(col("embedding"), col("embedding")).as("native"),
+      foldDot.as("ref")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(1) === r.getDouble(2),
+      s"dot mismatch vec_id=${r.getLong(0)}"))
+
+    // one-pass lsh bucket array vs the per-table fold formulation
+    val refBuckets = array((0 until Ann.LshTables).map(t =>
+      Ann.bucketCol(col("embedding"), t)): _*)
+    val bk = emb.limit(50).select(
+      Ann.bucketsCol(col("embedding")).as("native"), refBuckets.as("ref"))
+      .collect()
+    bk.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
 }
