@@ -108,11 +108,11 @@ object Bench {
     val nBig = nSmall * 4 //  8
     def bestOf(k: Int)(run: Int => (Double, Double)): (Double, Double) =
       (0 until k).map(run).maxBy(_._1)
-    // scaling pair on a half-size corpus: long enough that per-step barrier
-    // latency is ≤10% of the 4N wall, short enough that each timed run's
-    // exposure to this shared host's contention bursts stays small
-    // (best-of-2 then discards a stormy run)
-    val scaleDocs = math.max(60000L, benchDocs / 2)
+    // scaling pair on the full corpus: per-step barrier latency (~5s/run,
+    // core-count-independent) must be ≤~15% of the 4N wall or it caps the
+    // measurable ratio; best-of-2 per level discards runs hit by this
+    // shared host's contention bursts
+    val scaleDocs = benchDocs
     val corpus = ensureCorpus(benchDocs)
     val scaleCorpus = ensureCorpus(scaleDocs)
     buildRun(nBig, cpus * 2, ensureCorpus(benchDocs / 10), benchDocs / 10, "warmup")

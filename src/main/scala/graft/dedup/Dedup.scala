@@ -38,8 +38,15 @@ object Dedup {
   private def toks: Column = split(col("text"), " ")
 
   /** Distinct word 3-shingles per doc (raw whitespace tokens — dedup works
-    * on surface text, not the stopworded analysis chain). */
+    * on surface text, not the stopworded analysis chain). Reference HOF
+    * formulation kept in [[shinglesRef]]; production path is the native
+    * codegen [[ShinglesExpr]] (identical output, asserted in spec). */
   def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(ShinglesExpr.shinglesCol(col("text"))).as("shingle"))
+
+  /** Interpreted Column formulation — the spec oracle for ShinglesExpr. */
+  def shinglesRef(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(array_distinct(when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2), i =>
@@ -70,12 +77,22 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Dense shingle ids — cross-engine-deterministic (sorted vocabulary).
-    * The dictionary is vocabulary-sized, so it is broadcast back. */
+  /** Dense shingle ids — cross-engine-deterministic (1-based rank in the
+    * sorted distinct vocabulary, identical to the oracle's dense_rank).
+    * The dictionary is vocabulary-sized, so it is built driver-side and
+    * broadcast as a map lookup — no single-partition window stage, no
+    * dictionary join shuffle. (The 10^12-scale variant hashes shingle
+    * bytes directly — see the scale note in the object doc.) */
   private def shingleIds(sh: DataFrame): DataFrame = {
-    val dict = sh.select("shingle").distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy("shingle")).cast("long"))
-    sh.join(broadcast(dict), "shingle").select(col("doc_id"), col("sid"))
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sorted = sh.select("shingle").distinct().as[String].collect().sorted
+    val dict = new java.util.HashMap[String, Long](sorted.length * 2)
+    var i = 0
+    while (i < sorted.length) { dict.put(sorted(i), i + 1L); i += 1 }
+    val bc = spark.sparkContext.broadcast(dict)
+    val sidUdf = udf((s: String) => bc.value.get(s))
+    sh.select(col("doc_id"), sidUdf(col("shingle")).as("sid"))
   }
 
   /** MinHash + banded LSH near-dup pairs, exact-verified at thr:

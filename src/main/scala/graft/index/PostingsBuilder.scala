@@ -116,10 +116,15 @@ object PostingsBuilder {
 
     for (g <- 0 until cfg.shardGroups) {
       io.step(s"postings_g$g") {
+        // flat layout (no partitionBy): queries prune by TERM via row-group
+        // min/max stats (rows are term-sorted within files), and every query
+        // touches every doc shard anyway — directory partitioning by shard
+        // would only buy a slow many-directory dynamic-partition commit and
+        // a small-files problem. doc_shard stays as a regular column.
         invertStage(
           sharded.filter(pmod(col("doc_shard"), lit(cfg.shardGroups)) === g),
           stats.avgdl, cfg.blockSize)
-          .write.mode("overwrite").partitionBy("doc_shard")
+          .write.mode("overwrite")
           .parquet(io.tablePath(s"postings/group=$g"))
       }
       cfg.failAfterGroup.filter(_ == g).foreach { _ =>

@@ -61,15 +61,20 @@ final class TableIO(val indexDir: String) extends Serializable {
     id
   }
 
+  /** Atomic read-modify-write commit of one step — the ONLY correct way to
+    * commit when steps may complete concurrently ([[stepsPar]]): reading
+    * committedSteps outside the lock loses a concurrent finisher's step. */
+  def commitStep(name: String): String =
+    synchronized { commit(committedSteps() + name) }
+
   /** Run `body` unless `step` is already committed; commit it after.
     * Per-step wall time goes to stderr when GRAFT_STEP_TIMING is set —
     * the knob the scaling benchmark uses to find serial sections. */
   def step(name: String)(body: => Unit): Unit = {
-    val done = committedSteps()
-    if (!done.contains(name)) {
+    if (!committedSteps().contains(name)) {
       val t0 = System.nanoTime()
       body
-      commit(done + name)
+      commitStep(name)
       if (sys.env.contains("GRAFT_STEP_TIMING"))
         System.err.println(
           f"[TableIO] step $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
@@ -91,7 +96,7 @@ final class TableIO(val indexDir: String) extends Serializable {
       val t = new Thread(() => {
         try {
           body()
-          commit(committedSteps() + name)
+          commitStep(name)
           if (sys.env.contains("GRAFT_STEP_TIMING"))
             System.err.println(
               f"[TableIO] par-step $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")

@@ -96,11 +96,11 @@ object IncrementalIndexer {
       docTerms.withColumn("doc_shard",
         (col("doc_id") / lit(cfg.shardSize)).cast("int")),
       avgdlNew, cfg.blockSize)
-      .write.mode("overwrite").partitionBy("doc_shard")
+      .write.mode("overwrite")
       .parquet(io.tablePath(s"postings/group=${1000 + batchId}"))
 
     docTerms.unpersist()
-    io.commit(io.committedSteps() + step) // visibility point
+    io.commitStep(step) // visibility point (atomic read-modify-write)
   }
 
   private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {

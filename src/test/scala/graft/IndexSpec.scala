@@ -48,6 +48,13 @@ class IndexSpec extends AnyFunSuite {
     assert(decoded === expected)
   }
 
+  test("stepsPar commits every concurrent step (no lost updates)") {
+    val io = new TableIO(freshDir("stepspar"))
+    val names = (0 until 16).map(i => s"s$i")
+    io.stepsPar(names.map(n => n -> (() => Thread.sleep(2))): _*)
+    assert(io.committedSteps() === names.toSet)
+  }
+
   test("row-local docTermFreqs equals the groupBy tf relation and docLens") {
     val docs = TextQueries.docs(spark, sf)
     val local = TextIndex.docTermFreqs(docs)

@@ -94,6 +94,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5L) === "zh")
   }
 
+  test("native shingles kernel matches the HOF reference formulation") {
+    val native = Dedup.shingles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val ref = Dedup.shinglesRef(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native.nonEmpty)
+    assert(native === ref)
+  }
+
   test("native dot/lsh-bucket kernels match the Column-fold reference formulation") {
     import org.apache.spark.sql.functions._
     // dot + norm: native expression vs zip_with/aggregate fold, same rows
