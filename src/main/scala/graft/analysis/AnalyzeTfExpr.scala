@@ -55,13 +55,7 @@ object AnalyzeTfExpr {
 
   /** Static entry the generated code calls. */
   def analyzeTf(s: UTF8String): InternalRow = {
-    val toks = Analyzer.analyzeStop(s.toString)
-    val counts = new java.util.TreeMap[String, Int]()
-    var i = 0
-    while (i < toks.length) {
-      counts.merge(toks(i), 1, (a, b) => a + b)
-      i += 1
-    }
+    val (dl, counts) = Analyzer.analyzeStopCounts(s.toString)
     val arr = new Array[Any](counts.size)
     var j = 0
     val it = counts.entrySet().iterator()
@@ -71,7 +65,7 @@ object AnalyzeTfExpr {
         Array[Any](UTF8String.fromString(e.getKey), e.getValue))
       j += 1
     }
-    new GenericInternalRow(Array[Any](toks.length, new GenericArrayData(arr)))
+    new GenericInternalRow(Array[Any](dl, new GenericArrayData(arr)))
   }
 
   /** Column API. */

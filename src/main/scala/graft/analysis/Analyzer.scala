@@ -111,6 +111,56 @@ object Analyzer extends Serializable {
     out.toArray
   }
 
+  /** Fused tokenize → lowercase → fold → stop → count, used by the per-doc
+    * tf kernel (AnalyzeTfExpr): identical result to
+    * `analyzeStop(text)` + occurrence counting (KernelSpec property), with
+    * ~one allocation per kept token — pure-ASCII tokens lowercase directly
+    * into a char buffer ('A'-'Z'+32 ≡ String.toLowerCase(ROOT) for ASCII,
+    * fold is the identity); anything else takes the reference path.
+    * Returns (dl = kept-token count, term → tf sorted map). */
+  def analyzeStopCounts(text: String): (Int, java.util.TreeMap[String, Int]) = {
+    val counts = new java.util.TreeMap[String, Int]()
+    if (text == null || text.isEmpty) return (0, counts)
+    val bi = biCache.get()
+    bi.setText(text)
+    var dl = 0
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      var hasAlnum = false
+      var i = start
+      while (i < end && !hasAlnum) {
+        val cp = text.codePointAt(i)
+        if (Character.isLetterOrDigit(cp)) hasAlnum = true
+        i += Character.charCount(cp)
+      }
+      if (hasAlnum) {
+        var ascii = true
+        var j = start
+        while (ascii && j < end) { if (text.charAt(j) >= 0x80) ascii = false; j += 1 }
+        val tok =
+          if (ascii) {
+            val arr = new Array[Char](end - start)
+            var k = start
+            var m = 0
+            while (k < end) {
+              val c = text.charAt(k)
+              arr(m) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+              k += 1; m += 1
+            }
+            new String(arr)
+          } else fold(text.substring(start, end).toLowerCase(Locale.ROOT))
+        if (!EnglishStop.contains(tok)) {
+          dl += 1
+          counts.merge(tok, 1, (a, b) => a + b)
+        }
+      }
+      start = end
+      end = bi.next()
+    }
+    (dl, counts)
+  }
+
   /** `case_insensitive_keyword` chain (settings.go:64-68): whole string is one
     * token, lowercased. */
   def analyzeKeyword(text: String): String =

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dense docID assignment without a global sort (SURVEY §2.7): the
@@ -31,23 +30,35 @@ object DocIds {
   def tag(df: DataFrame): DataFrame =
     df.withColumn(MidCol, monotonically_increasing_id())
 
-  /** Derive dense ids 0..n-1 from a MATERIALIZED `_mid` column (two cheap
-    * scans of the same files; no layout dependence). Drops `_mid`. */
-  def resolve(staged: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val withP = staged
-      .withColumn("_pid", shiftright(col(MidCol), 33).cast("long"))
-      .withColumn("_pos", col(MidCol).bitwiseAND(lit(PosMask)))
-    val offsets = withP.groupBy("_pid")
+  /** Cumulative offset per writer-partition id, from the MATERIALIZED
+    * `_mid` column: one tiny aggregate (rows = #write partitions), driver
+    * cumsum. Callers that read a staged table several times compute this
+    * ONCE and reuse it via [[resolveWith]]. */
+  def offsets(staged: DataFrame): Map[Long, Long] = {
+    val counts = staged
+      .groupBy(shiftright(col(MidCol), 33).cast("long").as("_pid"))
       .agg(count(lit(1)).as("_cnt"))
-      .withColumn("_offset",
-        coalesce(sum(col("_cnt")).over(
-          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("_pid", "_offset")
-    withP.join(broadcast(offsets), "_pid")
-      .withColumn(idCol, col("_offset") + col("_pos"))
-      .drop(MidCol, "_pid", "_pos", "_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    counts.map { case (pid, cnt) => val o = (pid, acc); acc += cnt; o }.toMap
   }
+
+  /** Pure projection: doc_id = offsets(_mid >> 33) + (_mid & mask). No
+    * joins, no extra jobs — the offsets map is partition-count-sized. */
+  def resolveWith(staged: DataFrame, offs: Map[Long, Long],
+                  idCol: String = "doc_id"): DataFrame = {
+    val lookup = udf((pid: Long) => offs(pid))
+    staged
+      .withColumn(idCol,
+        lookup(shiftright(col(MidCol), 33).cast("long")) +
+          col(MidCol).bitwiseAND(lit(PosMask)))
+      .drop(MidCol)
+  }
+
+  /** Derive dense ids 0..n-1 from a MATERIALIZED `_mid` column (one tiny
+    * offsets aggregate + a pure projection; no layout dependence). */
+  def resolve(staged: DataFrame, idCol: String = "doc_id"): DataFrame =
+    resolveWith(staged, offsets(staged), idCol)
 
   /** tag + resolve fused over an in-memory plan — ONLY safe when the input's
     * partition layout cannot be replanned between the two passes (small

@@ -59,7 +59,11 @@ object WebIndex {
         .select(col("url"), col("extracted").as("text")))
         .write.mode("overwrite").parquet(io.tablePath("docs"))
     }
-    val staged = DocIds.resolve(spark.read.parquet(io.tablePath("docs")))
+    // offsets collected ONCE (tiny aggregate); every later read of the
+    // staged table resolves ids as a pure projection — no repeated
+    // single-partition sub-jobs
+    val rawStaged = spark.read.parquet(io.tablePath("docs"))
+    val staged = DocIds.resolveWith(rawStaged, DocIds.offsets(rawStaged))
       .select(col("doc_id"), col("url"), col("text"))
 
     // doc_map runs concurrently with the builder's lineage step (it only
