@@ -106,8 +106,6 @@ object Bench {
     // estimates uncontended capability.
     val nSmall = math.max(1, cpus / 16) // 2 at the standard 32-cpu harness
     val nBig = nSmall * 4 //  8
-    def bestOf(k: Int)(run: Int => (Double, Double, Double)): (Double, Double, Double) =
-      (0 until k).map(run).maxBy(_._1)
     // scaling pair on the full corpus: per-step barrier latency (~5s/run,
     // core-count-independent) must be ≤~15% of the 4N wall or it caps the
     // measurable ratio; best-of-2 per level discards runs hit by this
@@ -116,10 +114,18 @@ object Bench {
     val corpus = ensureCorpus(benchDocs)
     val scaleCorpus = ensureCorpus(scaleDocs)
     buildRun(nBig, cpus * 2, ensureCorpus(benchDocs / 10), benchDocs / 10, "warmup")
-    val (dpsN, wallN, workN) = bestOf(2)(i =>
-      buildRun(nSmall, cpus * 2, scaleCorpus, scaleDocs, s"n$nSmall-$i"))
-    val (dps4N, wall4N, work4N) = bestOf(2)(i =>
-      buildRun(nBig, cpus * 2, scaleCorpus, scaleDocs, s"n$nBig-$i"))
+    // adaptive best-of-2: retry a level only when the first pair's
+    // efficiency suggests a contention-hit run (saves ~2.5 min when quiet)
+    var (dpsN, wallN, workN) =
+      buildRun(nSmall, cpus * 2, scaleCorpus, scaleDocs, s"n$nSmall-0")
+    var (dps4N, wall4N, work4N) =
+      buildRun(nBig, cpus * 2, scaleCorpus, scaleDocs, s"n$nBig-0")
+    if ((dps4N / dpsN) / (nBig.toDouble / nSmall.toDouble) < 0.8) {
+      val rN = buildRun(nSmall, cpus * 2, scaleCorpus, scaleDocs, s"n$nSmall-1")
+      if (rN._1 > dpsN) { dpsN = rN._1; wallN = rN._2; workN = rN._3 }
+      val r4 = buildRun(nBig, cpus * 2, scaleCorpus, scaleDocs, s"n$nBig-1")
+      if (r4._1 > dps4N) { dps4N = r4._1; wall4N = r4._2; work4N = r4._3 }
+    }
     val efficiency = (dps4N / dpsN) / (nBig.toDouble / nSmall.toDouble)
     // work conservation: Σ executorRunTime at N vs 4N. ≈1.0 means the engine
     // schedules the SAME total work at 4× parallelism (no extra shuffles,
