@@ -44,6 +44,33 @@ object QuerySet {
     Analyzer.analyzeStop(flagship).map(1 -> _)
 
   val K: Int = 10
+
+  /** Latency query set for the WebtextGen benchmark corpus (vocab w1..w9999,
+    * Zipf-distributed). Mixes head terms (w1 appears in ~every doc — posting
+    * lists are corpus-sized, the WAND-skip stress case), mid-ranks, and tail
+    * terms, at 2-5 terms per query. The sf-vocabulary [[queries]] set matches
+    * nothing in this corpus and would only measure empty-result overhead. */
+  val webQueries: Seq[(Int, String)] = Seq(
+    1 -> "w1 w2",
+    2 -> "w1 w100 w2000",
+    3 -> "w5 w50 w500 w5000",
+    4 -> "w3 w7 w9",
+    5 -> "w42 w777",
+    6 -> "w1 w3 w2",
+    7 -> "w123 w456 w789",
+    8 -> "w10 w20 w30 w40",
+    9 -> "w999 w1999 w2999",
+    10 -> "w8 w88 w888 w8888",
+    11 -> "w2 w4 w6 w8 w10",
+    12 -> "w15 w1500",
+    13 -> "w1 w9999",
+    14 -> "w33 w66 w99",
+    15 -> "w250 w251 w252",
+    16 -> "w7 w77",
+    17 -> "w1 w2 w3 w4 w5",
+    18 -> "w600 w60 w6",
+    19 -> "w4096 w2048 w1024",
+    20 -> "w11 w111 w1111")
 }
 
 /** DuckDB oracle SQL. Built from the same constants (stop list, query set,

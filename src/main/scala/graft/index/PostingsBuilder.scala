@@ -72,7 +72,14 @@ object PostingsBuilder {
             concurrentFinal: Seq[(String, () => Unit)] = Nil): TableIO = {
     import spark.implicits._
     val io = new TableIO(indexDir)
-    if (io.isComplete(FinalStep)) return io // idempotent re-run: no-op
+    // idempotent re-run: complete only when FinalStep AND every
+    // concurrentFinal step committed — stepsPar commits each member
+    // independently, so a crash after `lineage` but before e.g. `doc_map`
+    // must fall through and re-run the missing members (stepsPar skips the
+    // committed ones).
+    val done = io.committedSteps()
+    if (done.contains(FinalStep) &&
+        concurrentFinal.forall { case (n, _) => done.contains(n) }) return io
 
     // THE tokenization pass: per-doc row-local tf (AnalyzeTfExpr — zero
     // shuffle), materialized once and reused by every later step. dl rides

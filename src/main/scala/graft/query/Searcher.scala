@@ -1,164 +1,236 @@
 package graft.query
 
+import scala.collection.immutable.ArraySeq
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 import graft.analysis.Analyzer
-import graft.index.TextIndex
 import graft.io.TableIO
-import graft.model.{CorpusStats, PostingBlock, TermStat}
+import graft.model.{CorpusStats, PostingBlock}
 import graft.query.BlockMaxWand.{QueryTerm, WandQuery}
 
 /** Top-k BM25 search over the on-disk doc-sharded index (SURVEY §3.3).
   *
-  * Query lifecycle at scale:
-  *  1. analyze the query with the same chain as indexing (rank-identity
+  * Serving model (the ES/Lucene searcher analogue): [[open]] materializes —
+  * ONCE — a term-keyed block index per doc shard, kept resident in executor
+  * memory as a cached RDD of [[ShardIndex]] objects. Per-query work is then
+  *
+  *  1. analyze the query with the indexing chain (rank-identity
   *     precondition);
-  *  2. fetch df for the query's terms from the term_stats table and N/avgdl
-  *     from the stats table — query-sized metadata, broadcast to all tasks;
-  *  3. scan ONLY the query terms' posting blocks: the postings files are
-  *     (term, block_id)-sorted within each shard, so the `term IN (...)`
-  *     predicate is pushed into the Parquet scan and prunes row groups via
-  *     min/max stats (and dictionary filters) — the scan is proportional to
-  *     the query's posting data, not the corpus;
-  *  4. each shard runs the block-max WAND kernel independently (shards are
-  *     disjoint doc ranges — embarrassingly parallel, the ES fan-out model);
-  *  5. per-shard top-k hits (tiny: k × shards × queries rows) merge through
-  *     one final ordered limit (TakeOrderedAndProject-shaped).
+  *  2. a query-sized df lookup: one narrow job over the cached shard
+  *     indexes that hash-looks-up ONLY the query's terms and sums their
+  *     per-shard posting counts (df(term) = Σ_shards postings, exactly the
+  *     term_stats value — each doc contributes one posting per term). No
+  *     full-vocabulary state ever reaches the driver: at 10^12 docs the
+  *     dictionary stays sharded on the executors;
+  *  3. the scoring fan-out: one narrow job where every shard runs the
+  *     block-max WAND kernel over its own hash-map (shards are disjoint doc
+  *     ranges — embarrassingly parallel, the ES fan-out model);
+  *  4. per-shard top-k hits (k × shards × queries tuples, tiny) merge on the
+  *     driver under the deterministic global ordering.
+  *
+  * No shuffle, no sort, no scan of non-query terms anywhere on the query
+  * path — the per-query plan is two short jobs over cached partitions.
   */
 object Searcher {
 
-  /** A query-server handle: corpus stats and the term dictionary loaded
-    * once and kept resident, the postings table cached in executor memory
-    * (what a serving node does — the per-query work is then dictionary
-    * lookups + an in-memory pruned scan only). */
+  /** One (shard, term)'s postings: shard-local df (= Σ block n) and the
+    * blocks in global doc order (first_doc_id asc — block_id restarts per
+    * posting group, so streamed appends interleave correctly). */
+  final class TermPostings(val df: Long, val blocks: Array[PostingBlock])
+    extends Serializable
+
+  /** One doc shard's term → postings hash index. */
+  final class ShardIndex(val shard: Int,
+      val terms: java.util.HashMap[String, TermPostings]) extends Serializable
+
+  /** A query-server handle: corpus stats loaded once, shard indexes resident
+    * in executor memory. The term dictionary stays distributed (inside the
+    * shard indexes) — per-query metadata is looked up, never collected
+    * wholesale. */
   final class Handle private[Searcher] (val spark: SparkSession,
-      val indexDir: String, val stats: CorpusStats,
-      val dfByTerm: Map[String, Long], val tightBounds: Boolean,
-      private[Searcher] val postings: DataFrame) {
-    def close(): Unit = postings.unpersist()
+      val indexDir: String, val stats: CorpusStats, val tightBounds: Boolean,
+      private[Searcher] val shards: RDD[ShardIndex]) {
+    /** Driver-side term→df memo (misses resolved by a distributed lookup;
+      * 0 = known-absent). Query-sized growth — only terms actually queried
+      * ever reach the driver, never the vocabulary. */
+    private[Searcher] val dfCache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def close(): Unit = shards.unpersist()
   }
 
   def open(spark: SparkSession, indexDir: String): Handle = {
     import spark.implicits._
     val io = new TableIO(indexDir)
     val stats = spark.read.parquet(io.tablePath("stats")).as[CorpusStats].head()
-    val dict = spark.read.parquet(io.tablePath("term_stats"))
-      .as[TermStat].collect().map(t => t.term -> t.df).toMap
-    val tight = !io.committedSteps().exists(_.startsWith("stream_"))
-    val postings = spark.read.parquet(io.tablePath("postings")).cache()
-    new Handle(spark, indexDir, stats, dict, tight, postings)
+    val tight = tightBoundsOf(io)
+    // One shuffle at open (build-once cost): co-locate each shard, stream its
+    // (term, first_doc_id)-sorted blocks into a hash index, pin in memory.
+    val sorted = spark.read.parquet(io.tablePath("postings"))
+      .select("doc_shard", "term", "block_id", "n", "first_doc_id",
+        "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm", "max_tf",
+        "enc_wall_ms")
+      .repartition(col("doc_shard"))
+      .sortWithinPartitions("doc_shard", "term", "first_doc_id")
+      .as[PostingBlock]
+    val shards = sorted.rdd
+      .mapPartitions(buildShardIndexes, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_ONLY)
+    shards.count() // materialize now: open pays the build, queries don't
+    new Handle(spark, indexDir, stats, tight, shards)
   }
 
-  /** Search via a resident handle (no per-query metadata jobs; in-memory
-    * postings scan). */
-  def search(h: Handle, rawQueries: Seq[(Int, String)], k: Int): DataFrame =
-    run(h.spark, h.stats, h.dfByTerm, h.tightBounds, h.postings, rawQueries, k)
-
-  /** Search the 20-query set (or any (qid, raw query) seq): returns
-    * (qid, rnk, doc_id, score_x6) under the deterministic global ordering —
-    * identical to TextIndex.topK over the naive scorer. Cold-start variant:
-    * loads metadata (uncached postings), then delegates. */
-  def search(spark: SparkSession, indexDir: String,
-             rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
-    import spark.implicits._
-    val io = new TableIO(indexDir)
-    val stats = spark.read.parquet(io.tablePath("stats")).as[CorpusStats].head()
-    val dict = spark.read.parquet(io.tablePath("term_stats"))
-      .as[TermStat].collect().map(t => t.term -> t.df).toMap
-    val tight = !io.committedSteps().exists(_.startsWith("stream_"))
-    run(spark, stats, dict, tight,
-      spark.read.parquet(io.tablePath("postings")), rawQueries, k)
+  /** Stored block-max bounds are avgdl-tight unless streamed appends shifted
+    * avgdl after encode; a compaction re-encodes everything at the current
+    * avgdl, so bounds are tight again when a `compact_e<N>` step covers the
+    * largest stream epoch (see IncrementalIndexer). */
+  private[graft] def tightBoundsOf(io: TableIO): Boolean = {
+    val steps = io.committedSteps()
+    val streamEpochs = steps.collect {
+      case s if s.startsWith("stream_g") => s.stripPrefix("stream_g").toLong
+    }
+    if (streamEpochs.isEmpty) true
+    else {
+      val compactedThrough = steps.collect {
+        case s if s.startsWith("compact_e") => s.stripPrefix("compact_e").toLong
+      }
+      compactedThrough.nonEmpty && compactedThrough.max >= streamEpochs.max
+    }
   }
 
-  private def run(spark: SparkSession, stats: CorpusStats,
-                  dfAll: Map[String, Long], tightBounds: Boolean,
-                  postings: DataFrame,
-                  rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
-    import spark.implicits._
+  /** Group a (doc_shard, term, first_doc_id)-sorted partition stream into
+    * per-shard term-keyed indexes. Memory: the partition's own blocks (the
+    * same rows the old cache held, minus non-query-path columns). */
+  private def buildShardIndexes(rows: Iterator[PostingBlock])
+      : Iterator[ShardIndex] = new Iterator[ShardIndex] {
+    private var pending: ShardIndex = null
+    private var curShard = Int.MinValue
+    private var curTerm: String = null
+    private var curBlocks = mutable.ArrayBuffer.empty[PostingBlock]
+    private var curDf = 0L
+    private var map = new java.util.HashMap[String, TermPostings]()
 
+    private def closeTerm(): Unit = {
+      if (curTerm != null) {
+        map.put(curTerm, new TermPostings(curDf, curBlocks.toArray))
+        curBlocks = mutable.ArrayBuffer.empty[PostingBlock]
+        curDf = 0L
+      }
+    }
+    private def closeShard(): Unit = {
+      closeTerm()
+      if (!map.isEmpty) {
+        pending = new ShardIndex(curShard, map)
+        map = new java.util.HashMap[String, TermPostings]()
+      }
+    }
+    private def advance(): Unit = {
+      while (pending == null && rows.hasNext) {
+        val b = rows.next()
+        if (b.doc_shard != curShard) {
+          closeShard(); curShard = b.doc_shard; curTerm = null
+        }
+        if (curTerm == null || curTerm != b.term) { closeTerm(); curTerm = b.term }
+        curBlocks += b
+        curDf += b.n
+      }
+      if (pending == null && (curTerm != null || !map.isEmpty)) {
+        closeShard(); curTerm = null
+      }
+    }
+    override def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+    override def next(): ShardIndex = {
+      if (!hasNext) throw new NoSuchElementException
+      val s = pending; pending = null; s
+    }
+  }
+
+  /** Search via a resident handle: two short jobs over the cached shard
+    * indexes, driver-side top-k merge. */
+  def search(h: Handle, rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
     // analyzed terms with query-occurrence weights (Lucene: a repeated query
     // term contributes once per occurrence)
     val analyzed: Seq[(Int, Map[String, Int])] = rawQueries.map { case (qid, q) =>
       qid -> Analyzer.analyzeStop(q).groupBy(identity).view.mapValues(_.length).toMap
     }
-    val uniqueTerms = analyzed.flatMap(_._2.keys).distinct
+    val uniqueTerms: Array[String] = analyzed.flatMap(_._2.keys).distinct.toArray
 
-    val dfByTerm: Map[String, Long] =
-      uniqueTerms.flatMap(t => dfAll.get(t).map(t -> _)).toMap
+    // job 1 — query-sized df for cache misses only: k hash lookups per
+    // shard, Σ over shards (skipped entirely once the handle has served the
+    // query's terms before)
+    val missing: Array[String] = uniqueTerms.filterNot(h.dfCache.containsKey)
+    if (missing.nonEmpty) {
+      val looked = h.shards.flatMap { si =>
+        missing.flatMap { t =>
+          val tp = si.terms.get(t)
+          if (tp == null) None else Some((t, tp.df))
+        }
+      }.collect().groupMapReduce(_._1)(_._2)(_ + _)
+      missing.foreach(t => h.dfCache.put(t, Long.box(looked.getOrElse(t, 0L))))
+    }
+    val dfByTerm: Map[String, Long] = uniqueTerms.iterator
+      .map(t => t -> h.dfCache.get(t).longValue())
+      .filter(_._2 > 0L).toMap
 
+    val nDocs = h.stats.n_docs
     val wandQueries: Array[WandQuery] = analyzed.map { case (qid, tw) =>
       WandQuery(qid, tw.toSeq.sortBy(_._1).collect {
         case (t, w) if dfByTerm.contains(t) =>
-          QueryTerm(t, Bm25.idf(stats.n_docs, dfByTerm(t)), w)
+          QueryTerm(t, Bm25.idf(nDocs, dfByTerm(t)), w)
       }.toArray)
     }.toArray
-    val bcQueries = spark.sparkContext.broadcast(wandQueries)
-    val avgdl = stats.avgdl
-    // (tightBounds: streamed appends shift avgdl after blocks were encoded —
-    // fall back to the avgdl-independent block bounds then; see BlockMaxWand)
+    val avgdl = h.stats.avgdl
+    val tight = h.tightBounds
+    val kk = k
 
-    val hits = postings
-      .filter(col("term").isin(uniqueTerms: _*))
-      .select("doc_shard", "term", "block_id", "n", "first_doc_id",
-        "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm", "max_tf",
-        "enc_wall_ms")
-      .repartition(col("doc_shard"))
-      // sort by first_doc_id, NOT block_id: a shard that spans multiple
-      // posting groups (base shard groups + streamed appends) restarts
-      // block_id per group, and the WAND cursor requires blocks of a
-      // (shard, term) in global doc order — ranges are disjoint, so
-      // first_doc_id totally orders them
-      .sortWithinPartitions("doc_shard", "term", "first_doc_id")
-      .as[PostingBlock]
-      .mapPartitions { it =>
-        new ShardRunner(it, bcQueries.value, avgdl, k, tightBounds)
+    // job 2 — WAND fan-out: each shard scores every query from its own hash
+    // index; only (qid, doc_id, score) winners leave the executor
+    val hits: Array[(Int, Long, Double)] = h.shards.flatMap { si =>
+      wandQueries.iterator.flatMap { q =>
+        val byTerm: Map[String, IndexedSeq[PostingBlock]] =
+          q.terms.iterator.flatMap { t =>
+            val tp = si.terms.get(t.term)
+            if (tp == null) Iterator.empty
+            else Iterator.single(t.term -> ArraySeq.unsafeWrapArray(tp.blocks))
+          }.toMap
+        if (byTerm.isEmpty) Iterator.empty
+        else BlockMaxWand.scoreShard(q, byTerm, avgdl, kk, tight)
+          .iterator.map { case (doc, s) => (q.qid, doc, s) }
       }
-      .toDF("qid", "doc_id", "score")
+    }.collect()
 
-    TextIndex.topK(hits, k)
+    // driver merge: per-shard top-k → global top-k under the deterministic
+    // ordering (micro-rounded score desc, doc_id asc) — identical to
+    // TextIndex.topK over the naive scorer
+    val rows = new java.util.ArrayList[Row]()
+    hits.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qid, hs) =>
+      val ranked = hs.map { case (_, doc, s) => (math.round(s * 1e6), doc) }
+        .sortBy { case (x6, doc) => (-x6, doc) }
+        .take(k)
+      var i = 0
+      while (i < ranked.length) {
+        rows.add(Row(qid.toLong, (i + 1).toLong, ranked(i)._2, ranked(i)._1))
+        i += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("rnk", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("score_x6", LongType, nullable = false)))
+    h.spark.createDataFrame(rows, schema).orderBy("qid", "rnk")
   }
 
-  /** Streams (shard, term, block)-sorted blocks; on each shard boundary runs
-    * every query's WAND kernel over that shard's blocks. Memory is bounded by
-    * one shard's query-term blocks (≤ |q terms| × shardSize/blockSize). */
-  private final class ShardRunner(rows: Iterator[PostingBlock],
-      queries: Array[WandQuery], avgdl: Double, k: Int, tightBounds: Boolean)
-      extends Iterator[(Int, Long, Double)] {
-    private val out = mutable.Queue.empty[(Int, Long, Double)]
-    private var curShard = Int.MinValue
-    private val buf = mutable.Map.empty[String, mutable.ArrayBuffer[PostingBlock]]
-
-    private def runShard(): Unit = {
-      if (buf.isEmpty) return
-      val byTerm: Map[String, IndexedSeq[PostingBlock]] =
-        buf.view.mapValues(_.toIndexedSeq).toMap
-      var qi = 0
-      while (qi < queries.length) {
-        val q = queries(qi)
-        val top = BlockMaxWand.scoreShard(q, byTerm, avgdl, k, tightBounds)
-        var i = 0
-        while (i < top.length) { out.enqueue((q.qid, top(i)._1, top(i)._2)); i += 1 }
-        qi += 1
-      }
-      buf.clear()
-    }
-
-    private def pump(): Unit = {
-      while (out.isEmpty && rows.hasNext) {
-        val b = rows.next()
-        if (b.doc_shard != curShard) { runShard(); curShard = b.doc_shard }
-        buf.getOrElseUpdate(b.term, mutable.ArrayBuffer.empty) += b
-      }
-      if (out.isEmpty && !rows.hasNext) runShard()
-    }
-
-    override def hasNext: Boolean = { if (out.isEmpty) pump(); out.nonEmpty }
-    override def next(): (Int, Long, Double) = {
-      if (!hasNext) throw new NoSuchElementException
-      out.dequeue()
-    }
+  /** Cold-start variant: open a transient handle, search, release. */
+  def search(spark: SparkSession, indexDir: String,
+             rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
+    val h = open(spark, indexDir)
+    try search(h, rawQueries, k)
+    finally h.close()
   }
 }
