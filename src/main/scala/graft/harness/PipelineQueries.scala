@@ -61,6 +61,13 @@ object PipelineQueries {
 
   private val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
 
+  /** Polynomial byte hash h←(131·h+byte) mod p as a DuckDB char fold —
+    * byte-identical to [[graft.text.HashKernels.polyHash]] on ASCII text. */
+  private def ph(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($c)+1), " +
+      s"i -> CAST(ascii(substr($c, CAST(i AS INT), 1)) AS BIGINT))), (h, c2) -> (h*131 + c2) % ${Dedup.P})"
+
+
   val langIdSql: String = {
     val hitCols = TextOps.LangProfiles.map { case (lang, words) =>
       val inList = words.map(w => s"'$w'").mkString(", ")
@@ -98,10 +105,8 @@ object PipelineQueries {
   val fingerprintSql: String =
     s"""WITH tok AS (SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
        |              unnest(string_split(text,' ')) AS term FROM documents),
-       |dict AS (SELECT term, dense_rank() OVER (ORDER BY term) AS tid
-       |         FROM (SELECT DISTINCT term FROM tok)),
-       |lists AS (SELECT doc_id, list(tid ORDER BY pos) AS ids
-       |          FROM tok JOIN dict USING(term) GROUP BY doc_id)
+       |ids AS (SELECT doc_id, pos, ${ph("term")} AS tid FROM tok),
+       |lists AS (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM ids GROUP BY doc_id)
        |SELECT doc_id, list_reduce(list_prepend(0, ids), (a, b) -> (a*31 + b) % ${TextOps.HashP}) AS fp
        |FROM lists ORDER BY doc_id""".stripMargin
 
@@ -124,9 +129,7 @@ object PipelineQueries {
   val dedupMinhashSql: String = {
     val fnVals = Dedup.MinHashFns.map { case (h, a, b) => s"($h, $a, $b)" }.mkString(", ")
     s"""WITH $shingleCtes,
-       |dict AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
-       |         FROM (SELECT DISTINCT shingle FROM sh)),
-       |ids AS (SELECT doc_id, sid FROM sh JOIN dict USING(shingle)),
+       |ids AS (SELECT doc_id, ${ph("shingle")} AS sid FROM sh),
        |fns(hid, a, b) AS (VALUES $fnVals),
        |sigs AS (SELECT doc_id, hid, min((a*sid + b) % ${Dedup.P}) AS mh
        |         FROM ids CROSS JOIN fns GROUP BY doc_id, hid),
@@ -150,11 +153,10 @@ object PipelineQueries {
     val fnVals = Dedup.SimHashFns.map { case (j, a, b) => s"($j, $a, $b)" }.mkString(", ")
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-       |dict AS (SELECT term, dense_rank() OVER (ORDER BY term) AS tid
-       |         FROM (SELECT DISTINCT term FROM tf)),
+       |ids AS (SELECT doc_id, tf, ${ph("term")} AS tid FROM tf),
        |fns(j, a, b) AS (VALUES $fnVals),
        |s AS (SELECT doc_id, j, sum(tf * (((a*tid + b) % ${Dedup.P} % 2) * 2 - 1)) AS s
-       |      FROM tf JOIN dict USING(term) CROSS JOIN fns GROUP BY doc_id, j)
+       |      FROM ids CROSS JOIN fns GROUP BY doc_id, j)
        |SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }

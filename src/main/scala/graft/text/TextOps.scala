@@ -86,21 +86,13 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
-    * dense term-id sequence, h ← (31·h + tid) mod p. The term dictionary is
-    * data-derived (dense_rank over the distinct vocabulary) so both engines
-    * compute the identical fingerprint. One small dictionary join —
-    * broadcast — plus a per-doc fold. */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("doc_id"), posexplode(tokensCol).as(Seq("pos", "term")))
-    val dict = tok.select("term").distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy("term")).cast("long"))
-    tok.join(broadcast(dict), "term")
-      .groupBy("doc_id")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
-          s => s.getField("tid")),
-        lit(0L), (h, x) => (h * 31 + x) % HashP).as("fp"))
+    * term-id sequence, h ← (31·h + tid) mod p, with tid = polyHash(term
+    * bytes) — a data-derived id both engines compute identically with NO
+    * dictionary (round 1 used a dense_rank window over the vocabulary: a
+    * global sort that cannot scale). Fully row-local codegen kernel
+    * ([[FingerprintExpr]]): one narrow pass, zero shuffles. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      HashExpressions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
-  }
 }

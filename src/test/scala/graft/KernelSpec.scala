@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.analysis.{Analyzer, AnalyzeTfExpr}
-import graft.dedup.ShinglesExpr
+import graft.dedup.{Dedup, ShinglesExpr}
+import graft.text.HashKernels
 import graft.web.{HtmlExtract, WebtextGen}
 
 /** Property tests for the pure JVM kernels behind the native Catalyst
@@ -65,5 +66,58 @@ class KernelSpec extends AnyFunSuite {
       (text, id) =>
         HtmlExtract.extract(WebtextGen.htmlFor(id, text)) == text
     })
+  }
+
+  // ---- HashKernels: row-local dedup/fingerprint signature kernels --------
+
+  private def refPolyHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % Dedup.P)
+
+  test("HashKernels.polyHash == byte-fold reference") {
+    check("polyHash", Prop.forAll(textGen) { text =>
+      HashKernels.polyHash(UTF8String.fromString(text)) == refPolyHash(text)
+    })
+  }
+
+  test("HashKernels.minHashSig == per-shingle affine-min reference") {
+    check("minHashSig", Prop.forAll(textGen) { text =>
+      val a = HashKernels.minHashSig(UTF8String.fromString(text))
+      val got = (0 until a.numElements()).map(a.getLong)
+      val toks = text.split(" ", -1)
+      val expected =
+        if (toks.length < 3) Seq.empty[Long]
+        else {
+          val sids = toks.sliding(3).map(w => refPolyHash(w.mkString(" "))).toSeq
+          Dedup.MinHashFns.map { case (_, af, bf) =>
+            sids.map(sid => (af * sid + bf) % Dedup.P).min
+          }
+        }
+      got == expected
+    })
+  }
+
+  test("HashKernels.simHash == tf-weighted sign-sum reference") {
+    check("simHash", Prop.forAll(textGen) { text =>
+      val got = HashKernels.simHash(UTF8String.fromString(text))
+      val tf = text.split(" ", -1).groupBy(identity).view.mapValues(_.length)
+      val expected = Dedup.SimHashFns.map { case (j, af, bf) =>
+        val s = tf.map { case (t, n) =>
+          n.toLong * (((af * refPolyHash(t) + bf) % Dedup.P % 2) * 2 - 1)
+        }.sum
+        if (s > 0) 1L << j else 0L
+      }.sum
+      got == expected
+    })
+  }
+
+  test("HashKernels.fingerprint == ordered rolling-hash reference; order-sensitive") {
+    check("fingerprint", Prop.forAll(textGen) { text =>
+      val got = HashKernels.fingerprint(UTF8String.fromString(text))
+      val expected = text.split(" ", -1).foldLeft(0L)((h, t) =>
+        (h * 31 + refPolyHash(t)) % graft.text.TextOps.HashP)
+      got == expected
+    })
+    assert(HashKernels.fingerprint(UTF8String.fromString("a b c")) !=
+      HashKernels.fingerprint(UTF8String.fromString("c b a")))
   }
 }
