@@ -67,11 +67,13 @@ object Searcher {
   def open(spark: SparkSession, indexDir: String): Handle = {
     import spark.implicits._
     val io = new TableIO(indexDir)
-    val stats = spark.read.parquet(io.tablePath("stats")).as[CorpusStats].head()
+    val stats = graft.index.IndexTables.corpusStats(spark, io)
     val tight = tightBoundsOf(io)
     // One shuffle at open (build-once cost): co-locate each shard, stream its
     // (term, first_doc_id)-sorted blocks into a hash index, pin in memory.
-    val sorted = spark.read.parquet(io.tablePath("postings"))
+    // The committed-groups view makes a crashed micro-batch's half-written
+    // postings group invisible (partition-pruned before the scan).
+    val sorted = graft.index.IndexTables.postings(spark, io)
       .select("doc_shard", "term", "block_id", "n", "first_doc_id",
         "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm", "max_tf",
         "enc_wall_ms")

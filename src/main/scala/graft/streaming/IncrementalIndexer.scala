@@ -1,35 +1,38 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.index.{DocIds, PostingsBuilder, TextIndex}
+import graft.index.{DocIds, IndexTables, PostingsBuilder, TextIndex}
 import graft.io.TableIO
-import graft.model.{CorpusStats, TfRow}
-import graft.web.HtmlExtract
 
 /** Structured-Streaming incremental index ingest: `readStream` over a
   * directory of input_hint parquet (new crawl files) → `foreachBatch` →
-  * per-batch index append, exactly-once.
+  * per-batch segment write, exactly-once.
   *
   * Append model (doc-sharded index): a batch's docs get fresh dense ids past
-  * the current max, so its shards are DISJOINT from existing ones — appends
-  * are new posting groups, never rewrites. Global statistics merge exactly
-  * (N, total_dl additive; term df additive), so query-time scores — always
-  * computed from stored (tf, dl) + current stats — remain exact BM25 over
-  * the union corpus. Only the stored block-max bounds go stale when avgdl
-  * shifts; the Searcher detects streamed groups via the snapshot manifest
-  * and switches WAND to the avgdl-independent bound tf/(tf+k1(1−b))
-  * (pruning weakens, exactness holds).
+  * the current max, so its shards are DISJOINT from existing ones. The batch
+  * writes an immutable SEGMENT — batch-keyed doc_lens/doc_map/term_stats/
+  * stats tables plus its own postings group — ALL with overwrite semantics
+  * (see [[graft.index.IndexTables]] for the storage model), and commits the
+  * `stream_g<batchId>` manifest step LAST. Exactly-once follows without any
+  * merge bookkeeping: a replayed batch (crash anywhere before the commit)
+  * recomputes the same inputs — the committed view cannot have advanced,
+  * micro-batches are sequential — and overwrites byte-identical segment
+  * files; a replay AFTER the commit no-ops on the step check. Readers union
+  * base + committed segments, so global statistics stay exact (N, total_dl,
+  * df all additive over disjoint doc sets) and query-time scores — always
+  * computed from stored (tf, dl) + merged stats — remain exact BM25 over
+  * the union corpus.
   *
-  * Exactly-once: each micro-batch commits a `stream_g<epoch>` snapshot step
-  * LAST; a replayed batch (failure between write and Spark's checkpoint
-  * commit) sees its step already committed and no-ops. Cross-batch url
-  * re-crawls are appended as new docs (LWW collapse is a compaction concern,
-  * not an ingest one — documented limitation this round). */
+  * Only the stored block-max bounds go stale when avgdl shifts; the
+  * Searcher detects active streamed segments via the manifest and switches
+  * WAND to the avgdl-independent bound tf/(tf+k1(1−b)) (pruning weakens,
+  * exactness holds). Cross-batch url re-crawls are appended as new docs —
+  * [[Compactor.compact]] collapses them last-write-wins into a fresh base
+  * (the ES doc-id overwrite semantics), which also re-tightens the bounds.
+  */
 object IncrementalIndexer {
 
   /** Append one batch of input_hint rows to an existing complete index. */
@@ -38,18 +41,19 @@ object IncrementalIndexer {
     import spark.implicits._
     val io = new TableIO(indexDir)
     val step = s"stream_g$batchId"
-    if (io.committedSteps().contains(step)) return // replay → no-op
+    if (io.committedSteps().contains(step)) return // replay past commit → no-op
     require(io.isComplete(PostingsBuilder.FinalStep),
       s"incremental ingest requires a complete base index at $indexDir")
 
-    val stats0 = spark.read.parquet(io.tablePath("stats")).as[CorpusStats].head()
-    val nextId = spark.read.parquet(io.tablePath("doc_lens"))
+    val stats0 = IndexTables.corpusStats(spark, io)
+    val nextId = IndexTables.docLens(spark, io)
       .agg(max("doc_id")).head().getLong(0) + 1
 
-    // extract + within-batch LWW dedup (same max_by aggregate as the batch
-    // build), then dense ids continuing the id space — DocIds tag/resolve
-    // protocol: `_mid` is materialized in the staged write and ids are
-    // derived from the files, never from a replannable in-memory layout
+    // extract + within-batch LWW dedup (the same row_number-window dedup as
+    // the batch build), then dense ids continuing the id space — DocIds
+    // tag/resolve protocol: `_mid` is materialized in the staged write and
+    // ids are derived from the files, never from a replannable in-memory
+    // layout. The staged write is itself an idempotent overwrite.
     val deduped = graft.web.WebIndex.extractAndDedup(batch)
       .select(col("url"), col("extracted").as("text"))
     DocIds.tag(deduped)
@@ -64,55 +68,36 @@ object IncrementalIndexer {
     val docTerms = TextIndex.docTermFreqs(withIds).cache()
     val dl = docTerms.select(col("doc_id"), col("dl"))
 
-    // merged exact stats (additive in N and total_dl)
+    // batch-local stats (the segment's additive delta; avgdl of the MERGED
+    // corpus is what the posting encode normalizes with)
     val batchAgg = dl.agg(count(lit(1)), sum("dl")).head()
     val n1 = batchAgg.getLong(0)
     val dl1 = if (batchAgg.isNullAt(1)) 0L else batchAgg.getLong(1)
-    val nNew = stats0.n_docs + n1
-    val dlNew = stats0.total_dl + dl1
-    val avgdlNew = dlNew.toDouble / nNew
+    val avgdlNew = (stats0.total_dl + dl1).toDouble / (stats0.n_docs + n1)
 
-    // appends (disjoint doc ranges → plain parquet appends)
-    dl.write.mode("append").parquet(io.tablePath("doc_lens"))
+    def seg(table: String) = IndexTables.segPath(io, batchId, table)
+    dl.write.mode("overwrite").parquet(seg("doc_lens"))
     withIds.select("doc_id", "url").join(dl, "doc_id")
       .select(col("doc_id"), col("url"), col("dl").cast("int").as("dl"))
-      .write.mode("append").parquet(io.tablePath("doc_map"))
+      .write.mode("overwrite").parquet(seg("doc_map"))
+    docTerms.select(explode(col("tfs.term")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(seg("term_stats"))
+    Seq(graft.model.CorpusStats(n1, 0.0, dl1)).toDF()
+      .write.mode("overwrite").parquet(seg("stats"))
 
-    // merged small tables: write-new-then-swap (atomic-ish on local fs; the
-    // manifest commit below is what makes the batch visible)
-    val dfMerged = spark.read.parquet(io.tablePath("term_stats"))
-      .unionByName(docTerms.select(explode(col("tfs.term")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("df")))
-      .groupBy("term").agg(sum("df").as("df"))
-    swapWrite(spark, dfMerged, io.tablePath("term_stats"))
-    swapWrite(spark,
-      Seq(CorpusStats(nNew, avgdlNew, dlNew)).toDF(),
-      io.tablePath("stats"))
-
-    // batch postings: new group (numeric, disjoint from build groups);
-    // same shuffle shape as the batch build — fat per-doc rows by doc_shard,
-    // explode after the exchange
+    // batch postings: new group (disjoint from build groups); same shuffle
+    // shape as the batch build — fat per-doc rows by doc_shard, explode
+    // after the exchange
     PostingsBuilder.invertStage(
       docTerms.withColumn("doc_shard",
         (col("doc_id") / lit(cfg.shardSize)).cast("int")),
       avgdlNew, cfg.blockSize)
       .write.mode("overwrite")
-      .parquet(io.tablePath(s"postings/group=${1000 + batchId}"))
+      .parquet(io.tablePath(s"postings/group=${IndexTables.GroupBase + batchId}"))
 
     docTerms.unpersist()
-    io.commitStep(step) // visibility point (atomic read-modify-write)
-  }
-
-  private def swapWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val tmp = path + ".next"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(path)
-    val old = Paths.get(path + ".old")
-    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup
-    Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    io.commitStep(step) // the single visibility point (atomic RMW)
   }
 
   /** Start the streaming ingest over a directory of input_hint parquet. */

@@ -47,16 +47,24 @@ object WebIndex {
   /** Build the full index; stages the extracted corpus, builds postings,
     * writes doc_map. Returns the TableIO handle. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
-            cfg: PostingsBuilder.Config = PostingsBuilder.Config()): TableIO = {
+            cfg: PostingsBuilder.Config = PostingsBuilder.Config()): TableIO =
+    buildFromCorpus(spark,
+      extractAndDedup(docs).select(col("url"), col("extracted").as("text")),
+      indexDir, cfg)
+
+  /** Build from an already-extracted (url, text) corpus — the tail of
+    * [[build]], also the rebuild step of [[graft.streaming.Compactor]]. */
+  def buildFromCorpus(spark: SparkSession, corpus: DataFrame, indexDir: String,
+                      cfg: PostingsBuilder.Config): TableIO = {
     val io = new TableIO(indexDir)
-    if (io.isComplete("doc_map")) return io
+    if (io.isComplete("doc_map") && io.isComplete(PostingsBuilder.FinalStep))
+      return io
 
     // one pass: extract + dedup, materialized with the raw monotonic id
     // (DocIds tag/resolve protocol — ids are a pure function of the staged
     // files, never of a replannable in-memory layout)
     io.step("docs") {
-      DocIds.tag(extractAndDedup(docs)
-        .select(col("url"), col("extracted").as("text")))
+      DocIds.tag(corpus.select("url", "text"))
         .write.mode("overwrite").parquet(io.tablePath("docs"))
     }
     // offsets collected ONCE (tiny aggregate); every later read of the

@@ -2,18 +2,21 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.index.PostingsBuilder
+import graft.index.{IndexTables, PostingsBuilder}
 import graft.io.TableIO
 import graft.query.Searcher
+import graft.streaming.{Compactor, IncrementalIndexer}
 import graft.web.{WebIndex, WebtextGen}
 
-/** Structured-Streaming incremental ingest: streamed appends must yield
+/** Structured-Streaming incremental ingest: streamed segments must yield
   * BM25 scores identical to a one-shot batch build over the union corpus
   * (docIDs differ — assignment is layout-dependent — so the comparison is on
-  * per-query rank→score sequences), and replays must be exactly-once. */
+  * per-query rank→score sequences), replays must be exactly-once under
+  * crashes on either side of the manifest commit, and compaction must
+  * collapse cross-batch re-crawls last-write-wins. */
 class StreamSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -29,11 +32,19 @@ class StreamSpec extends AnyFunSuite {
   // unique urls (huge nDocs disables the generator's recrawl aliasing)
   private def docsRange(lo: Long, hi: Long) = {
     import spark.implicits._
+    val big = StreamSpec.Big // local copy: the closure must not capture `this`
     spark.range(lo, hi, 1, 4).mapPartitions(_.map(i =>
-      WebtextGen.rowFor(i, 1000000L))).toDF()
+      WebtextGen.rowFor(i, big))).toDF()
   }
 
-  test("streamed appends are score-identical to a batch build; replays are no-ops") {
+  private def scores(dir: String): Map[Long, Seq[Long]] =
+    Searcher.search(spark, dir, queries, 10).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      }
+
+  test("streamed segments are score-identical to a batch build; replays are no-ops") {
     new TableIO(root).deleteAll()
     Files.createDirectories(Paths.get(s"$root/in"))
 
@@ -53,7 +64,7 @@ class StreamSpec extends AnyFunSuite {
     }
     writeFlat(1000, 1500, "f1.parquet")
     writeFlat(1500, 2000, "f2.parquet")
-    val q = graft.streaming.IncrementalIndexer.start(
+    val q = IncrementalIndexer.start(
       spark, s"$root/in", idxDir, s"$root/ckpt", cfg)
     q.processAllAvailable()
     q.stop()
@@ -62,28 +73,95 @@ class StreamSpec extends AnyFunSuite {
     val refDir = s"$root/idx-ref"
     WebIndex.build(spark, docsRange(0, 2000), refDir, cfg)
 
-    def scores(dir: String): Map[Long, Seq[Long]] =
-      Searcher.search(spark, dir, queries, 10).collect()
-        .groupBy(_.getLong(0))
-        .map { case (qid, rs) =>
-          qid -> rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
-        }
     assert(scores(idxDir) === scores(refDir))
 
-    // stats merged exactly
-    val a = spark.read.parquet(s"$idxDir/stats").collect()(0)
-    val b = spark.read.parquet(s"$refDir/stats").collect()(0)
-    assert(a.getAs[Long]("n_docs") === b.getAs[Long]("n_docs"))
-    assert(a.getAs[Long]("total_dl") === b.getAs[Long]("total_dl"))
-    assert(a.getAs[Double]("avgdl") === b.getAs[Double]("avgdl"))
+    // stats merged exactly (committed union view)
+    val io = new TableIO(idxDir)
+    val a = IndexTables.corpusStats(spark, io)
+    val b = IndexTables.corpusStats(spark, new TableIO(refDir))
+    assert(a.n_docs === b.n_docs)
+    assert(a.total_dl === b.total_dl)
+    assert(a.avgdl === b.avgdl)
 
     // replaying an already-committed batch is a no-op
-    val before = spark.read.parquet(s"$idxDir/doc_lens").count()
-    graft.streaming.IncrementalIndexer.ingestBatch(
-      spark, docsRange(1000, 1500), idxDir, 0L, cfg)
-    assert(spark.read.parquet(s"$idxDir/doc_lens").count() === before)
+    val before = IndexTables.docLens(spark, io).count()
+    IncrementalIndexer.ingestBatch(spark, docsRange(1000, 1500), idxDir, 0L, cfg)
+    assert(IndexTables.docLens(spark, io).count() === before)
+
+    // crash-replay: simulate a failure AFTER the segment writes but BEFORE
+    // the manifest commit by ingesting a further batch and retracting its
+    // step. The segment is invisible while uncommitted, and the replay
+    // overwrites it — no double counting anywhere.
+    val statsBefore = IndexTables.corpusStats(spark, io)
+    IncrementalIndexer.ingestBatch(spark, docsRange(2000, 2500), idxDir, 100L, cfg)
+    val committedStats = IndexTables.corpusStats(spark, io)
+    assert(committedStats.n_docs === statsBefore.n_docs + 500)
+    io.commit(io.committedSteps() - "stream_g100")
+    val retracted = IndexTables.corpusStats(spark, io)
+    assert(retracted.n_docs === statsBefore.n_docs) // segment invisible
+    assert(retracted.total_dl === statsBefore.total_dl)
+    IncrementalIndexer.ingestBatch(spark, docsRange(2000, 2500), idxDir, 100L, cfg)
+    val replayed = IndexTables.corpusStats(spark, io)
+    assert(replayed.n_docs === committedStats.n_docs)
+    assert(replayed.total_dl === committedStats.total_dl)
+    assert(IndexTables.docLens(spark, io).count() === before + 500)
 
     // the index advertises streamed groups (searcher switches to safe bounds)
     assert(new TableIO(idxDir).committedSteps().exists(_.startsWith("stream_")))
+    assert(!Searcher.tightBoundsOf(new TableIO(idxDir)))
   }
+
+  test("compaction collapses cross-batch re-crawls LWW and re-tightens bounds") {
+    val croot = s"$root-compact"
+    new TableIO(croot).deleteAll()
+    Files.createDirectories(Paths.get(croot))
+    val idxDir = s"$croot/idx"
+
+    // base: docs [0, 1000). batch: docs [1000, 1250) RE-CRAWLING urls of
+    // docs [0, 250) at later warc_ts (ts grows with doc id) + fresh docs
+    // [1250, 1500).
+    WebIndex.build(spark, docsRange(0, 1000), idxDir, cfg)
+    import spark.implicits._
+    val big = StreamSpec.Big
+    val batch: DataFrame = spark.range(1000, 1500, 1, 4).mapPartitions(_.map { j =>
+      val r = WebtextGen.rowFor(j, big)
+      if (j < 1250) r.copy(url = WebtextGen.urlFor(j - 1000, big)) else r
+    }).toDF()
+    IncrementalIndexer.ingestBatch(spark, batch, idxDir, 0L, cfg)
+
+    // pre-compaction: the re-crawled urls exist twice (documented append
+    // semantics), bounds are stale
+    val io0 = new TableIO(idxDir)
+    assert(IndexTables.docMap(spark, io0).count() === 1500)
+    assert(!Searcher.tightBoundsOf(io0))
+
+    assert(Compactor.compact(spark, idxDir, cfg))
+
+    // post-compaction: one doc per url, later batch won
+    val io = new TableIO(idxDir)
+    assert(IndexTables.activeBatches(io).isEmpty)
+    assert(Searcher.tightBoundsOf(io))
+    assert(IndexTables.docMap(spark, io).count() === 1250)
+    assert(io.committedSteps().contains("stream_g0")) // replay marker survives
+    // a replayed pre-compaction batch is still a no-op
+    IncrementalIndexer.ingestBatch(spark, batch, idxDir, 0L, cfg)
+    assert(IndexTables.docMap(spark, io).count() === 1250)
+
+    // score-identical to a one-shot LWW build over the same raw rows
+    val refDir = s"$croot/idx-ref"
+    WebIndex.build(spark, docsRange(0, 1000).unionByName(batch), refDir, cfg)
+    assert(scores(idxDir) === scores(refDir))
+
+    // idempotent re-run: nothing active → no-op
+    assert(!Compactor.compact(spark, idxDir, cfg))
+
+    // streaming continues after compaction: a later batch appends cleanly
+    IncrementalIndexer.ingestBatch(spark, docsRange(2000, 2200), idxDir, 5L, cfg)
+    assert(IndexTables.docMap(spark, new TableIO(idxDir)).count() === 1450)
+    assert(IndexTables.activeBatches(new TableIO(idxDir)) === Seq(5L))
+  }
+}
+
+object StreamSpec {
+  val Big = 1000000L
 }
