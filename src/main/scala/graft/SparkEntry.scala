@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.harness.{Oracle, PipelineQueries, QuerySet, TextQueries, WebQueries}
+import graft.harness.{Oracle, PipelineQueries, QuerySet, RelQueries, TextQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed done in SURVEY.md §2 has a `queries` entry; the
@@ -41,6 +41,10 @@ object SparkEntry {
     "q_ann_lsh" -> PipelineQueries.annLsh _,
     "q_web_lww" -> WebQueries.webLww _,
     "q_web_df" -> WebQueries.webDf _,
+    "q_rel_agg" -> RelQueries.relAgg _,
+    "q_rel_join" -> RelQueries.relJoin _,
+    "q_rel_window" -> RelQueries.relWindow _,
+    "q_rel_sessionize" -> RelQueries.relSessionize _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,9 +71,12 @@ object SparkEntry {
     "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_pairs" -> PipelineQueries.annPairsSql,
-    // q_ann_lsh: approximate by design — rows-only check (recall vs brute
-    // force asserted in AnnSpec)
+    "q_ann_lsh" -> PipelineQueries.annLshSql,
     "q_web_lww" -> WebQueries.webLwwSql,
     "q_web_df" -> WebQueries.webDfSql,
+    "q_rel_agg" -> RelQueries.relAggSql,
+    "q_rel_join" -> RelQueries.relJoinSql,
+    "q_rel_window" -> RelQueries.relWindowSql,
+    "q_rel_sessionize" -> RelQueries.relSessionizeSql,
   )
 }

@@ -93,6 +93,37 @@ object CrossrefReader {
       .select("r.*")
   }
 
+  /** S9b: dead-letter accounting — the engine analogue of the reference's
+    * structured bulk-error decode (elastic/error.go:1-44) and failed-doc
+    * counting (elastic/elastic.go:181-187). A PERMISSIVE parse keeps each
+    * unparseable input as a `_corrupt_record` row; this surfaces per-file
+    * counts plus one sample line, ready to land in a lineage/metrics table.
+    *
+    * The `.cache()` is load-bearing, not an optimization: Spark refuses
+    * queries whose only referenced JSON column is the internal corrupt
+    * column (SPARK-21610), and caching the parsed relation is the
+    * documented escape. The relation cached is the dead-letter AUDIT scan,
+    * batch-sized, not the bulk ingest path. */
+  def deadLetters(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      Crossref.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+      .withColumn("src_file", input_file_name())
+      .cache()
+    try parsed
+      .filter(col("_corrupt_record").isNotNull)
+      .groupBy(col("src_file"))
+      .agg(count(lit(1)).as("n_corrupt"),
+        first(col("_corrupt_record")).as("sample"))
+      .orderBy("src_file")
+      .localCheckpoint() // materialize before unpersist
+    finally parsed.unpersist()
+  }
+
   /** S2/S3-ish entry: load a file or directory, sniffing format per file and
     * unioning the two reader plans. Returns records in the Crossref schema. */
   def load(spark: SparkSession, path: String, strict: Boolean = true): DataFrame = {

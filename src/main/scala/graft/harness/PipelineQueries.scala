@@ -52,8 +52,11 @@ object PipelineQueries {
   def annPairs(spark: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(emb(spark, dir), CosineThr)
 
-  /** rows-only (no oracle): LSH-bucketed ANN — approximate by design,
-    * recall vs bruteTopK asserted in AnnSpec. */
+  /** LSH-bucketed ANN — the bucketing is exact integer-seeded arithmetic,
+    * so the "approximate" algorithm is still DETERMINISTIC and the oracle
+    * replays it bit-for-bit (planes embedded as integer literals in
+    * [[annLshSql]]); recall vs bruteTopK additionally asserted in
+    * PipelineSpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(emb(spark, dir), AnnQueryVec, AnnK)
 
@@ -175,6 +178,41 @@ object PipelineQueries {
        |      FROM d JOIN nrm n1 ON n1.vec_id = d.vec_id
        |      CROSS JOIN (SELECT nrm FROM nrm WHERE vec_id = $AnnQueryVec) nq)
        |SELECT vec_id, cos_x6 FROM c ORDER BY cos_x6 DESC, vec_id ASC LIMIT $AnnK""".stripMargin
+
+  /** The LSH top-k replayed exactly: the 144 planes' 24-bit integer seeds
+    * ([[Ann.planeBits]], plane-major) are embedded as one literal list, and
+    * component (k − 2^23)/2^24 reconstructs the identical double. Bucket t
+    * of a vector sets bit j iff plane (t·6+j)·v > 0 — the same sign test as
+    * the Spark kernel ([[graft.sim.VecKernels.lshBuckets]]); candidates
+    * share ≥1 (table, bucket) with the query; exact cosine on candidates;
+    * deterministic top-k. */
+  val annLshSql: String = {
+    val nPlanes = Ann.LshTables * Ann.LshBits
+    val flat = (for (p <- 0 until nPlanes; i <- 0 until 64)
+      yield Ann.planeBits(p, i)).mkString(", ")
+    s"""WITH praw(vals) AS (VALUES ([$flat])),
+       |pl AS (SELECT CAST((r.i - 1) // 64 AS INTEGER) AS p,
+       |              CAST((r.i - 1) % 64 AS INTEGER) AS ci,
+       |              (vals[CAST(r.i AS INTEGER)] - 8388608) / 16777216.0 AS pv
+       |       FROM praw, unnest(range(1, ${nPlanes * 64 + 1})) AS r(i)),
+       |$embCtes,
+       |dots AS (SELECT x.vec_id, pl.p, sum(x.v * pl.pv) AS dp
+       |         FROM x JOIN pl ON pl.ci = x.i - 1 GROUP BY 1, 2),
+       |b AS (SELECT vec_id, p // ${Ann.LshBits} AS t,
+       |             sum(CASE WHEN dp > 0 THEN 1 << (p % ${Ann.LshBits}) ELSE 0 END)::BIGINT AS bucket
+       |      FROM dots GROUP BY 1, 2),
+       |q AS (SELECT t, bucket FROM b WHERE vec_id = $AnnQueryVec),
+       |cand AS (SELECT DISTINCT b.vec_id FROM b JOIN q USING (t, bucket)
+       |         WHERE b.vec_id <> $AnnQueryVec),
+       |qv AS (SELECT i, v FROM x WHERE vec_id = $AnnQueryVec),
+       |d AS (SELECT x.vec_id, sum(x.v * qv.v) AS dot
+       |      FROM x JOIN cand USING (vec_id) JOIN qv ON qv.i = x.i GROUP BY 1),
+       |c AS (SELECT d.vec_id,
+       |             CAST(round(d.dot / (n1.nrm * nq.nrm) * 1000000.0) AS BIGINT) AS cos_x6
+       |      FROM d JOIN nrm n1 USING (vec_id)
+       |      CROSS JOIN (SELECT nrm FROM nrm WHERE vec_id = $AnnQueryVec) nq(nrm))
+       |SELECT vec_id, cos_x6 FROM c ORDER BY cos_x6 DESC, vec_id ASC LIMIT $AnnK""".stripMargin
+  }
 
   val annPairsSql: String =
     s"""WITH $embCtes,

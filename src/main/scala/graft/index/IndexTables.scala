@@ -60,8 +60,19 @@ object IndexTables {
     spark.read.parquet(paths: _*)
   }
 
-  def docLens(spark: SparkSession, io: TableIO): DataFrame =
-    unionView(spark, io, "doc_lens", activeBatches(io))
+  /** (doc_id, dl) over base + active segments. The base has no doc_lens
+    * table — the pair is a column-pruned projection of the staged doc_terms
+    * (the parquet scan reads two slim columns, never the tfs arrays);
+    * segments write the pair directly (their doc_terms are never staged). */
+  def docLens(spark: SparkSession, io: TableIO): DataFrame = {
+    val base = spark.read.parquet(io.tablePath("doc_terms"))
+      .select(col("doc_id"), col("dl"))
+    activeBatches(io) match {
+      case Seq() => base
+      case bs => base.unionByName(
+        spark.read.parquet(bs.map(segPath(io, _, "doc_lens")): _*))
+    }
+  }
 
   def docMap(spark: SparkSession, io: TableIO): DataFrame =
     unionView(spark, io, "doc_map", activeBatches(io))

@@ -64,51 +64,56 @@ object PostingsBuilder {
   def isComplete(indexDir: String): Boolean =
     new TableIO(indexDir).isComplete(FinalStep)
 
-  /** Build the postings index. `concurrentFinal` steps (e.g. the caller's
-    * doc_map write) run in parallel with the lineage step — they may depend
-    * on any staged table up to and including postings. */
+  /** Build the postings index. `concurrentSteps` (e.g. the caller's doc_map
+    * write) run in parallel with the postings stage — they may depend on
+    * any table staged BEFORE postings (doc_terms, stats). */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
             cfg: Config = Config(),
-            concurrentFinal: Seq[(String, () => Unit)] = Nil): TableIO = {
+            concurrentSteps: Seq[(String, () => Unit)] = Nil): TableIO = {
     import spark.implicits._
     val io = new TableIO(indexDir)
-    // idempotent re-run: complete only when FinalStep AND every
-    // concurrentFinal step committed — stepsPar commits each member
-    // independently, so a crash after `lineage` but before e.g. `doc_map`
-    // must fall through and re-run the missing members (stepsPar skips the
-    // committed ones).
+    // idempotent re-run: complete only when FinalStep AND every concurrent
+    // step committed — async members commit independently, so a crash after
+    // `lineage` but before e.g. `doc_map` must fall through and re-run the
+    // missing members (stepsAsync skips the committed ones).
     val done = io.committedSteps()
     if (done.contains(FinalStep) &&
-        concurrentFinal.forall { case (n, _) => done.contains(n) }) return io
+        concurrentSteps.forall { case (n, _) => done.contains(n) }) return io
 
     // THE tokenization pass: per-doc row-local tf (AnalyzeTfExpr — zero
     // shuffle), materialized once and reused by every later step. dl rides
-    // in the same row, so no tf⋈dl join exists anywhere in the build.
+    // in the same row, so no tf⋈dl join exists anywhere in the build — and
+    // no separate doc_lens table either: (doc_id, dl) is a column-pruned
+    // projection of this staged table (IndexTables.docLens), so
+    // materializing it again would only add a step barrier.
     io.step("doc_terms") {
       TextIndex.docTermFreqs(docs)
         .write.mode("overwrite").parquet(io.tablePath("doc_terms"))
     }
     val docTerms = spark.read.parquet(io.tablePath("doc_terms"))
 
-    // three independent derivations of doc_terms, run CONCURRENTLY (their
-    // barriers overlap — keeps the build's serial fraction flat as cores
-    // grow). df per term: terms are unique within a doc's tfs, so count(*)
+    // stats is the ONLY derivation gating the postings stage (avgdl
+    // normalizes the block-max bounds): a tiny full-pass aggregate, run
+    // alone so its single task is not queued behind sibling stages.
+    io.step("stats") {
+      TextIndex.corpusStats(docTerms.select(col("doc_id"), col("dl")))
+        .write.mode("overwrite").parquet(io.tablePath("stats"))
+    }
+    val stats = spark.read.parquet(io.tablePath("stats"))
+      .as[CorpusStats].head()
+
+    // Every other derivation OVERLAPS the heavy postings stage below
+    // instead of serializing before it (the round-1 barrier structure cost
+    // ~5s of fixed serial wall per build at 8 cores — the main scaling
+    // leak). df per term: terms are unique within a doc's tfs, so count(*)
     // over the exploded terms is exact df; partial aggregation caps its
     // shuffle at (vocab × input partitions) rows regardless of corpus size.
-    io.stepsPar(
-      "doc_lens" -> (() =>
-        docTerms.select(col("doc_id"), col("dl"))
-          .write.mode("overwrite").parquet(io.tablePath("doc_lens"))),
-      "stats" -> (() =>
-        TextIndex.corpusStats(docTerms.select(col("doc_id"), col("dl")))
-          .write.mode("overwrite").parquet(io.tablePath("stats"))),
-      "term_stats" -> (() =>
+    val overlapped = io.stepsAsync(
+      (("term_stats" -> (() =>
         docTerms.select(explode(col("tfs.term")).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("df"))
           .write.mode("overwrite").parquet(io.tablePath("term_stats"))))
-
-    val stats = spark.read.parquet(io.tablePath("stats"))
-      .as[CorpusStats].head()
+        +: concurrentSteps): _*)
 
     // Shuffle the per-doc rows (doc_id, dl, tfs[]) by doc_shard, then explode
     // AFTER the exchange: ~100× fewer shuffle rows (and ~3× fewer bytes) than
@@ -121,25 +126,33 @@ object PostingsBuilder {
       .withColumn("doc_shard",
         (col("doc_id") / lit(cfg.shardSize)).cast("int"))
 
-    for (g <- 0 until cfg.shardGroups) {
-      io.step(s"postings_g$g") {
-        // flat layout (no partitionBy): queries prune by TERM via row-group
-        // min/max stats (rows are term-sorted within files), and every query
-        // touches every doc shard anyway — directory partitioning by shard
-        // would only buy a slow many-directory dynamic-partition commit and
-        // a small-files problem. doc_shard stays as a regular column.
-        invertStage(
-          sharded.filter(pmod(col("doc_shard"), lit(cfg.shardGroups)) === g),
-          stats.avgdl, cfg.blockSize)
-          .write.mode("overwrite")
-          .parquet(io.tablePath(s"postings/group=$g"))
+    try {
+      for (g <- 0 until cfg.shardGroups) {
+        io.step(s"postings_g$g") {
+          // flat layout (no partitionBy): queries prune by TERM via row-group
+          // min/max stats (rows are term-sorted within files), and every query
+          // touches every doc shard anyway — directory partitioning by shard
+          // would only buy a slow many-directory dynamic-partition commit and
+          // a small-files problem. doc_shard stays as a regular column.
+          invertStage(
+            sharded.filter(pmod(col("doc_shard"), lit(cfg.shardGroups)) === g),
+            stats.avgdl, cfg.blockSize)
+            .write.mode("overwrite")
+            .parquet(io.tablePath(s"postings/group=$g"))
+        }
+        cfg.failAfterGroup.filter(_ == g).foreach { _ =>
+          throw new RuntimeException(s"injected failure after group $g")
+        }
       }
-      cfg.failAfterGroup.filter(_ == g).foreach { _ =>
-        throw new RuntimeException(s"injected failure after group $g")
-      }
+    } catch { case e: Throwable =>
+      // a failed postings stage must not leave async members racing a
+      // caller's retry of build(); wait them out, surface the ORIGINAL error
+      try overlapped.join() catch { case _: Throwable => () }
+      throw e
     }
 
-    io.stepsPar((FinalStep -> { () =>
+    overlapped.join() // term_stats + caller steps done before completion
+    io.step(FinalStep) {
       val snapId = io.currentSnapshotId().getOrElse("0")
       spark.read.parquet(io.tablePath("postings"))
         .groupBy(col("doc_shard"))
@@ -153,7 +166,7 @@ object PostingsBuilder {
           max(col("enc_wall_ms")).as("build_wall_ms"))
         .withColumn("snapshot_id", lit(snapId))
         .write.mode("overwrite").parquet(io.tablePath("lineage"))
-    }) +: concurrentFinal: _*)
+    }
     io
   }
 

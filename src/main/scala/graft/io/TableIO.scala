@@ -81,15 +81,28 @@ final class TableIO(val indexDir: String) extends Serializable {
     }
   }
 
-  /** Run independent steps CONCURRENTLY (driver threads; Spark schedules
-    * their jobs in parallel). Each step commits as it finishes, so a crash
-    * mid-group resumes with only the unfinished members re-run. Barrier
-    * latency of k steps collapses from k·t to ~t — this is what keeps the
-    * serial fraction of the index build flat as executor count grows. */
-  def stepsPar(steps: (String, () => Unit)*): Unit = {
+  /** Handle on a group of asynchronously-running steps ([[stepsAsync]]):
+    * [[join]] is the barrier, rethrowing the first member failure. */
+  final class StepGroup private[TableIO] (
+      threads: Seq[Thread],
+      failures: java.util.concurrent.ConcurrentHashMap[String, Throwable]) {
+    def join(): Unit = {
+      threads.foreach(_.join())
+      if (!failures.isEmpty) {
+        val k = failures.keys().nextElement()
+        throw new RuntimeException(s"parallel step '$k' failed", failures.get(k))
+      }
+    }
+  }
+
+  /** START independent steps concurrently (driver threads; Spark schedules
+    * their jobs in parallel) and return WITHOUT waiting — the caller
+    * overlaps them with its own work and [[StepGroup.join]]s at the point
+    * that really needs them. Each step commits as it finishes, so a crash
+    * mid-group resumes with only the unfinished members re-run. */
+  def stepsAsync(steps: (String, () => Unit)*): StepGroup = {
     val done = committedSteps()
     val todo = steps.filterNot { case (n, _) => done.contains(n) }
-    if (todo.isEmpty) return
     val failures = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
     val t0 = System.nanoTime()
     val threads = todo.map { case (name, body) =>
@@ -106,12 +119,14 @@ final class TableIO(val indexDir: String) extends Serializable {
       t.start()
       t
     }
-    threads.foreach(_.join())
-    if (!failures.isEmpty) {
-      val (name, e) = { val k = failures.keys().nextElement(); (k, failures.get(k)) }
-      throw new RuntimeException(s"parallel step '$name' failed", e)
-    }
+    new StepGroup(threads, failures)
   }
+
+  /** Run independent steps concurrently and WAIT — barrier latency of k
+    * steps collapses from k·t to ~t. Prefer [[stepsAsync]] when a heavy
+    * sibling stage can absorb the group entirely. */
+  def stepsPar(steps: (String, () => Unit)*): Unit =
+    stepsAsync(steps: _*).join()
 
   def isComplete(finalStep: String): Boolean =
     committedSteps().contains(finalStep)

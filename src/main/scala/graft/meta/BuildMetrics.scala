@@ -32,9 +32,9 @@ object BuildMetrics {
     spark.sparkContext.addSparkListener(m)
     try {
       val r = body
-      // the listener bus is async; give queued task-end events a moment to
-      // drain (the bus API itself is private[spark])
-      Thread.sleep(300)
+      // the listener bus is async; drain it deterministically (the fixed
+      // 300ms sleep this replaces undercounted on loaded hosts)
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
       (r, m)
     } finally spark.sparkContext.removeSparkListener(m)
   }

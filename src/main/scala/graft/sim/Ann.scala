@@ -62,17 +62,24 @@ object Ann {
       .orderBy("a_id", "b_id")
   }
 
-  /** Deterministic pseudo-random hyperplane component r(j,i) ∈ [-0.5, 0.5):
-    * splitmix64 finalizer over the flat plane index — exact integer
-    * arithmetic, reproducible anywhere, and (unlike a Weyl sequence) free of
-    * serial correlation across components, so the planes are isotropic. */
-  def planeComponent(j: Int, i: Int): Double = {
+  /** Top-24 bits of the splitmix64 finalizer over the flat plane index —
+    * the integer seed of one plane component. Exposed so the DuckDB oracle
+    * can embed the planes as exact integer literals and reconstruct
+    * bit-identical doubles ((k − 2^23)/2^24 is exact in binary64). */
+  def planeBits(j: Int, i: Int): Long = {
     var z = (j.toLong * 64 + i) * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
-    (z >>> 40).toDouble / (1L << 24).toDouble - 0.5
+    z >>> 40
   }
+
+  /** Deterministic pseudo-random hyperplane component r(j,i) ∈ [-0.5, 0.5):
+    * splitmix64 finalizer over the flat plane index — exact integer
+    * arithmetic, reproducible anywhere, and (unlike a Weyl sequence) free of
+    * serial correlation across components, so the planes are isotropic. */
+  def planeComponent(j: Int, i: Int): Double =
+    planeBits(j, i).toDouble / (1L << 24).toDouble - 0.5
 
   /** Multi-table LSH parameters: L tables of m sign-bits each. A single
     * table's collision probability for angle θ is (1−θ/π)^m — far too low

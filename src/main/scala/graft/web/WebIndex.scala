@@ -16,8 +16,8 @@ import graft.io.TableIO
   * Pass census (scale design): the HTML extractor and the tokenizer each run
   * EXACTLY ONCE over the corpus — extraction during the staged `docs` write
   * (fused with the dedup shuffle), tokenization during PostingsBuilder's tf
-  * stage. doc_map joins the staged docs with the builder's doc_lens table
-  * instead of re-tokenizing. Every stage is a committed snapshot step
+  * stage. doc_map joins the staged docs with the builder's doc_terms dl
+  * projection instead of re-tokenizing. Every stage is a committed snapshot step
   * (resume-stable: docIDs are pinned by the staged table, never re-derived). */
 object WebIndex {
 
@@ -74,12 +74,13 @@ object WebIndex {
     val staged = DocIds.resolveWith(rawStaged, DocIds.offsets(rawStaged))
       .select(col("doc_id"), col("url"), col("text"))
 
-    // doc_map runs concurrently with the builder's lineage step (it only
-    // needs the staged docs + doc_lens, both committed earlier)
+    // doc_map overlaps the builder's postings stage (it only needs the
+    // staged docs + the doc_terms dl projection, both committed earlier)
     PostingsBuilder.build(spark, staged.select("doc_id", "text"), indexDir, cfg,
-      concurrentFinal = Seq("doc_map" -> { () =>
+      concurrentSteps = Seq("doc_map" -> { () =>
         staged.select("doc_id", "url")
-          .join(spark.read.parquet(io.tablePath("doc_lens")), "doc_id")
+          .join(spark.read.parquet(io.tablePath("doc_terms"))
+            .select(col("doc_id"), col("dl")), "doc_id")
           .select(col("doc_id"), col("url"), col("dl").cast("int").as("dl"))
           .write.mode("overwrite").parquet(io.tablePath("doc_map"))
       }))

@@ -79,7 +79,10 @@ object WebtextGen {
   }
 
   /** html wraps the text in 10-token paragraphs with escaped entities plus
-    * head/style noise the extractor must drop. Built in one pass. */
+    * head/style noise the extractor must drop. Built in one pass over the
+    * split(" ", -1) token sequence, so a trailing space (an empty final
+    * token) and the empty text (one empty token → one empty paragraph) both
+    * produce well-formed paragraphs. */
   def htmlFor(docId: Long, text: String): Array[Byte] = {
     val sb = new java.lang.StringBuilder(text.length * 2 + 160)
     sb.append("<html><head><title>doc ").append(docId).append("</title>")
@@ -89,13 +92,14 @@ object WebtextGen {
     var i = 0
     var tok = 0
     val n = text.length
-    while (i < n) {
+    var done = false
+    while (!done) {
       if (tok % 10 == 0) sb.append("<p class=\"x\">")
       val end = { val e = text.indexOf(' ', i); if (e < 0) n else e }
       escapeInto(sb, text.substring(i, end))
       tok += 1
-      val lastInPara = tok % 10 == 0 || end >= n
-      if (lastInPara) sb.append("</p>") else sb.append(' ')
+      done = end >= n // the token ending at n is the last, even if empty
+      if (tok % 10 == 0 || done) sb.append("</p>") else sb.append(' ')
       i = end + 1
     }
     sb.append("</body></html>")

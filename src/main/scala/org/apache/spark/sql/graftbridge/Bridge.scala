@@ -33,4 +33,11 @@ object Bridge {
       df.queryExecution.toRdd.mapPartitions(f, preservesPartitioning = true),
       schema)
   }
+
+  /** Block until the async listener bus has delivered every queued event —
+    * the deterministic replacement for sleep-and-hope metric collection
+    * (`listenerBus` is private[spark]; this package is inside the spark
+    * namespace precisely for such seams). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -175,6 +175,31 @@ class CrossrefSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("dead-letter accounting counts corrupt records per file (elastic.go:181-187)") {
+    val dir = s"${sys.props("user.dir")}/target/fixtures-deadletter"
+    if (!Files.exists(Paths.get(s"$dir/mixed.ndjson"))) {
+      write(s"$dir/mixed.ndjson",
+        (0 until 4).map(i => record(s"10.1/ok.$i", i)) // 4 valid
+          .patch(2, Seq("""{"DOI" = "broken"}""", """not json at all"""), 0)
+          .mkString("\n") + "\n",
+        gz = false)
+      write(s"$dir/clean.ndjson",
+        (0 until 3).map(i => record(s"10.1/c.$i", i)).mkString("\n") + "\n",
+        gz = false)
+    }
+    import org.apache.spark.sql.functions.col
+    val dl = CrossrefReader.deadLetters(spark,
+      Seq(s"$dir/mixed.ndjson", s"$dir/clean.ndjson")).collect()
+    assert(dl.length === 1) // the clean file contributes no dead letters
+    assert(dl(0).getAs[String]("src_file").endsWith("mixed.ndjson"))
+    assert(dl(0).getAs[Long]("n_corrupt") === 2)
+    assert(dl(0).getAs[String]("sample").nonEmpty)
+    // the permissive bulk path still loads the parseable records
+    assert(CrossrefReader.readNdjson(spark,
+      Seq(s"$dir/mixed.ndjson"), strict = false)
+      .filter(col("DOI").isNotNull).count() === 4)
+  }
+
   test("simplified pipeline dedups by DOI last-write-wins") {
     val dir = s"${sys.props("user.dir")}/target/fixtures-dedup"
     if (!Files.exists(Paths.get(s"$dir/a.ndjson"))) {

@@ -68,6 +68,21 @@ class KernelSpec extends AnyFunSuite {
     })
   }
 
+  test("htmlFor emits well-formed paragraphs on degenerate texts") {
+    // degenerate inputs outside the generator's vocab: trailing/leading
+    // spaces and the empty text must still close every <p> (the extractor
+    // collapses+trims whitespace, so the round-trip is modulo trim here)
+    def paraBalanced(html: String): Boolean =
+      html.sliding(3).count(_ == "<p ") == html.sliding(4).count(_ == "</p>")
+    val degenerate = Gen.oneOf("", " ", "a ", " a", "a  b", "w1 w2 ", "  ")
+    check("htmlFor-degenerate", Prop.forAll(degenerate) { text =>
+      val html = new String(WebtextGen.htmlFor(7L, text), "UTF-8")
+      paraBalanced(html) && html.contains("</p></body>") &&
+        HtmlExtract.extract(WebtextGen.htmlFor(7L, text)) ==
+          text.trim.replaceAll(" +", " ")
+    })
+  }
+
   // ---- HashKernels: row-local dedup/fingerprint signature kernels --------
 
   private def refPolyHash(s: String): Long =
