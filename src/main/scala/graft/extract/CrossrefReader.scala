@@ -125,12 +125,19 @@ object CrossrefReader {
   }
 
   /** S2/S3-ish entry: load a file or directory, sniffing format per file and
-    * unioning the two reader plans. Returns records in the Crossref schema. */
-  def load(spark: SparkSession, path: String, strict: Boolean = true): DataFrame = {
+    * unioning the two reader plans. An explicit `format` skips the sniff for
+    * every file (the reference's `--format` flag, `config/config.go:19`,
+    * consumed `data.go:199-207`). Returns records in the Crossref schema. */
+  def load(spark: SparkSession, path: String, strict: Boolean = true,
+           format: Option[Format] = None): DataFrame = {
     val files =
       if (Files.isDirectory(Paths.get(path))) listFiles(path) else Seq(path)
     require(files.nonEmpty, s"no data files under $path")
-    val (dumps, ndjsons) = files.partition(f => sniffFormat(f) == DumpJson)
+    val (dumps, ndjsons) = format match {
+      case Some(DumpJson) => (files, Seq.empty[String])
+      case Some(Ndjson) => (Seq.empty[String], files)
+      case None => files.partition(f => sniffFormat(f) == DumpJson)
+    }
     val parts = Seq(
       if (ndjsons.nonEmpty) Some(readNdjson(spark, ndjsons, strict)) else None,
       if (dumps.nonEmpty) Some(readDump(spark, dumps, strict)) else None).flatten
@@ -140,7 +147,8 @@ object CrossrefReader {
   /** Full pipeline: sources → SimplifiedPublication, with last-write-wins
     * dedup by DOI (the ES "index"-action overwrite semantics,
     * elastic/elastic.go:165-167). */
-  def simplified(spark: SparkSession, path: String): DataFrame =
-    Crossref.simplify(load(spark, path))
+  def simplified(spark: SparkSession, path: String, strict: Boolean = true,
+                 format: Option[Format] = None): DataFrame =
+    Crossref.simplify(load(spark, path, strict, format))
       .dropDuplicates("DOI")
 }

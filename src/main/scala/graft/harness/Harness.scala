@@ -215,10 +215,13 @@ object TextQueries {
   /** Index format version — bump to invalidate cached on-disk test indexes. */
   private val IdxVersion = "v2"
 
-  /** Build (once, snapshot-idempotent) the on-disk index for an sf dir. */
+  /** Build (once, snapshot-idempotent) the on-disk index for an sf dir.
+    * The codec-format guard wipes+rebuilds a cached index written by an
+    * older block format instead of serving unreadable blocks. */
   def ensureIndex(spark: SparkSession, dir: String): String = {
     val name = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val idxDir = s"${sys.props("user.dir")}/target/graft-idx/${IdxVersion}_$name"
+    PostingsBuilder.ensureFormat(new graft.io.TableIO(idxDir))
     if (!PostingsBuilder.isComplete(idxDir)) {
       PostingsBuilder.build(spark, docs(spark, dir), idxDir,
         PostingsBuilder.Config(shardSize = 128, shardGroups = 2))

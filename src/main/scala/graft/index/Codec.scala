@@ -2,21 +2,34 @@ package graft.index
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Posting-list compression: docID-gap delta encoding + variable-byte codec,
-  * with per-block max-score metadata for block-max WAND pruning.
+/** Posting-list compression: docID-gap delta encoding with a patched
+  * frame-of-reference (PFor) block codec, variable-byte as the primitive
+  * tier, and per-block max-score metadata for block-max WAND pruning.
   *
   * This is the engine-native replacement for the index layer the reference
   * delegates to Elasticsearch/Lucene (reference `elastic/settings.go:54`
   * requests `codec: best_compression`; Lucene internally stores postings as
-  * delta-gap-compressed blocks — public format knowledge). Pure Scala, no
-  * Spark dependency: runs inside `mapPartitions` kernels and is
-  * property-tested (decode∘encode == id) without a SparkSession.
+  * delta-gap bitpacked blocks with patched exceptions — its ForUtil/
+  * PForUtil family, public format knowledge). Pure Scala, no Spark
+  * dependency: runs inside `mapPartitions` kernels and is property-tested
+  * (decode∘encode == id) without a SparkSession.
+  *
+  * PFor block layout (tag byte 2): `[2][b][e varint][packed ⌈n·b/8⌉ bytes]
+  * [e × (pos varint, high-bits varint)]` — b chosen per block to minimize
+  * encoded size (≤128 values: exhaustive over candidate widths), values
+  * whose width exceeds b store their low b bits in place and patch the high
+  * bits from the exception list. Decode is a straight bit-unpack loop +
+  * ≤e patches — no per-value branching on byte continuations, which is what
+  * makes it the perf tier over varbyte.
   */
 object Codec extends Serializable {
 
   /** Postings per block. 128 mirrors Lucene's block size; each block carries
     * its own max-impact metadata so WAND can skip it wholesale. */
   val BlockSize: Int = 128
+
+  /** Format tags (first byte of every encoded array). */
+  private val TagPfor: Byte = 2
 
   // ---- variable-byte primitive ------------------------------------------
 
@@ -47,61 +60,159 @@ object Codec extends Serializable {
     (v, p + 1)
   }
 
-  // ---- delta-gap docID encoding -----------------------------------------
+  // ---- PFor block primitive ---------------------------------------------
 
-  /** Encode a strictly-increasing docID array as first-value + gaps, varbyte. */
-  def encodeDocIds(sorted: Array[Long]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](sorted.length * 2)
-    var prev = 0L
+  private def bitsOf(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** Encode non-negative longs as one PFor block (see object doc layout). */
+  def encodePfor(values: Array[Long]): Array[Byte] = {
+    val n = values.length
+    val widths = new Array[Int](n)
+    var maxW = 0
     var i = 0
-    while (i < sorted.length) {
-      val d = sorted(i)
-      val gap = if (i == 0) d else d - prev - 1
-      require(i == 0 || d > prev, s"docIds must be strictly increasing at $i")
-      writeVarLong(buf, gap)
-      prev = d
+    while (i < n) {
+      widths(i) = bitsOf(values(i))
+      if (widths(i) > maxW) maxW = widths(i)
+      i += 1
+    }
+    // choose b minimizing packed + exception bytes (n ≤ 128: cheap scan)
+    var bestB = maxW
+    var bestSize = (n * maxW + 7) / 8
+    var b = 0
+    while (b < maxW) {
+      var exBytes = 0
+      var j = 0
+      while (j < n) {
+        if (widths(j) > b) {
+          // pos ≤ 127 → 1 byte; high bits → varint length
+          exBytes += 1 + (math.max(1, widths(j) - b) + 6) / 7
+        }
+        j += 1
+      }
+      val size = (n * b + 7) / 8 + exBytes
+      if (size < bestSize) { bestSize = size; bestB = b }
+      b += 1
+    }
+    val bb = bestB
+    val packed = new Array[Byte]((n * bb + 7) / 8)
+    val buf = new ArrayBuffer[Byte](3 + bestSize)
+    buf += TagPfor
+    buf += bb.toByte
+    var nEx = 0
+    i = 0
+    while (i < n) { if (widths(i) > bb) nEx += 1; i += 1 }
+    writeVarLong(buf, nEx.toLong)
+    // pack low bb bits, LSB-first bit order
+    if (bb > 0) {
+      var bitPos = 0
+      i = 0
+      while (i < n) {
+        val v = values(i) & (if (bb == 64) -1L else (1L << bb) - 1)
+        var w = 0
+        while (w < bb) {
+          if (((v >>> w) & 1L) != 0L)
+            packed(bitPos >> 3) = (packed(bitPos >> 3) | (1 << (bitPos & 7))).toByte
+          w += 1
+          bitPos += 1
+        }
+        i += 1
+      }
+      buf ++= packed
+    }
+    i = 0
+    while (i < n) {
+      if (widths(i) > bb) {
+        writeVarLong(buf, i.toLong)
+        writeVarLong(buf, values(i) >>> bb)
+      }
       i += 1
     }
     buf.toArray
   }
 
-  def decodeDocIds(bytes: Array[Byte], n: Int): Array[Long] = {
+  /** Decode one PFor block of n values. */
+  def decodePfor(bytes: Array[Byte], n: Int): Array[Long] = {
+    require(bytes(0) == TagPfor, s"unknown codec tag ${bytes(0)}")
+    val b = bytes(1) & 0xff
+    val (nExL, pos0) = readVarLong(bytes, 2)
+    val nEx = nExL.toInt
     val out = new Array[Long](n)
-    var pos = 0
-    var prev = 0L
-    var i = 0
-    while (i < n) {
-      val (gap, next) = readVarLong(bytes, pos)
-      pos = next
-      prev = if (i == 0) gap else prev + gap + 1
-      out(i) = prev
-      i += 1
+    var pos = pos0
+    if (b > 0) {
+      var bitPos = 0
+      var i = 0
+      while (i < n) {
+        var v = 0L
+        var w = 0
+        while (w < b) {
+          if ((bytes(pos + (bitPos >> 3)) & (1 << (bitPos & 7))) != 0)
+            v |= 1L << w
+          w += 1
+          bitPos += 1
+        }
+        out(i) = v
+        i += 1
+      }
+      pos += (n * b + 7) / 8
+    }
+    var e = 0
+    while (e < nEx) {
+      val (idx, p1) = readVarLong(bytes, pos)
+      val (hi, p2) = readVarLong(bytes, p1)
+      out(idx.toInt) |= hi << b
+      pos = p2
+      e += 1
     }
     out
   }
 
-  /** Encode term frequencies (>=1) as varbyte of tf-1. */
+  // ---- delta-gap docID encoding -----------------------------------------
+
+  /** Encode a strictly-increasing docID array as first-value + gaps in one
+    * PFor block. */
+  def encodeDocIds(sorted: Array[Long]): Array[Byte] = {
+    val gaps = new Array[Long](sorted.length)
+    var prev = 0L
+    var i = 0
+    while (i < sorted.length) {
+      val d = sorted(i)
+      require(i == 0 || d > prev, s"docIds must be strictly increasing at $i")
+      gaps(i) = if (i == 0) d else d - prev - 1
+      prev = d
+      i += 1
+    }
+    encodePfor(gaps)
+  }
+
+  def decodeDocIds(bytes: Array[Byte], n: Int): Array[Long] = {
+    val gaps = decodePfor(bytes, n)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      prev = if (i == 0) gaps(i) else prev + gaps(i) + 1
+      gaps(i) = prev
+      i += 1
+    }
+    gaps
+  }
+
+  /** Encode term frequencies (>=1) as one PFor block of tf-1. */
   def encodeTfs(tfs: Array[Int]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](tfs.length)
+    val vs = new Array[Long](tfs.length)
     var i = 0
     while (i < tfs.length) {
       require(tfs(i) >= 1, s"tf must be >= 1 at $i")
-      writeVarLong(buf, (tfs(i) - 1).toLong)
+      vs(i) = (tfs(i) - 1).toLong
       i += 1
     }
-    buf.toArray
+    encodePfor(vs)
   }
 
   def decodeTfs(bytes: Array[Byte], n: Int): Array[Int] = {
+    val vs = decodePfor(bytes, n)
     val out = new Array[Int](n)
-    var pos = 0
     var i = 0
-    while (i < n) {
-      val (v, next) = readVarLong(bytes, pos)
-      pos = next
-      out(i) = v.toInt + 1
-      i += 1
-    }
+    while (i < n) { out(i) = vs(i).toInt + 1; i += 1 }
     out
   }
 }

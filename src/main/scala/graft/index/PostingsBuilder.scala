@@ -61,6 +61,23 @@ object PostingsBuilder {
   /** All committed steps present ⇒ the index is complete and reusable. */
   val FinalStep = "lineage"
 
+  /** On-disk codec format marker, committed before any data step. An index
+    * whose manifest lacks the CURRENT marker was written by an older codec
+    * (e.g. the pre-PFor varbyte blocks) and is unreadable by the current
+    * decoder — [[ensureFormat]] wipes it so callers rebuild instead of
+    * serving garbage from a stale cached directory. */
+  val FormatStep = "format_pfor2"
+
+  /** Invalidate an index directory written under an older block format,
+    * then stamp the current marker — committed BEFORE any data step, so a
+    * nested build over the same directory (WebIndex staging → postings
+    * build) sees the marker and never wipes freshly staged tables. */
+  def ensureFormat(io: TableIO): Unit = {
+    val done = io.committedSteps()
+    if (done.nonEmpty && !done.contains(FormatStep)) io.deleteAll()
+    io.step(FormatStep) {}
+  }
+
   def isComplete(indexDir: String): Boolean =
     new TableIO(indexDir).isComplete(FinalStep)
 
@@ -76,6 +93,7 @@ object PostingsBuilder {
     // step committed — async members commit independently, so a crash after
     // `lineage` but before e.g. `doc_map` must fall through and re-run the
     // missing members (stepsAsync skips the committed ones).
+    ensureFormat(io)
     val done = io.committedSteps()
     if (done.contains(FinalStep) &&
         concurrentSteps.forall { case (n, _) => done.contains(n) }) return io

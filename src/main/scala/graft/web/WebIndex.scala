@@ -52,11 +52,15 @@ object WebIndex {
       extractAndDedup(docs).select(col("url"), col("extracted").as("text")),
       indexDir, cfg)
 
-  /** Build from an already-extracted (url, text) corpus — the tail of
-    * [[build]], also the rebuild step of [[graft.streaming.Compactor]]. */
+  /** Build from an already-extracted (key, text) corpus — the tail of
+    * [[build]], the rebuild step of [[graft.streaming.Compactor]], and the
+    * CLI's crossref path (keyCol = "doi"). `keyCol` names the external
+    * document identity carried into doc_map (the ES `_id` analogue). */
   def buildFromCorpus(spark: SparkSession, corpus: DataFrame, indexDir: String,
-                      cfg: PostingsBuilder.Config): TableIO = {
+                      cfg: PostingsBuilder.Config,
+                      keyCol: String = "url"): TableIO = {
     val io = new TableIO(indexDir)
+    PostingsBuilder.ensureFormat(io) // stale-codec caches rebuild, not serve
     if (io.isComplete("doc_map") && io.isComplete(PostingsBuilder.FinalStep))
       return io
 
@@ -64,7 +68,7 @@ object WebIndex {
     // (DocIds tag/resolve protocol — ids are a pure function of the staged
     // files, never of a replannable in-memory layout)
     io.step("docs") {
-      DocIds.tag(corpus.select("url", "text"))
+      DocIds.tag(corpus.select(keyCol, "text"))
         .write.mode("overwrite").parquet(io.tablePath("docs"))
     }
     // offsets collected ONCE (tiny aggregate); every later read of the
@@ -72,16 +76,16 @@ object WebIndex {
     // single-partition sub-jobs
     val rawStaged = spark.read.parquet(io.tablePath("docs"))
     val staged = DocIds.resolveWith(rawStaged, DocIds.offsets(rawStaged))
-      .select(col("doc_id"), col("url"), col("text"))
+      .select(col("doc_id"), col(keyCol), col("text"))
 
     // doc_map overlaps the builder's postings stage (it only needs the
     // staged docs + the doc_terms dl projection, both committed earlier)
     PostingsBuilder.build(spark, staged.select("doc_id", "text"), indexDir, cfg,
       concurrentSteps = Seq("doc_map" -> { () =>
-        staged.select("doc_id", "url")
+        staged.select("doc_id", keyCol)
           .join(spark.read.parquet(io.tablePath("doc_terms"))
             .select(col("doc_id"), col("dl")), "doc_id")
-          .select(col("doc_id"), col("url"), col("dl").cast("int").as("dl"))
+          .select(col("doc_id"), col(keyCol), col("dl").cast("int").as("dl"))
           .write.mode("overwrite").parquet(io.tablePath("doc_map"))
       }))
     io

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.{Cli, Main}
+import graft.index.IndexTables
+import graft.io.TableIO
+import graft.query.Searcher
+
+/** CLI/config layer: kong-equivalent parse precedence (flag > env >
+  * default), enum + validator behavior mirroring config/config.go:55-73,
+  * and the end-to-end index job over the crossref fixtures. */
+class CliSpec extends AnyFunSuite {
+
+  test("defaults + env fallback + flag precedence") {
+    val byDefault = Cli.parse(Array("--dir", "/tmp/x"), env = Map.empty)
+    assert(byDefault("format") === "unknown")
+    assert(byDefault("index-dir") === "./graft-index")
+    assert(byDefault.long("shard-size") === 1048576L)
+
+    val byEnv = Cli.parse(Array("--dir", "/tmp/x"),
+      env = Map("GRAFT_FORMAT" -> "ndjson", "GRAFT_SHARD_SIZE" -> "4096"))
+    assert(byEnv("format") === "ndjson")
+    assert(byEnv.long("shard-size") === 4096L)
+
+    val flagWins = Cli.parse(Array("--dir", "/tmp/x", "--format", "json"),
+      env = Map("GRAFT_FORMAT" -> "ndjson"))
+    assert(flagWins("format") === "json")
+  }
+
+  test("unknown flags, enum violations and validators fail with usage") {
+    def msg(args: Array[String], env: Map[String, String] = Map.empty) =
+      intercept[Cli.CliError](Cli.parse(args, env)).getMessage
+    assert(msg(Array("--nope", "1")).contains("unknown flag"))
+    assert(msg(Array("--dir")).contains("missing value"))
+    assert(msg(Array("--dir", "/tmp/x", "--format", "xml"))
+      .contains("must be one of"))
+    // config.go:55-59 — either dir or file
+    assert(msg(Array("--format", "ndjson")).contains("dir or file"))
+    // config.go:61-73 — stdin requires explicit format and compression
+    assert(msg(Array("--file", "-")).contains("Format must be specified"))
+    assert(msg(Array("--file", "-", "--format", "ndjson"))
+      .contains("Compression must be specified"))
+    assert(intercept[Cli.CliError](Cli.parse(Array("--nope", "1")))
+      .getMessage.contains("usage: graft"))
+  }
+
+  test("end-to-end: index job over crossref fixtures, searchable by DOI map") {
+    lazy val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val fixtures = graft.extract.CrossrefFixtures.ensure(
+      s"${sys.props("user.dir")}/target/fixtures")
+    val idxDir = s"${sys.props("user.dir")}/target/cli-idx"
+    new TableIO(idxDir).deleteAll()
+
+    val io = Main.run(spark, Cli.parse(Array(
+      "--file", s"$fixtures/ndjson_plain.ndjson",
+      "--index-dir", idxDir,
+      "--shard-size", "256"), env = Map.empty))
+    assert(io.isComplete("doc_map"))
+
+    // doc_map carries the DOI identity; the index serves BM25 queries
+    val docMap = spark.read.parquet(s"$idxDir/doc_map")
+    assert(docMap.columns.contains("doi"))
+    assert(docMap.count() === IndexTables.docLens(spark, io).count())
+    val hits = Searcher.search(spark, idxDir, Seq(1 -> "journal title"), 5)
+    assert(hits.count() > 0)
+
+    // --remove-index rebuilds from scratch (elastic.go:71-87 analogue)
+    val io2 = Main.run(spark, Cli.parse(Array(
+      "--file", s"$fixtures/ndjson_plain.ndjson",
+      "--index-dir", idxDir, "--remove-index", "true",
+      "--shard-size", "256"), env = Map.empty))
+    assert(io2.isComplete("doc_map"))
+  }
+}

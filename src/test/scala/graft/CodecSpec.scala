@@ -46,6 +46,27 @@ class CodecSpec extends AnyFunSuite {
     assert(Codec.encodeDocIds(ids).length <= 10000 + 4)
   }
 
+  test("PFor round-trip: arbitrary non-negative longs, skewed exception mixes") {
+    val smallBig: Gen[List[Long]] = Gen.listOf(Gen.frequency(
+      9 -> Gen.chooseNum(0L, 15L), // low-width bulk
+      1 -> Gen.chooseNum(0L, Long.MaxValue))) // patched exceptions
+    check("pfor", Prop.forAll(smallBig) { vs =>
+      val a = vs.toArray
+      Codec.decodePfor(Codec.encodePfor(a), a.length).toSeq == a.toSeq
+    })
+    // all-exceptions and all-zero edges
+    val zeros = Array.fill(128)(0L)
+    assert(Codec.decodePfor(Codec.encodePfor(zeros), 128).toSeq == zeros.toSeq)
+    val huge = Array.fill(300)(Long.MaxValue) // >255 exceptions path
+    assert(Codec.decodePfor(Codec.encodePfor(huge), 300).toSeq == huge.toSeq)
+  }
+
+  test("PFor beats the dense-gap bound varbyte could not: 1-bit gaps pack 8×") {
+    val ids = Array.tabulate(10000)(i => i.toLong * 2) // every gap = 1
+    // 10000 × 1-bit packed ≈ 1250 bytes (varbyte floor was 1 byte/value)
+    assert(Codec.encodeDocIds(ids).length <= 1300)
+  }
+
   test("strictly-increasing precondition enforced") {
     intercept[IllegalArgumentException] {
       Codec.encodeDocIds(Array(3L, 3L))
