@@ -64,6 +64,15 @@ object Codec extends Serializable {
 
   private def bitsOf(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
 
+  /** Little-endian long window at `off`, zero-padded past `limit`. */
+  private def readLongLE(bytes: Array[Byte], off: Int, limit: Int): Long = {
+    var v = 0L
+    var k = 0
+    val end = math.min(8, limit - off)
+    while (k < end) { v |= (bytes(off + k) & 0xffL) << (8 * k); k += 1 }
+    v
+  }
+
   /** Encode non-negative longs as one PFor block (see object doc layout). */
   def encodePfor(values: Array[Long]): Array[Byte] = {
     val n = values.length
@@ -102,21 +111,34 @@ object Codec extends Serializable {
     i = 0
     while (i < n) { if (widths(i) > bb) nEx += 1; i += 1 }
     writeVarLong(buf, nEx.toLong)
-    // pack low bb bits, LSB-first bit order
+    // pack low bb bits, LSB-first bit order — 64-bit accumulator, byte
+    // flushes (no per-bit loop)
     if (bb > 0) {
-      var bitPos = 0
+      val mask = if (bb == 64) -1L else (1L << bb) - 1
+      var acc = 0L
+      var accBits = 0
+      var outPos = 0
+      def flushAcc(): Unit = {
+        var k = 0
+        while (k < 8 && outPos < packed.length) {
+          packed(outPos) = (acc >>> (8 * k)).toByte
+          outPos += 1
+          k += 1
+        }
+      }
       i = 0
       while (i < n) {
-        val v = values(i) & (if (bb == 64) -1L else (1L << bb) - 1)
-        var w = 0
-        while (w < bb) {
-          if (((v >>> w) & 1L) != 0L)
-            packed(bitPos >> 3) = (packed(bitPos >> 3) | (1 << (bitPos & 7))).toByte
-          w += 1
-          bitPos += 1
-        }
+        val v = values(i) & mask
+        acc |= v << accBits // shifts ≥64 are mod-64 but only reached when flushed below
+        if (accBits + bb >= 64) {
+          flushAcc()
+          val rem = accBits + bb - 64 // top bits of v that did not fit
+          acc = if (rem == 0) 0L else v >>> (bb - rem)
+          accBits = rem
+        } else accBits += bb
         i += 1
       }
+      if (accBits > 0) flushAcc()
       buf ++= packed
     }
     i = 0
@@ -139,21 +161,20 @@ object Codec extends Serializable {
     val out = new Array[Long](n)
     var pos = pos0
     if (b > 0) {
-      var bitPos = 0
+      val mask = if (b == 64) -1L else (1L << b) - 1
+      val limit = pos + (n * b + 7) / 8
       var i = 0
       while (i < n) {
-        var v = 0L
-        var w = 0
-        while (w < b) {
-          if ((bytes(pos + (bitPos >> 3)) & (1 << (bitPos & 7))) != 0)
-            v |= 1L << w
-          w += 1
-          bitPos += 1
-        }
-        out(i) = v
+        val bitPos = i.toLong * b
+        val byteOff = pos + (bitPos >>> 3).toInt
+        val sh = (bitPos & 7).toInt
+        var v = readLongLE(bytes, byteOff, limit) >>> sh
+        if (sh + b > 64) // value spans the 8-byte window: splice the tail
+          v |= readLongLE(bytes, byteOff + 8, limit) << (64 - sh)
+        out(i) = v & mask
         i += 1
       }
-      pos += (n * b + 7) / 8
+      pos = limit
     }
     var e = 0
     while (e < nEx) {
