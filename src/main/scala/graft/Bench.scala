@@ -34,8 +34,13 @@ object Bench {
       // stages (tokenize, posting encode) then can't use the cores. Size
       // splits so every stage has ≥ cores tasks; on a real cluster the
       // same knob is set from (input bytes / total cores).
-      .config("spark.sql.files.maxPartitionBytes", (8 << 20).toString)
+      .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
       .config("spark.sql.files.openCostInBytes", (1 << 20).toString)
+      // keep AQE from coalescing the postings exchange into few fat
+      // reducers: wave quantization on the sort+encode stage costs 2-3s of
+      // tail at 8 cores when 18 × 64MB tasks round badly into the cores
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (16 << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

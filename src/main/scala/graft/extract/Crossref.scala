@@ -189,4 +189,14 @@ object Crossref {
     coalesce(col("issue"), lit("")).as("issue"),
     pubYear(df).as("year"),
     bibliographic(df).as("bibliographic"))
+
+  /** F6: JSON encode of a simplified doc — the reference marshals each
+    * publication into the bulk request body (`elastic/elastic.go:142`
+    * json.Marshal). The engine keeps docs columnar end-to-end, so this is a
+    * debug/export surface only: one `to_json(struct(*))` per row, field
+    * order = the SimplifiedPublication JSON-tag order of [[simplify]]. */
+  def encodeJson(simplified: DataFrame): DataFrame =
+    simplified.select(
+      col("DOI"),
+      to_json(struct(simplified.columns.map(col): _*)).as("json"))
 }

@@ -32,8 +32,9 @@ object ProfileBuild {
       .appName("profile")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", (8 << 20).toString)
+      .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
       .config("spark.sql.files.openCostInBytes", (1 << 20).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16 << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -50,7 +51,41 @@ object ProfileBuild {
     spark.stop()
   }
 
+  /** Bench-shaped run: read a pre-staged corpus dir (what Bench.buildRun
+    * times) instead of generating in-session. */
+  def runStaged(cores: Int, corpusDir: String, tag: String): Unit = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .appName("profile")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1 << 20).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (16 << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new StageLog)
+    val dir = sys.env.getOrElse("GRAFT_PROFILE_DIR", "/tmp/profile-idx") + s"/$tag"
+    new TableIO(dir).deleteAll()
+    val t0 = System.nanoTime()
+    WebIndex.build(spark, spark.read.parquet(corpusDir), dir,
+      PostingsBuilder.Config(shardSize = 8192, shardGroups = 1))
+    System.err.println(
+      f"[total] cores=$cores staged ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "staged") {
+      // ProfileBuild staged <cores> <corpusDir> — warmup on same corpus at
+      // low docs is skipped; run twice (2nd is the JIT-warm datapoint)
+      val cores = args(1).toInt
+      runStaged(cores, args(2), "warm")
+      System.err.println(s"[timed $cores]")
+      runStaged(cores, args(2), s"s$cores")
+      return
+    }
     if (args.length >= 2 && args(0) == "single") {
       // ProfileBuild single <cores> <docs>  — one warm-up at /10 then one run
       val cores = args(1).toInt

@@ -200,6 +200,25 @@ class CrossrefSpec extends AnyFunSuite {
       .filter(col("DOI").isNotNull).count() === 4)
   }
 
+  test("F6: encodeJson round-trips the simplified projection (elastic.go:142)") {
+    val r = simplifyJson(Seq(happyInput))
+    val df = Crossref.simplify(
+      spark.read.schema(Crossref.schema).json {
+        import spark.implicits._
+        Seq(happyInput).toDS()
+      })
+    val row = Crossref.encodeJson(df).collect()(0)
+    assert(row.getAs[String]("DOI") === "DOI")
+    val json = row.getAs[String]("json")
+    assert(json.contains("\"DOI\":\"DOI\""))
+    assert(json.contains("\"year\":2006"))
+    // parse back in Spark: field-for-field identity with the projection
+    import spark.implicits._
+    val back = spark.read.schema(df.schema)
+      .json(Seq(json).toDS()).collect()(0)
+    assert(back === r.head)
+  }
+
   test("simplified pipeline dedups by DOI last-write-wins") {
     val dir = s"${sys.props("user.dir")}/target/fixtures-dedup"
     if (!Files.exists(Paths.get(s"$dir/a.ndjson"))) {
