@@ -73,11 +73,16 @@ object Searcher {
     // (term, first_doc_id)-sorted blocks into a hash index, pin in memory.
     // The committed-groups view makes a crashed micro-batch's half-written
     // postings group invisible (partition-pruned before the scan).
+    // partitions = total cores, NOT spark.sql.shuffle.partitions: per-query
+    // work per shard is microseconds, so query jobs are task-scheduling-
+    // bound — one task per core per wave is the latency-optimal width (on a
+    // cluster: one serving slot per executor core, the ES shard-fan-out
+    // model)
     val sorted = graft.index.IndexTables.postings(spark, io)
       .select("doc_shard", "term", "block_id", "n", "first_doc_id",
         "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm", "max_tf",
         "enc_wall_ms")
-      .repartition(col("doc_shard"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_shard"))
       .sortWithinPartitions("doc_shard", "term", "first_doc_id")
       .as[PostingBlock]
     val shards = sorted.rdd
