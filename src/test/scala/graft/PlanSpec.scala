@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.harness.RelQueries
+import graft.text.TextOps
+
+/** Physical-plan audit: the scale-critical plan properties asserted as
+  * tests, so a regression that silently widens a scan, drops a pushdown,
+  * or adds a shuffle to a zero-shuffle kernel fails the suite — not just
+  * the benchmark. (This is `.explain("formatted")`-and-iterate, captured.) */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // executedPlan only: the optimized logical plan prints each relation's
+  // FULL schema, which would defeat column-pruning assertions
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countExchanges(df: DataFrame): Int = {
+    def walk(p: SparkPlan): Int = {
+      val self = p match {
+        case _: Exchange => 1
+        case a: AdaptiveSparkPlanExec => return walk(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("q_rel_agg pushes the shipdate filter and prunes to 5 columns") {
+    val p = planString(RelQueries.relAgg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to the parquet scan:\n$p")
+    // projection pruning: the scan must NOT read the unused money columns
+    assert(p.contains("l_returnflag") && !p.contains("l_orderkey"),
+      s"scan reads columns the query never uses:\n$p")
+  }
+
+  test("q_rel_join broadcasts the nation dim") {
+    val p = planString(RelQueries.relJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"nation dim not broadcast:\n$p")
+  }
+
+  test("row-local signature kernels are zero-shuffle up to presentation") {
+    // fingerprint/simhash: one narrow projection per doc; the ONLY exchange
+    // allowed is the final presentation orderBy's range partitioning
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(countExchanges(TextOps.fingerprint(docs)) <= 1,
+      "fingerprint gained a shuffle beyond the presentation sort")
+    assert(countExchanges(Dedup.simHash(docs)) <= 1,
+      "simHash gained a shuffle beyond the presentation sort")
+    // and the kernels appear as native expressions (codegen'd), not UDFs
+    val fp = planString(TextOps.fingerprint(docs))
+    assert(fp.contains("graft_fingerprint") && !fp.contains("BatchEvalPython"),
+      s"fingerprint is not the native kernel:\n$fp")
+  }
+
+  test("minhash signatures come from the one-pass kernel — no shingle explode before banding") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = planString(Dedup.minHashLshPairs(docs, 0.2))
+    assert(p.contains("graft_minhash_sig"),
+      s"minhash does not use the row-local signature kernel:\n$p")
+    assert(!p.toLowerCase.contains("dense_rank"),
+      s"a dictionary window crept back into the dedup path:\n$p")
+  }
+
+  test("docLens view prunes the doc_terms scan to (doc_id, dl)") {
+    // build a tiny index, then check the projection reaches the scan
+    val dir = s"${sys.props("user.dir")}/target/plan-idx"
+    new graft.io.TableIO(dir).deleteAll()
+    graft.index.PostingsBuilder.build(spark,
+      spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("doc_id", "text"),
+      dir, graft.index.PostingsBuilder.Config(shardSize = 256))
+    val lens = graft.index.IndexTables.docLens(
+      spark, new graft.io.TableIO(dir))
+    val p = planString(lens)
+    assert(p.contains("ReadSchema") && !p.contains("tfs"),
+      s"docLens scan reads the fat tfs column:\n$p")
+  }
+}
