@@ -55,6 +55,14 @@ object PostingsBuilder {
       shardSize: Long = 1L << 20,
       shardGroups: Int = 1,
       blockSize: Int = Codec.BlockSize,
+      /** Target docs per invert-stage partition. The exploded per-partition
+        * posting relation (~docs × avgdl rows) must fit the task's
+        * execution memory or the Tungsten sort spills — a FIXED shuffle
+        * width that was right at 1M docs silently spills at 5M (measured
+        * 2× per-doc wall at 4.8M docs / 64 partitions). Sizing partitions
+        * by docs keeps per-task memory flat at any corpus size — the same
+        * rule a 1000-executor cluster needs. */
+      invertPartitionDocs: Long = 16384,
       /** test hook: simulate a crash after committing group g */
       failAfterGroup: Option[Int] = None)
 
@@ -143,6 +151,10 @@ object PostingsBuilder {
     val sharded = docTerms
       .withColumn("doc_shard",
         (col("doc_id") / lit(cfg.shardSize)).cast("int"))
+    val invertParts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      ((stats.n_docs + cfg.invertPartitionDocs - 1) /
+        cfg.invertPartitionDocs).toInt)
 
     try {
       for (g <- 0 until cfg.shardGroups) {
@@ -154,7 +166,8 @@ object PostingsBuilder {
           // a small-files problem. doc_shard stays as a regular column.
           invertStage(
             sharded.filter(pmod(col("doc_shard"), lit(cfg.shardGroups)) === g),
-            stats.avgdl, cfg.blockSize)
+            stats.avgdl, cfg.blockSize,
+            math.max(1, invertParts / cfg.shardGroups))
             .write.mode("overwrite")
             .parquet(io.tablePath(s"postings/group=$g"))
         }
@@ -203,9 +216,10 @@ object PostingsBuilder {
     * cores share it, while the radix sort's sequential passes scale. This
     * is why external-sort inversion is the classic construction. */
   def invertStage(docTermsSharded: DataFrame, avgdl: Double,
-                  blockSize: Int): DataFrame = {
-    val sorted = docTermsSharded
-      .repartition(col("doc_shard"))
+                  blockSize: Int, numPartitions: Int = 0): DataFrame = {
+    val sorted = (if (numPartitions > 0)
+        docTermsSharded.repartition(numPartitions, col("doc_shard"))
+      else docTermsSharded.repartition(col("doc_shard")))
       .select(col("doc_shard"), col("doc_id"),
         col("dl").cast("int").as("dl"), explode(col("tfs")).as("t"))
       .select(col("doc_shard"), col("t.term").as("term"), col("doc_id"),

@@ -92,7 +92,9 @@ object IncrementalIndexer {
     PostingsBuilder.invertStage(
       docTerms.withColumn("doc_shard",
         (col("doc_id") / lit(cfg.shardSize)).cast("int")),
-      avgdlNew, cfg.blockSize)
+      avgdlNew, cfg.blockSize,
+      math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        ((n1 + cfg.invertPartitionDocs - 1) / cfg.invertPartitionDocs).toInt))
       .write.mode("overwrite")
       .parquet(io.tablePath(s"postings/group=${IndexTables.GroupBase + batchId}"))
 

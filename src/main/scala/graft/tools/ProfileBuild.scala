@@ -23,7 +23,8 @@ object ProfileBuild {
         System.err.println(
           f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d wall=${wall / 1000.0}%6.2fs " +
           f"run=${m.executorRunTime / 1000.0}%7.2fs cpu=${m.executorCpuTime / 1e9}%7.2fs " +
-          f"gc=${m.jvmGCTime / 1000.0}%6.2fs  ${si.name.take(60)}")
+          f"gc=${m.jvmGCTime / 1000.0}%6.2fs " +
+          f"spill=${m.diskBytesSpilled / 1048576}%5dMB  ${si.name.take(60)}")
     }
   }
 
@@ -77,6 +78,15 @@ object ProfileBuild {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "gen") {
+      // ProfileBuild gen <docs> <dir> — stage a corpus for `staged` runs
+      val spark = SparkSession.builder().master("local[32]")
+        .appName("gen").config("spark.ui.enabled", "false").getOrCreate()
+      WebtextGen.generateDf(spark, args(1).toLong, 256)
+        .write.mode("overwrite").parquet(args(2))
+      spark.stop()
+      return
+    }
     if (args.length >= 3 && args(0) == "staged") {
       // ProfileBuild staged <cores> <corpusDir> — warmup on same corpus at
       // low docs is skipped; run twice (2nd is the JIT-warm datapoint)
