@@ -17,14 +17,34 @@ import graft.web.WebIndex
   * deleting the index directory before the build (`elastic.go:71-87`). */
 object Main {
 
+  /** S3, the stdin source (`data.go:118-126`): a cluster engine cannot
+    * parallel-scan a pipe, so `--file -` buffers stdin to a spooled temp
+    * file once (the same single-reader constraint the reference has — one
+    * goroutine reads the pipe) and indexes that. Format and compression
+    * are explicit by validation (`config/config.go:61-73`); the extension
+    * is synthesized from them so the downstream extension-based codec and
+    * format routing behave exactly as for a real file. */
+  private[cli] def spoolStdin(cfg: Cli.Config,
+                              in: java.io.InputStream): String = {
+    val ext = (if (cfg("format") == "json") ".json" else ".ndjson") +
+      (if (cfg("compression") == "gzip") ".gz" else "")
+    val tmp = java.nio.file.Files.createTempFile("graft-stdin", ext)
+    java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
   /** Run the index job; separated from [[main]] for spec-level testing. */
-  def run(spark: SparkSession, cfg: Cli.Config): TableIO = {
+  def run(spark: SparkSession, cfg: Cli.Config,
+          stdin: java.io.InputStream = System.in): TableIO = {
     if (cfg.bool("remove-index")) new TableIO(cfg("index-dir")).deleteAll()
-    // '-' (the reference's stdin marker) expects the caller to have piped
-    // into a temp file; validation already forced explicit format for it
-    val path = cfg.get("file").filterNot(_ == "-")
-      .orElse(cfg.get("dir"))
-      .getOrElse(throw Cli.CliError("stdin input requires piping to a file"))
+    val path = cfg.get("file") match {
+      case Some("-") => spoolStdin(cfg, stdin)
+      case Some(f) => f
+      case None => cfg.get("dir").getOrElse(
+        throw Cli.CliError("Either dir or file must be provided"))
+    }
     val fmt = cfg("format") match {
       case "json" => Some(CrossrefReader.DumpJson)
       case "ndjson" => Some(CrossrefReader.Ndjson)

@@ -79,5 +79,20 @@ class CliSpec extends AnyFunSuite {
       "--index-dir", idxDir, "--remove-index", "true",
       "--shard-size", "256"), env = Map.empty))
     assert(io2.isComplete("doc_map"))
+
+    // S3 stdin source (data.go:118-126): pipe the gzipped ndjson twin in
+    // with explicit format+compression; same index as the file path
+    val stdinIdx = s"${sys.props("user.dir")}/target/cli-idx-stdin"
+    new TableIO(stdinIdx).deleteAll()
+    val piped = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(s"$fixtures/ndjson_gz.json.gz"))
+    val io3 = try Main.run(spark, Cli.parse(Array(
+      "--file", "-", "--format", "ndjson", "--compression", "gzip",
+      "--index-dir", stdinIdx, "--shard-size", "256"), env = Map.empty),
+      stdin = piped)
+    finally piped.close()
+    assert(io3.isComplete("doc_map"))
+    assert(spark.read.parquet(s"$stdinIdx/doc_map").count() ===
+      spark.read.parquet(s"$idxDir/doc_map").count())
   }
 }
