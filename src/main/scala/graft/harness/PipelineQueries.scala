@@ -60,6 +60,39 @@ object PipelineQueries {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(emb(spark, dir), AnnQueryVec, AnnK)
 
+  /** Multimodal decode-kernel plumbing under the oracle gate: the REAL
+    * [[graft.multimodal.Multimodal.fakeDecode]] batch kernel (binary in →
+    * 16-bin L1-normalized byte histogram out) runs over each document's
+    * UTF-8 bytes — the driver tables ship no media column, so text bytes
+    * stand in as the opaque payload; schema, batching and the typed-map
+    * execution shape are exactly the media path's. x4 micro-units through a
+    * REAL cast on both sides (the kernel divides in Float). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val f = graft.multimodal.Multimodal.fakeDecode(text.getBytes("UTF-8"))
+        (id, f.map(v => math.round(v.toDouble * 10000.0)))
+      })
+      .toDF("doc_id", "hist_x4")
+      .orderBy("doc_id")
+  }
+
+  val mediaFeaturesSql: String =
+    """WITH n AS (SELECT doc_id, length(text)::BIGINT AS n FROM documents),
+      |x AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+      |      FROM documents, unnest(range(1, length(text)+1)) AS r(i)),
+      |c AS (SELECT doc_id, bin, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, CAST(b.i AS INTEGER) AS bin
+      |         FROM n, unnest(range(0, 16)) AS b(i)),
+      |v AS (SELECT g.doc_id, g.bin,
+      |        CAST(round(CAST(CAST(coalesce(c.c, 0) / greatest(n.n, 1) AS REAL) AS DOUBLE) * 10000) AS BIGINT) AS vx
+      |      FROM grid g JOIN n USING (doc_id)
+      |      LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.bin)
+      |SELECT doc_id, list(vx ORDER BY bin) AS hist_x4
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- DuckDB oracle SQL --------------------------------------------------
 
   private val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")

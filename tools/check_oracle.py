@@ -32,8 +32,20 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {gc} != {wc}")
         fails += 1
         continue
-    g = got[gc].sort_values(gc).reset_index(drop=True)
-    w = want[wc].sort_values(wc).reset_index(drop=True)
+
+    def canon(df):
+        # arrays/lists are unhashable for sort and compare element-type-
+        # sensitively; canonicalize object cells to a JSON string
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].apply(
+                    lambda v: json.dumps(v.tolist()) if hasattr(v, "tolist")
+                    else (json.dumps(v) if isinstance(v, (list, tuple))
+                          else str(v)))
+        return df
+    g = canon(got[gc]).sort_values(gc).reset_index(drop=True)
+    w = canon(want[wc]).sort_values(wc).reset_index(drop=True)
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} != {len(w)}")
         fails += 1
