@@ -33,19 +33,46 @@ import graft.dedup.Dedup
 object HashKernels {
 
   /** (131·h + byte) mod p over the UTF-8 bytes; "" → 0. */
-  def polyHash(s: UTF8String): Long = {
-    val bytes = s.getBytes
+  def polyHash(s: UTF8String): Long =
+    polyHashRange(s.getBytes, 0, s.numBytes())
+
+  /** The same fold over a byte RANGE — the allocation-free primitive every
+    * kernel below uses. Because `split(" ", -1)` partitions the string at
+    * every space byte, a token (and a space-joined shingle of adjacent
+    * tokens) is EXACTLY a byte range of the original text, so no token or
+    * shingle String ever needs to materialize: the signature kernels run
+    * zero-allocation over the text's own bytes (a byte array per row from
+    * UTF8String.getBytes when the row isn't array-backed — nothing
+    * per-token). */
+  private def polyHashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0L
-    var i = 0
-    while (i < bytes.length) {
+    var i = from
+    while (i < until) {
       h = (h * 131 + (bytes(i) & 0xff)) % Dedup.P
       i += 1
     }
     h
   }
 
-  private def splitTokens(text: UTF8String): Array[String] =
-    text.toString.split(" ", -1) // Spark split(text, " ") semantics
+  private val Space = ' '.toByte
+
+  /** Start offsets of the split(" ", -1) tokens of `bytes`, plus a
+    * sentinel n+1 entry; token k spans [starts(k), starts(k+1) − 1). */
+  private def tokenStarts(bytes: Array[Byte]): Array[Int] = {
+    var n = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == Space) n += 1; i += 1 }
+    val starts = new Array[Int](n + 1)
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == Space) { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(n) = bytes.length + 1 // sentinel: end of token k = starts(k+1)-1
+    starts
+  }
 
   private val MinA = Dedup.MinHashFns.map(_._2).toArray
   private val MinB = Dedup.MinHashFns.map(_._3).toArray
@@ -59,13 +86,16 @@ object HashKernels {
     * shingles) — callers filter on size, matching the relational formulation
     * where such docs simply have no signature row. */
   def minHashSig(text: UTF8String): ArrayData = {
-    val toks = splitTokens(text)
-    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes)
+    val nToks = starts.length - 1
+    if (nToks < 3) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill(MinA.length)(Long.MaxValue)
     var i = 0
-    while (i + 2 < toks.length) {
-      val sid = polyHash(UTF8String.fromString(
-        toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
+    while (i + 2 < nToks) {
+      // shingle i = bytes [starts(i), end of token i+2) — the exact
+      // space-joined representation
+      val sid = polyHashRange(bytes, starts(i), starts(i + 3) - 1)
       var h = 0
       while (h < mins.length) {
         val v = (MinA(h) * sid + MinB(h)) % Dedup.P
@@ -82,11 +112,13 @@ object HashKernels {
     * distinct terms, so this row-local pass is exactly the relational
     * tf-formulation the oracle uses. */
   def simHash(text: UTF8String): Long = {
-    val toks = splitTokens(text)
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes)
+    val nToks = starts.length - 1
     val s = new Array[Long](SimA.length)
     var i = 0
-    while (i < toks.length) {
-      val tid = polyHash(UTF8String.fromString(toks(i)))
+    while (i < nToks) {
+      val tid = polyHashRange(bytes, starts(i), starts(i + 1) - 1)
       var j = 0
       while (j < s.length) {
         s(j) += ((SimA(j) * tid + SimB(j)) % Dedup.P % 2) * 2 - 1
@@ -103,11 +135,14 @@ object HashKernels {
   /** Order-sensitive rolling fingerprint: h ← (31·h + polyHash(token)) mod
     * (10^9+7) over tokens in document order. */
   def fingerprint(text: UTF8String): Long = {
-    val toks = splitTokens(text)
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes)
+    val nToks = starts.length - 1
     var h = 0L
     var i = 0
-    while (i < toks.length) {
-      h = (h * 31 + polyHash(UTF8String.fromString(toks(i)))) % TextOps.HashP
+    while (i < nToks) {
+      h = (h * 31 + polyHashRange(bytes, starts(i), starts(i + 1) - 1)) %
+        TextOps.HashP
       i += 1
     }
     h
