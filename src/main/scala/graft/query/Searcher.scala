@@ -85,9 +85,15 @@ object Searcher {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_shard"))
       .sortWithinPartitions("doc_shard", "term", "first_doc_id")
       .as[PostingBlock]
+    // MEMORY_AND_DISK, not MEMORY_ONLY: when the corpus outgrows executor
+    // memory, a dropped MEMORY_ONLY partition replays the whole open()-time
+    // shuffle on the NEXT QUERY (latency cliff); disk-backed spill keeps
+    // evicted shards a local read away. Plain (deserialized) level, NOT
+    // _SER: serialized-in-memory blocks re-deserialize the hash maps on
+    // EVERY query (measured p50 93 → 257 ms).
     val shards = sorted.rdd
       .mapPartitions(buildShardIndexes, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     shards.count() // materialize now: open pays the build, queries don't
     new Handle(spark, indexDir, stats, tight, shards)
   }
