@@ -39,6 +39,7 @@ object SparkEntry {
     "q_ann_topk" -> PipelineQueries.annTopK _,
     "q_ann_pairs" -> PipelineQueries.annPairs _,
     "q_ann_lsh" -> PipelineQueries.annLsh _,
+    "q_ann_ivf" -> PipelineQueries.annIvf _,
     "q_web_lww" -> WebQueries.webLww _,
     "q_web_df" -> WebQueries.webDf _,
     "q_media_features" -> PipelineQueries.mediaFeatures _,
@@ -73,6 +74,7 @@ object SparkEntry {
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_pairs" -> PipelineQueries.annPairsSql,
     "q_ann_lsh" -> PipelineQueries.annLshSql,
+    "q_ann_ivf" -> PipelineQueries.annIvfSql,
     "q_web_lww" -> WebQueries.webLwwSql,
     "q_web_df" -> WebQueries.webDfSql,
     "q_media_features" -> PipelineQueries.mediaFeaturesSql,

@@ -60,6 +60,40 @@ object PipelineQueries {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(emb(spark, dir), AnnQueryVec, AnnK)
 
+  /** IVF-Flat ANN (deterministic cells from fixed-id centroids): same
+    * oracle gate as the LSH variant — the whole structure replays in SQL. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Ann.ivfTopK(emb(spark, dir), AnnQueryVec, AnnK)
+
+  val annIvfSql: String =
+    s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
+       |cx AS (SELECT vec_id AS cid, i, v FROM x WHERE vec_id < ${Ann.IvfCells}),
+       |cn AS (SELECT vec_id AS cid, nrm AS c_nrm FROM nrm WHERE vec_id < ${Ann.IvfCells}),
+       |ad AS (SELECT x.vec_id, cx.cid, sum(x.v * cx.v) AS dot
+       |       FROM x JOIN cx ON cx.i = x.i GROUP BY 1, 2),
+       |ac AS (SELECT ad.vec_id, ad.cid,
+       |         CAST(round(ad.dot / (n1.nrm * cn.c_nrm) * 1000000.0) AS BIGINT) AS a_cos
+       |       FROM ad JOIN nrm n1 ON n1.vec_id = ad.vec_id JOIN cn USING (cid)),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY a_cos DESC, cid ASC) AS rn
+       |         FROM ac) WHERE rn = 1),
+       |qcells AS (SELECT cid FROM ac WHERE vec_id = $AnnQueryVec
+       |           ORDER BY a_cos DESC, cid ASC LIMIT ${Ann.IvfProbe}),
+       |cand AS (SELECT vec_id FROM assigned JOIN qcells USING (cid)
+       |         WHERE vec_id <> $AnnQueryVec),
+       |qv AS (SELECT i, v FROM x WHERE vec_id = $AnnQueryVec),
+       |d AS (SELECT x.vec_id, sum(x.v * qv.v) AS dot
+       |      FROM x JOIN cand USING (vec_id) JOIN qv ON qv.i = x.i GROUP BY 1),
+       |c AS (SELECT d.vec_id,
+       |        CAST(round(d.dot / (n1.nrm * nq.nrm) * 1000000.0) AS BIGINT) AS cos_x6
+       |      FROM d JOIN nrm n1 USING (vec_id)
+       |      CROSS JOIN (SELECT nrm FROM nrm WHERE vec_id = $AnnQueryVec) nq(nrm))
+       |SELECT vec_id, cos_x6 FROM c ORDER BY cos_x6 DESC, vec_id ASC LIMIT $AnnK""".stripMargin
+
   /** Multimodal decode-kernel plumbing under the oracle gate: the REAL
     * [[graft.multimodal.Multimodal.fakeDecode]] batch kernel (binary in →
     * 16-bin L1-normalized byte histogram out) runs over each document's

@@ -108,6 +108,53 @@ object Ann {
     * (144 interpreted folds → one codegen'd loop). */
   def bucketsCol(emb: Column): Column = VecExpressions.lshBuckets(emb)
 
+  /** IVF parameters: C coarse cells, nprobe probed per query. */
+  val IvfCells = 8
+  val IvfProbe = 2
+
+  /** IVF-Flat ANN: coarse cells from C fixed "trained" centroids (the
+    * embeddings of vec_id < C — at 10^12 rows centroids come from an
+    * offline sample/training job; pinning them to fixed ids keeps the whole
+    * structure deterministic and oracle-replayable with no iterative
+    * k-means in the query). Ingest-side work is the linear |V|×C
+    * assignment scan against BROADCAST centroids (one narrow pass — the
+    * real IVF build shape); query-side work probes only the nprobe
+    * closest cells' members, then exact cosine top-k on those candidates.
+    * Assignment and probe order use micro-rounded cosines with centroid-id
+    * tiebreaks so both engines pick identical cells. */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val cents = emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("a_cos").desc, col("cid").asc)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        round(dot(col("embedding"), col("c_emb"))
+          / (col("nrm") * col("c_nrm")) * 1e6).cast("long").as("a_cos"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("vec_id", "embedding", "nrm", "cid")
+    val qCells = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), col("q_emb"), col("q_nrm"),
+        round(dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")) * 1e6).cast("long").as("q_cos"))
+      .orderBy(col("q_cos").desc, col("cid").asc)
+      .limit(IvfProbe)
+    assigned.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(qCells), "cid")
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("q_emb"))
+          / (col("nrm") * col("q_nrm")) * 1e6).cast("long").as("cos_x6"))
+      .orderBy(col("cos_x6").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: a candidate shares ≥1 of L sign-buckets with the
     * query; exact cosine on candidates only; top-k. Approximate by design
     * (recall asserted vs bruteTopK in PipelineSpec); at scale the bucket

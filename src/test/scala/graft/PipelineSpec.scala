@@ -31,6 +31,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall brute=$brute lsh=$lsh")
   }
 
+  test("IVF ANN: cells partition the corpus; probed top-k has recall vs brute") {
+    val brute = Ann.bruteTopK(emb, 0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Ann.ivfTopK(emb, 0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.nonEmpty)
+    // probing 2 of 8 cells: the query's own cell holds its near neighbours
+    val recall = (brute.keySet intersect ivf.keySet).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall brute=${brute.keySet} ivf=${ivf.keySet}")
+    // shared hits carry identical exact cosines
+    (brute.keySet intersect ivf.keySet).foreach(id =>
+      assert(brute(id) === ivf(id)))
+  }
+
   test("LSH hit scores match brute-force scores for shared vec_ids") {
     val brute = Ann.bruteTopK(emb, 0L, 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
