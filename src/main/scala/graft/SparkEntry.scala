@@ -43,6 +43,7 @@ object SparkEntry {
     "q_web_lww" -> WebQueries.webLww _,
     "q_web_df" -> WebQueries.webDf _,
     "q_media_features" -> PipelineQueries.mediaFeatures _,
+    "q_pipeline_clean" -> PipelineQueries.pipelineClean _,
     "q_rel_agg" -> RelQueries.relAgg _,
     "q_rel_join" -> RelQueries.relJoin _,
     "q_rel_window" -> RelQueries.relWindow _,
@@ -78,6 +79,7 @@ object SparkEntry {
     "q_web_lww" -> WebQueries.webLwwSql,
     "q_web_df" -> WebQueries.webDfSql,
     "q_media_features" -> PipelineQueries.mediaFeaturesSql,
+    "q_pipeline_clean" -> PipelineQueries.pipelineCleanSql,
     "q_rel_agg" -> RelQueries.relAggSql,
     "q_rel_join" -> RelQueries.relJoinSql,
     "q_rel_window" -> RelQueries.relWindowSql,

@@ -60,6 +60,48 @@ object PipelineQueries {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(emb(spark, dir), AnnQueryVec, AnnK)
 
+  val CleanMinTokens = 20
+  val CleanMinUniqX6 = 400000L
+
+  /** The composed training-data cleaning pipeline — the end-to-end shape
+    * the individual operators exist FOR: language gate ∧ quality gates ∧
+    * exact-dedup winner, in one declarative plan. Scale shape: lang/quality
+    * are row-local codegen kernels, the dedup winner is one groupBy (hash
+    * of the text bytes at 10^12 docs — min-doc-id-per-text here for the
+    * oracle), and the id joins co-partition on doc_id. Catalyst fuses the
+    * row-local gates into the scan-side stage. */
+  def pipelineClean(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val lang = TextOps.langId(d).select("doc_id", "pred_lang")
+    val qual = TextOps.quality(d)
+      .select("doc_id", "n_tokens", "uniq_ratio_x6")
+    val winners = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    d.select("doc_id")
+      .join(winners, "doc_id")
+      .join(lang, "doc_id")
+      .join(qual, "doc_id")
+      .filter(col("pred_lang") === "en" &&
+        col("n_tokens") >= CleanMinTokens &&
+        col("uniq_ratio_x6") >= CleanMinUniqX6)
+      .select("doc_id", "pred_lang", "n_tokens", "uniq_ratio_x6")
+      .orderBy("doc_id")
+  }
+
+  // lazy: embeds langIdSql/qualitySql, which initialize later in the object
+  lazy val pipelineCleanSql: String =
+    s"""WITH lang AS (SELECT * FROM ($langIdSql)),
+       |qual AS (SELECT * FROM ($qualitySql)),
+       |winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+       |SELECT d.doc_id, lang.pred_lang, qual.n_tokens, qual.uniq_ratio_x6
+       |FROM documents d
+       |JOIN winners USING (doc_id)
+       |JOIN lang USING (doc_id)
+       |JOIN qual USING (doc_id)
+       |WHERE pred_lang = 'en' AND n_tokens >= $CleanMinTokens
+       |  AND uniq_ratio_x6 >= $CleanMinUniqX6
+       |ORDER BY doc_id""".stripMargin
+
   /** IVF-Flat ANN (deterministic cells from fixed-id centroids): same
     * oracle gate as the LSH variant — the whole structure replays in SQL. */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
