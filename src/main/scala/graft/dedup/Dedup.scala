@@ -30,8 +30,13 @@ object Dedup {
   }
   val BandRows = 4 // 16 hashes → 4 bands of 4
 
-  /** 16 deterministic bit-hash functions for SimHash (j, a, b). */
-  val SimHashFns: Seq[(Int, Long, Long)] = (0 until 16).map { i =>
+  /** 32 deterministic bit-hash functions for SimHash (j, a, b). 32 bits
+    * (widened from 16 in round 2): on a Zipf-vocabulary corpus 16-bit
+    * fingerprints collide so heavily that hamming distance stops
+    * discriminating (3,508 identical-sig pairs among 500 docs measured);
+    * production simhash is 64-bit — 32 keeps every constant exactly
+    * replayable in the DuckDB oracle's BIGINT arithmetic with headroom. */
+  val SimHashFns: Seq[(Int, Long, Long)] = (0 until 32).map { i =>
     val a = (0x9e3779b97f4aL * (i + 3)) % P | 1L
     val b = (0x85ebca6bL * (i + 11)) % P
     (i, a, b)
@@ -138,7 +143,46 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** 16-bit SimHash fingerprint per doc over unigram term frequencies:
+  /** SimHash banding: 4 bands × 8 bits over the 32-bit fingerprint. */
+  val SimBands = 4
+  val SimBandBits = 8
+  /** Max hamming distance for near-dup pairs. d ≤ SimBands−1 differing bits
+    * can touch at most d bands, so at least one band matches — the banded
+    * candidate join is EXACT (full recall) for this threshold, not
+    * approximate. */
+  val SimHamMax = 3
+
+  /** SimHash near-dup pairs at hamming ≤ [[SimHamMax]]: band the 32-bit
+    * fingerprints (row-local kernel), join candidates on (band, value) —
+    * never the n² cross product — then exact popcount filter. Scale note:
+    * the same code shape extends to 64-bit/4×16-bit bands; 32 bits here
+    * keeps the fingerprint oracle-identical to [[simHash]]'s SQL replay. */
+  def simHashPairs(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.text.HashExpressions.simHash(col("text")).as("sig"))
+    val bandStructs = (0 until SimBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bv"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sig"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.sig").as("a_sig"), col("y.sig").as("b_sig"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(a_sig ^ b_sig) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= SimHamMax)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 32-bit SimHash fingerprint per doc over unigram term frequencies:
     * bit_j = [ Σ_t tf(t) · (2·((a_j·tid + b_j) mod p mod 2) − 1) > 0 ] with
     * tid = polyHash(term). Each token occurrence contributes ±1 per hash, so
     * the tf-weighted sum collapses to a row-local pass — one codegen kernel

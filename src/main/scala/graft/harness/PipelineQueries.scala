@@ -60,6 +60,25 @@ object PipelineQueries {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.lshTopK(emb(spark, dir), AnnQueryVec, AnnK)
 
+  /** SimHash near-dup pairs (exact at hamming ≤ 3 — see
+    * [[graft.dedup.Dedup.simHashPairs]]). */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(docs(spark, dir))
+
+  lazy val dedupSimhashPairsSql: String =
+    s"""WITH sigs AS (SELECT * FROM ($dedupSimhashSql)),
+       |bands AS (SELECT doc_id, simhash AS sig, b.i AS band,
+       |            (simhash >> (CAST(b.i AS INTEGER) * ${Dedup.SimBandBits}))
+       |              & ${(1L << Dedup.SimBandBits) - 1} AS bv
+       |          FROM sigs, unnest(range(0, ${Dedup.SimBands})) AS b(i)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |                x.sig AS a_sig, y.sig AS b_sig
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, bit_count(xor(a_sig, b_sig))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= ${Dedup.SimHamMax}
+       |ORDER BY a_id, b_id""".stripMargin
+
   val CleanMinTokens = 20
   val CleanMinUniqX6 = 400000L
 

@@ -107,7 +107,7 @@ object HashKernels {
     new GenericArrayData(mins.map(Long.box(_): Any))
   }
 
-  /** 16-bit SimHash over unigram occurrences: each token contributes
+  /** 32-bit SimHash over unigram occurrences: each token contributes
     * ±1 per hash — summing per occurrence equals the tf-weighted sum over
     * distinct terms, so this row-local pass is exactly the relational
     * tf-formulation the oracle uses. */

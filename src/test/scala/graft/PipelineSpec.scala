@@ -73,7 +73,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(near.nonEmpty)
     for ((a, b) <- near) {
       val ham = java.lang.Long.bitCount(fp(a) ^ fp(b))
-      assert(ham <= 4, s"docs $a,$b jac>=0.8 but hamming $ham")
+      // 32-bit fingerprints: near-identical docs stay in the low quarter
+      // of the bit width (the 16-bit threshold was 4)
+      assert(ham <= 8, s"docs $a,$b jac>=0.8 but hamming $ham")
     }
   }
 
