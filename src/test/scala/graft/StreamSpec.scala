@@ -165,3 +165,52 @@ class StreamSpec extends AnyFunSuite {
 object StreamSpec {
   val Big = 1000000L
 }
+
+/** Compactor crash-recovery: the swap is two renames; a crash between them
+  * leaves live absent — recovery must adopt a COMPLETE side build and fall
+  * back to the original otherwise. */
+class CompactorRecoverySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val cfg = PostingsBuilder.Config(shardSize = 256)
+  private def root = s"${sys.props("user.dir")}/target/test-compact-recover"
+  private def docsRange(lo: Long, hi: Long) = {
+    import spark.implicits._
+    val big = StreamSpec.Big
+    spark.range(lo, hi, 1, 4).mapPartitions(_.map(i =>
+      WebtextGen.rowFor(i, big))).toDF()
+  }
+
+  test("interrupted swap with an INCOMPLETE side build restores the original") {
+    new TableIO(root).deleteAll()
+    val idx = s"$root/a"
+    WebIndex.build(spark, docsRange(0, 300), idx, cfg)
+    val n0 = spark.read.parquet(s"$idx/doc_map").count()
+    // crash state: live moved aside, side build half-written (no manifest)
+    Files.move(Paths.get(idx), Paths.get(s"$idx.old"))
+    Files.createDirectories(Paths.get(s"$idx.compact/postings"))
+    assert(!Compactor.compact(spark, idx, cfg)) // nothing active after recovery
+    assert(Files.exists(Paths.get(idx)) && !Files.exists(Paths.get(s"$idx.old")))
+    assert(spark.read.parquet(s"$idx/doc_map").count() === n0)
+    assert(Searcher.search(spark, idx, Seq(1 -> "w1 w2"), 5).count() > 0)
+  }
+
+  test("interrupted swap with a COMPLETE side build adopts it") {
+    val idx = s"$root/b"
+    new TableIO(idx).deleteAll()
+    new TableIO(s"$idx.compact").deleteAll()
+    WebIndex.build(spark, docsRange(0, 300), idx, cfg) // the pre-compact index
+    WebIndex.build(spark, docsRange(0, 500), s"$idx.compact", cfg) // finished rebuild
+    Files.move(Paths.get(idx), Paths.get(s"$idx.old"))
+    assert(!Compactor.compact(spark, idx, cfg))
+    assert(Files.exists(Paths.get(idx)) && !Files.exists(Paths.get(s"$idx.old")))
+    assert(!Files.exists(Paths.get(s"$idx.compact")))
+    // the adopted index is the 500-doc rebuild
+    assert(spark.read.parquet(s"$idx/doc_map").count() === 500)
+  }
+}
