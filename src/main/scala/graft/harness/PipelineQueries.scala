@@ -161,17 +161,22 @@ object PipelineQueries {
     * UTF-8 bytes — the driver tables ship no media column, so text bytes
     * stand in as the opaque payload; schema, batching and the typed-map
     * execution shape are exactly the media path's. x4 micro-units through a
-    * REAL cast on both sides (the kernel divides in Float). */
+    * REAL cast on both sides (the kernel divides in Float). Output is one
+    * scalar row per (doc, bin) — the histogram is exploded rather than
+    * emitted as an array column, because the driver's oracle gate sorts
+    * result frames with pandas and array cells are unsortable there. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir).select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
+      .mapPartitions(_.flatMap { case (id, text) =>
         val f = graft.multimodal.Multimodal.fakeDecode(text.getBytes("UTF-8"))
-        (id, f.map(v => math.round(v.toDouble * 10000.0)))
+        f.iterator.zipWithIndex.map { case (v, bin) =>
+          (id, bin, math.round(v.toDouble * 10000.0))
+        }
       })
-      .toDF("doc_id", "hist_x4")
-      .orderBy("doc_id")
+      .toDF("doc_id", "bin", "vx")
+      .orderBy("doc_id", "bin")
   }
 
   val mediaFeaturesSql: String =
@@ -180,20 +185,20 @@ object PipelineQueries {
       |      FROM documents, unnest(range(1, length(text)+1)) AS r(i)),
       |c AS (SELECT doc_id, bin, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
       |grid AS (SELECT doc_id, CAST(b.i AS INTEGER) AS bin
-      |         FROM n, unnest(range(0, 16)) AS b(i)),
-      |v AS (SELECT g.doc_id, g.bin,
-      |        CAST(round(CAST(CAST(coalesce(c.c, 0) / greatest(n.n, 1) AS REAL) AS DOUBLE) * 10000) AS BIGINT) AS vx
-      |      FROM grid g JOIN n USING (doc_id)
-      |      LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.bin)
-      |SELECT doc_id, list(vx ORDER BY bin) AS hist_x4
-      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |         FROM n, unnest(range(0, 16)) AS b(i))
+      |SELECT g.doc_id, g.bin,
+      |       CAST(round(CAST(CAST(coalesce(c.c, 0) / greatest(n.n, 1) AS REAL) AS DOUBLE) * 10000) AS BIGINT) AS vx
+      |FROM grid g JOIN n USING (doc_id)
+      |LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.bin
+      |ORDER BY g.doc_id, g.bin""".stripMargin
 
   // ---- DuckDB oracle SQL --------------------------------------------------
 
   private val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
 
-  /** Polynomial byte hash h←(131·h+byte) mod p as a DuckDB char fold —
-    * byte-identical to [[graft.text.HashKernels.polyHash]] on ASCII text. */
+  /** Polynomial codepoint hash h←(131·h+cp) mod p as a DuckDB char fold —
+    * identical to [[graft.text.HashKernels.polyHash]] for any valid UTF-8
+    * input (both fold codepoints; KernelSpec pins the non-ASCII cases). */
   private def ph(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($c)+1), " +
       s"i -> CAST(ascii(substr($c, CAST(i AS INT), 1)) AS BIGINT))), (h, c2) -> (h*131 + c2) % ${Dedup.P})"

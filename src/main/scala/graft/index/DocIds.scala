@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dense docID assignment without a global sort (SURVEY §2.7): the
@@ -44,13 +44,23 @@ object DocIds {
   }
 
   /** Pure projection: doc_id = offsets(_mid >> 33) + (_mid & mask). No
-    * joins, no extra jobs — the offsets map is partition-count-sized. */
+    * joins, no extra jobs — the offsets map is partition-count-sized, and
+    * the lookup is an O(1) index into an array LITERAL (offsets laid out
+    * dense over 0..maxPid; writer-partition ids are small ints), so the id
+    * projection stays inside whole-stage codegen — a Scala UDF here would
+    * break codegen for the whole downstream projection. */
   def resolveWith(staged: DataFrame, offs: Map[Long, Long],
                   idCol: String = "doc_id"): DataFrame = {
-    val lookup = udf((pid: Long) => offs(pid))
+    val maxPid = if (offs.isEmpty) 0L else offs.keys.max
+    require(maxPid < 1000000, s"writer partition id $maxPid too large for a literal offset table")
+    // gaps (writer partitions that produced zero rows) never occur in the
+    // data, so their slots can hold anything; 0 keeps the literal simple
+    val dense: IndexedSeq[Column] =
+      (0L to maxPid).map(pid => lit(offs.getOrElse(pid, 0L)))
     staged
       .withColumn(idCol,
-        lookup(shiftright(col(MidCol), 33).cast("long")) +
+        element_at(array(dense: _*),
+          (shiftright(col(MidCol), 33) + lit(1)).cast("int")) +
           col(MidCol).bitwiseAND(lit(PosMask)))
       .drop(MidCol)
   }

@@ -63,6 +63,11 @@ object PostingsBuilder {
         * by docs keeps per-task memory flat at any corpus size — the same
         * rule a 1000-executor cluster needs. */
       invertPartitionDocs: Long = 16384,
+      /** Cadence of the live docs/sec progress signal (reference S14:
+        * every 100k docs below 1M, then every 1M —
+        * elastic/elastic.go:175-176): marks every `progressEvery` docs up
+        * to 10×, then every 10×. 0 disables. */
+      progressEvery: Long = 100000L,
       /** test hook: simulate a crash after committing group g */
       failAfterGroup: Option[Int] = None)
 
@@ -91,10 +96,14 @@ object PostingsBuilder {
 
   /** Build the postings index. `concurrentSteps` (e.g. the caller's doc_map
     * write) run in parallel with the postings stage — they may depend on
-    * any table staged BEFORE postings (doc_terms, stats). */
+    * any table staged BEFORE postings (doc_terms, stats). `docTermFn` maps
+    * the input corpus to the per-doc (doc_id, dl, tfs[]) relation — the
+    * default analyzes a `text` column with the stopword chain; fielded
+    * builds ([[FieldedIndex]]) pass a chain-specific variant. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
             cfg: Config = Config(),
-            concurrentSteps: Seq[(String, () => Unit)] = Nil): TableIO = {
+            concurrentSteps: Seq[(String, () => Unit)] = Nil,
+            docTermFn: DataFrame => DataFrame = TextIndex.docTermFreqs): TableIO = {
     import spark.implicits._
     val io = new TableIO(indexDir)
     // idempotent re-run: complete only when FinalStep AND every concurrent
@@ -113,8 +122,27 @@ object PostingsBuilder {
     // projection of this staged table (IndexTables.docLens), so
     // materializing it again would only add a step barrier.
     io.step("doc_terms") {
-      TextIndex.docTermFreqs(docs)
-        .write.mode("overwrite").parquet(io.tablePath("doc_terms"))
+      // live cadence (reference S14): rows written by this stage == docs
+      // analyzed, so the listener's output-record counter is the exact
+      // per-doc progress stream; the interval rows land as the `progress`
+      // table next to lineage (the metrics story), the lines on stderr.
+      val reporter =
+        if (cfg.progressEvery > 0)
+          Some(new graft.meta.ProgressReporter(cfg.progressEvery,
+            cfg.progressEvery * 10, cfg.progressEvery * 10))
+        else None
+      reporter.foreach(spark.sparkContext.addSparkListener)
+      try {
+        docTermFn(docs)
+          .write.mode("overwrite").parquet(io.tablePath("doc_terms"))
+        reporter.foreach { r =>
+          org.apache.spark.sql.graftbridge.Bridge
+            .drainListenerBus(spark.sparkContext)
+          if (r.intervals.nonEmpty)
+            spark.createDataFrame(r.intervals)
+              .write.mode("overwrite").parquet(io.tablePath("progress"))
+        }
+      } finally reporter.foreach(spark.sparkContext.removeSparkListener)
     }
     val docTerms = spark.read.parquet(io.tablePath("doc_terms"))
 
@@ -125,7 +153,10 @@ object PostingsBuilder {
       TextIndex.corpusStats(docTerms.select(col("doc_id"), col("dl")))
         .write.mode("overwrite").parquet(io.tablePath("stats"))
     }
+    // na.fill: an EMPTY corpus (legal for a fielded build whose field has
+    // no values anywhere) aggregates avg/sum to null — decode as zeros
     val stats = spark.read.parquet(io.tablePath("stats"))
+      .na.fill(0.0, Seq("avgdl")).na.fill(0L, Seq("total_dl"))
       .as[CorpusStats].head()
 
     // Every other derivation OVERLAPS the heavy postings stage below

@@ -32,12 +32,12 @@ import graft.web.WebIndex
   * `compact_e<maxEpoch>` (so readers retire those segments from the active
   * set — their tables are now IN the base). Crash-safety: everything builds
   * under `<dir>.compact` and the swap is two directory renames; a crash
-  * before the second rename leaves the original directory live (a stale
-  * `.compact` is deleted and rebuilt on retry), and the only
-  * non-atomic window — between the two renames — is closed by [[open]]-time
-  * recovery being unnecessary: rename #1 moves the OLD dir aside only after
-  * the new one is fully built, so retry-after-crash completes the swap by
-  * observing `<dir>.old` present and `<dir>` absent. */
+  * before the first rename leaves the original directory live (a stale
+  * `.compact` is deleted and rebuilt on retry), and the two windows inside
+  * the swap — between the renames, and between the second rename and the
+  * old-tree delete — are closed by [[finishInterruptedSwap]], which every
+  * index entry point (compact, searcher open, streamed ingest, batch build)
+  * runs first. */
 object Compactor {
 
   /** Fold all active streamed segments into a fresh base. Returns true if a
@@ -83,9 +83,23 @@ object Compactor {
     true
   }
 
-  /** Complete the rename pair if a previous compaction crashed between the
-    * two moves (old moved aside, new not yet moved in). */
-  private def finishInterruptedSwap(indexDir: String): Unit = {
+  /** Crash recovery for the swap's non-atomic windows — idempotent, cheap
+    * (two stats on the happy path), and run from EVERY index entry point
+    * ([[compact]], [[graft.query.Searcher.open]],
+    * [[IncrementalIndexer.ingestBatch]],
+    * [[graft.web.WebIndex.buildFromCorpus]]), not just the next
+    * compaction: a crash between the two renames must not make the index
+    * unreadable until someone happens to compact again.
+    *
+    *  - live absent, `.old` present: the crash hit between the renames.
+    *    Roll FORWARD if the side build is complete (move it in, drop
+    *    `.old`), otherwise roll BACK (restore `.old`).
+    *  - live present, `.old` present: the crash hit after the second
+    *    rename but before the old tree was deleted. The leftover `.old`
+    *    is always post-swap garbage — delete it, or the next compaction's
+    *    `Files.move(live, old, ATOMIC_MOVE)` fails on the non-empty
+    *    target and compaction is blocked forever. */
+  def finishInterruptedSwap(indexDir: String): Unit = {
     val live = Paths.get(indexDir)
     val tmp = Paths.get(s"$indexDir.compact")
     val old = Paths.get(s"$indexDir.old")
@@ -97,6 +111,8 @@ object Compactor {
       } else {
         Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
       }
+    } else if (Files.exists(live) && Files.exists(old)) {
+      new TableIO(old.toString).deleteAll()
     }
   }
 }

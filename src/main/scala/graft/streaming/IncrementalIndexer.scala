@@ -39,6 +39,7 @@ object IncrementalIndexer {
   def ingestBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                   batchId: Long, cfg: PostingsBuilder.Config): Unit = {
     import spark.implicits._
+    Compactor.finishInterruptedSwap(indexDir) // mid-swap crash ⇒ recover first
     val io = new TableIO(indexDir)
     val step = s"stream_g$batchId"
     if (io.committedSteps().contains(step)) return // replay past commit → no-op

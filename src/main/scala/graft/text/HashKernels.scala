@@ -14,7 +14,7 @@ import graft.dedup.Dedup
 /** Data-derived ids and row-local signature kernels for the dedup /
   * fingerprint operators.
   *
-  * The id function is a polynomial byte hash `h ← (131·h + byte) mod p`
+  * The id function is a polynomial codepoint hash `h ← (131·h + cp) mod p`
   * (p = 2^31−1) — chosen over xxhash64 because it is expressible verbatim in
   * the DuckDB oracle (a char fold), so BOTH engines derive the identical id
   * from the shingle/term bytes with NO dictionary: no driver-side vocabulary
@@ -26,30 +26,46 @@ import graft.dedup.Dedup
   * Built on the hash, the three signature kernels are fully row-local (one
   * text in → signature out, inside whole-stage codegen), so the dedup
   * pipelines shuffle only candidate pairs, never token or dictionary
-  * relations. Byte-vs-char note: ids hash UTF-8 bytes; the oracle hashes
-  * codepoints via ascii() — identical on the ASCII `documents` corpus
-  * (asserted by the oracle gate).
+  * relations. The fold is over CODEPOINTS (decoded inline from the UTF-8
+  * bytes, still allocation-free): the oracle's `ascii(substr(c, i, 1))`
+  * yields the i-th character's codepoint, so the two folds agree on ALL
+  * valid-UTF-8 text, not just the ASCII corpus (non-ASCII agreement is
+  * asserted in KernelSpec against a String.codePoints reference).
   */
 object HashKernels {
 
-  /** (131·h + byte) mod p over the UTF-8 bytes; "" → 0. */
+  /** (131·h + codepoint) mod p over the string's codepoints; "" → 0. */
   def polyHash(s: UTF8String): Long =
     polyHashRange(s.getBytes, 0, s.numBytes())
 
   /** The same fold over a byte RANGE — the allocation-free primitive every
     * kernel below uses. Because `split(" ", -1)` partitions the string at
-    * every space byte, a token (and a space-joined shingle of adjacent
-    * tokens) is EXACTLY a byte range of the original text, so no token or
-    * shingle String ever needs to materialize: the signature kernels run
+    * every space byte (0x20 never occurs inside a multi-byte UTF-8
+    * sequence), a token (and a space-joined shingle of adjacent tokens) is
+    * EXACTLY a byte range of the original text, so no token or shingle
+    * String ever needs to materialize: the signature kernels run
     * zero-allocation over the text's own bytes (a byte array per row from
     * UTF8String.getBytes when the row isn't array-backed — nothing
-    * per-token). */
+    * per-token). Codepoints are decoded inline (ASCII bytes take the
+    * one-branch fast path); input must be valid UTF-8, which Spark's
+    * UTF8String guarantees for string columns. */
   private def polyHashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0L
     var i = from
     while (i < until) {
-      h = (h * 131 + (bytes(i) & 0xff)) % Dedup.P
-      i += 1
+      val b0 = bytes(i) & 0xff
+      var cp = b0
+      if (b0 < 0x80) i += 1
+      else if ((b0 & 0xe0) == 0xc0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      }
+      h = (h * 131 + cp) % Dedup.P
     }
     h
   }

@@ -59,6 +59,7 @@ object WebIndex {
   def buildFromCorpus(spark: SparkSession, corpus: DataFrame, indexDir: String,
                       cfg: PostingsBuilder.Config,
                       keyCol: String = "url"): TableIO = {
+    graft.streaming.Compactor.finishInterruptedSwap(indexDir)
     val io = new TableIO(indexDir)
     PostingsBuilder.ensureFormat(io) // stale-codec caches rebuild, not serve
     if (io.isComplete("doc_map") && io.isComplete(PostingsBuilder.FinalStep))

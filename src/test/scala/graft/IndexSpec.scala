@@ -109,6 +109,24 @@ class IndexSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("progress cadence: interval rows every N docs during the stage") {
+    val dir = freshDir("progress")
+    // 500 docs at a 100-doc cadence → marks 100..500 (switchAt = 10× is
+    // never reached at this scale); every mark gets exactly one row
+    PostingsBuilder.build(spark, TextQueries.docs(spark, sf), dir,
+      buildCfg.copy(progressEvery = 100))
+    val rows = spark.read.parquet(s"$dir/progress").orderBy("mark").collect()
+    assert(rows.map(_.getAs[Long]("mark")).toSeq === Seq(100L, 200L, 300L, 400L, 500L))
+    for (r <- rows) {
+      assert(r.getAs[Long]("docs") >= r.getAs[Long]("mark"))
+      assert(r.getAs[Long]("elapsed_ms") >= 1L)
+      assert(r.getAs[Double]("docs_per_sec") > 0.0)
+    }
+    // cumulative counts are monotone in mark order
+    val ds = rows.map(_.getAs[Long]("docs")).toSeq
+    assert(ds === ds.sorted)
+  }
+
   test("lineage rows carry doc ranges, bytes and wall time per shard") {
     val dir = freshDir("lineage")
     PostingsBuilder.build(spark, TextQueries.docs(spark, sf), dir, buildCfg)

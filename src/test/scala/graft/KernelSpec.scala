@@ -85,13 +85,20 @@ class KernelSpec extends AnyFunSuite {
 
   // ---- HashKernels: row-local dedup/fingerprint signature kernels --------
 
+  // codepoint fold — what the DuckDB oracle's ascii(substr(c,i,1)) char
+  // fold computes for ANY input, not just ASCII (ADVICE r2: the former
+  // byte fold silently diverged from the oracle on non-ASCII text)
   private def refPolyHash(s: String): Long =
-    s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % Dedup.P)
+    s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 131 + cp) % Dedup.P)
 
-  test("HashKernels.polyHash == byte-fold reference") {
+  test("HashKernels.polyHash == codepoint-fold reference (incl. non-ASCII)") {
     check("polyHash", Prop.forAll(textGen) { text =>
       HashKernels.polyHash(UTF8String.fromString(text)) == refPolyHash(text)
     })
+    // pin each UTF-8 width explicitly: 2-byte (é), 3-byte (€), 4-byte (😀)
+    for (s <- Seq("é", "€", "😀", "Åström naïve 😀€"))
+      assert(HashKernels.polyHash(UTF8String.fromString(s)) == refPolyHash(s),
+        s"codepoint fold diverged on '$s'")
   }
 
   test("HashKernels.minHashSig == per-shingle affine-min reference") {

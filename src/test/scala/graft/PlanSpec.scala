@@ -80,6 +80,19 @@ class PlanSpec extends AnyFunSuite {
       s"a dictionary window crept back into the dedup path:\n$p")
   }
 
+  test("DocIds.resolveWith stays in codegen — no ScalaUDF in the id projection") {
+    import org.apache.spark.sql.functions._
+    val staged = graft.index.DocIds.tag(
+      spark.read.parquet(s"$sf/documents.parquet").select(col("text")))
+    val resolved = graft.index.DocIds.resolve(staged, "doc_id")
+    val p = planString(resolved)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"offset lookup fell out of codegen:\n$p")
+    // and ids are still dense 0..n-1
+    val ids = resolved.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until ids.length).toSeq)
+  }
+
   test("docLens view prunes the doc_terms scan to (doc_id, dl)") {
     // build a tiny index, then check the projection reaches the scan
     val dir = s"${sys.props("user.dir")}/target/plan-idx"

@@ -213,4 +213,41 @@ class CompactorRecoverySpec extends AnyFunSuite {
     // the adopted index is the 500-doc rebuild
     assert(spark.read.parquet(s"$idx/doc_map").count() === 500)
   }
+
+  test("mid-swap crash: a plain Searcher.open (no compaction) recovers and serves") {
+    // ADVICE r2: recovery must run at EVERY entry, not only inside
+    // compact() — an index left in the between-renames window would
+    // otherwise be unopenable until someone happened to compact it again.
+    val idx = s"$root/c"
+    new TableIO(idx).deleteAll()
+    new TableIO(s"$idx.compact").deleteAll()
+    WebIndex.build(spark, docsRange(0, 300), idx, cfg)
+    WebIndex.build(spark, docsRange(0, 500), s"$idx.compact", cfg)
+    Files.move(Paths.get(idx), Paths.get(s"$idx.old"))
+    // no compact() — the serving path itself must finish the swap
+    val hits = Searcher.search(spark, idx, Seq(1 -> "w1 w2"), 5)
+    assert(hits.count() > 0)
+    assert(Files.exists(Paths.get(idx)) && !Files.exists(Paths.get(s"$idx.old")))
+    assert(spark.read.parquet(s"$idx/doc_map").count() === 500)
+  }
+
+  test("post-swap crash leaves a stale .old: recovery deletes it, compaction unblocks") {
+    // ADVICE r2: a crash after the second rename but before the old-tree
+    // delete leaves '<dir>.old' next to a live index; the next compact()'s
+    // Files.move(live, old, ATOMIC_MOVE) would fail on the non-empty
+    // target forever. Recovery treats .old-next-to-live as garbage.
+    val idx = s"$root/d"
+    new TableIO(idx).deleteAll()
+    new TableIO(s"$idx.old").deleteAll()
+    WebIndex.build(spark, docsRange(0, 300), idx, cfg)
+    // an active streamed segment so compact() actually runs a swap
+    IncrementalIndexer.ingestBatch(spark, docsRange(1000, 1100), idx, 0L, cfg)
+    // stale garbage from a previous post-swap crash
+    Files.createDirectories(Paths.get(s"$idx.old/postings"))
+    Files.writeString(Paths.get(s"$idx.old/postings/junk"), "stale")
+    assert(Compactor.compact(spark, idx, cfg)) // must not be blocked
+    assert(!Files.exists(Paths.get(s"$idx.old")))
+    assert(spark.read.parquet(s"$idx/doc_map").count() === 400)
+    assert(Searcher.search(spark, idx, Seq(1 -> "w1 w2"), 5).count() > 0)
+  }
 }

@@ -33,19 +33,18 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
 
-    def canon(df):
-        # arrays/lists are unhashable for sort and compare element-type-
-        # sensitively; canonicalize object cells to a JSON string
-        df = df.copy()
-        for c in df.columns:
-            if df[c].dtype == object:
-                df[c] = df[c].apply(
-                    lambda v: json.dumps(v.tolist()) if hasattr(v, "tolist")
-                    else (json.dumps(v) if isinstance(v, (list, tuple))
-                          else str(v)))
-        return df
-    g = canon(got[gc]).sort_values(gc).reset_index(drop=True)
-    w = canon(want[wc]).sort_values(wc).reset_index(drop=True)
+    # NO canonicalization of array cells: the driver's gate sorts raw
+    # frames with pandas and THROWS on array columns (unhashable ndarray).
+    # This replica must fail the same way, or a non-scalar output shape
+    # passes locally and errors in the driver (exactly the r2 q_media_features
+    # miss). Queries must emit scalar columns only.
+    try:
+        g = got[gc].sort_values(gc).reset_index(drop=True)
+        w = want[wc].sort_values(wc).reset_index(drop=True)
+    except TypeError as e:
+        print(f"FAIL {name}: unsortable (non-scalar?) column: {e}")
+        fails += 1
+        continue
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} != {len(w)}")
         fails += 1
