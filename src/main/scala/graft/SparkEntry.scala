@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.harness.{Oracle, PipelineQueries, QuerySet, RelQueries, TextQueries, WebQueries}
+import graft.harness.{FieldedQueries, Oracle, PipelineQueries, QuerySet, RelQueries, TextQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every operator claimed done in SURVEY.md §2 has a `queries` entry; the
@@ -49,6 +49,10 @@ object SparkEntry {
     "q_rel_join" -> RelQueries.relJoin _,
     "q_rel_window" -> RelQueries.relWindow _,
     "q_rel_sessionize" -> RelQueries.relSessionize _,
+    "q_rel_minsupp" -> RelQueries.relMinSupp _,
+    "q_field_doi" -> FieldedQueries.fieldDoi _,
+    "q_field_year" -> FieldedQueries.fieldYear _,
+    "q_bm25_title" -> FieldedQueries.bm25Title _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,5 +90,9 @@ object SparkEntry {
     "q_rel_join" -> RelQueries.relJoinSql,
     "q_rel_window" -> RelQueries.relWindowSql,
     "q_rel_sessionize" -> RelQueries.relSessionizeSql,
+    "q_rel_minsupp" -> RelQueries.relMinSuppSql,
+    "q_field_doi" -> FieldedQueries.fieldDoiSql,
+    "q_field_year" -> FieldedQueries.fieldYearSql,
+    "q_bm25_title" -> FieldedQueries.bm25TitleSql,
   )
 }

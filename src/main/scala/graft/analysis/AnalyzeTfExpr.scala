@@ -56,6 +56,12 @@ object AnalyzeTfExpr {
   /** Static entry the generated code calls. */
   def analyzeTf(s: UTF8String): InternalRow = {
     val (dl, counts) = Analyzer.analyzeStopCounts(s.toString)
+    toRow(dl, counts)
+  }
+
+  /** (dl, term→tf sorted map) → struct<dl, tfs> InternalRow. */
+  private[analysis] def toRow(dl: Int,
+      counts: java.util.TreeMap[String, Int]): InternalRow = {
     val arr = new Array[Any](counts.size)
     var j = 0
     val it = counts.entrySet().iterator()
@@ -71,4 +77,55 @@ object AnalyzeTfExpr {
   /** Column API. */
   def analyzeTf(c: Column): Column =
     Bridge.column(AnalyzeTfExpr(Bridge.expression(c)))
+}
+
+/** Fused per-field analyze + tf over a MULTI-VALUED field:
+  * `array<string> → struct<dl, tfs>` under one of the four analyzer chains
+  * ([[Analyzer.Chains]]) — the per-field twin of [[AnalyzeTfExpr]], carrying
+  * the reference's ES array-field semantics (values concatenate into one
+  * token stream; keyword chains emit one token per non-empty value —
+  * elastic/settings.go:87-138). Row-local like its twin: per-field tf/dl
+  * never shuffles a token relation. */
+case class FieldTfExpr(child: Expression, kind: String) extends UnaryExpression {
+  require(Analyzer.Chains.contains(kind), s"unknown analyzer chain: $kind")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_field_tf requires array<string>, got $dt")
+  }
+
+  override def dataType: DataType = AnalyzeTfExpr.OutType
+  override def prettyName: String = s"graft_field_tf_$kind"
+
+  override def nullSafeEval(input: Any): Any =
+    FieldTfExpr.analyzeTf(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // kind ∈ Chains (identifiers only), so embedding it as a literal is safe
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.analysis.FieldTfExpr.analyzeTf($c, "$kind")""")
+
+  override protected def withNewChildInternal(newChild: Expression): FieldTfExpr =
+    copy(child = newChild)
+}
+
+object FieldTfExpr {
+
+  /** Static entry the generated code calls: fold every non-null value of
+    * the array into one (dl, tf) row under the chain. */
+  def analyzeTf(vals: org.apache.spark.sql.catalyst.util.ArrayData,
+      kind: String): InternalRow = {
+    val n = vals.numElements()
+    val it = (0 until n).iterator
+      .filterNot(vals.isNullAt)
+      .map(i => vals.getUTF8String(i).toString)
+    val (dl, counts) = Analyzer.chainCounts(kind, it)
+    AnalyzeTfExpr.toRow(dl, counts)
+  }
+
+  /** Column API. */
+  def analyzeTf(c: Column, kind: String): Column =
+    Bridge.column(FieldTfExpr(Bridge.expression(c), kind))
 }

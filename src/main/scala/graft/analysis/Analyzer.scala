@@ -120,7 +120,15 @@ object Analyzer extends Serializable {
     * Returns (dl = kept-token count, term → tf sorted map). */
   def analyzeStopCounts(text: String): (Int, java.util.TreeMap[String, Int]) = {
     val counts = new java.util.TreeMap[String, Int]()
-    if (text == null || text.isEmpty) return (0, counts)
+    (countInto(text, EnglishStop, counts), counts)
+  }
+
+  /** The fused counting loop, adding into an existing map (so multi-valued
+    * fields accumulate one token stream across values, the ES array
+    * semantics). Returns the number of kept tokens added. */
+  private[analysis] def countInto(text: String, stop: Set[String],
+      counts: java.util.TreeMap[String, Int]): Int = {
+    if (text == null || text.isEmpty) return 0
     val bi = biCache.get()
     bi.setText(text)
     var dl = 0
@@ -150,7 +158,7 @@ object Analyzer extends Serializable {
             }
             new String(arr)
           } else fold(text.substring(start, end).toLowerCase(Locale.ROOT))
-        if (!EnglishStop.contains(tok)) {
+        if (!stop.contains(tok)) {
           dl += 1
           counts.merge(tok, 1, (a, b) => a + b)
         }
@@ -158,7 +166,7 @@ object Analyzer extends Serializable {
       start = end
       end = bi.next()
     }
-    (dl, counts)
+    dl
   }
 
   /** `case_insensitive_keyword` chain (settings.go:64-68): whole string is one
@@ -169,4 +177,54 @@ object Analyzer extends Serializable {
   /** `case_insensitive_folding_keyword` chain (settings.go:69-73). */
   def analyzeKeywordFold(text: String): String =
     if (text == null) null else fold(text.toLowerCase(Locale.ROOT))
+
+  // ---- Chain registry (the reference's four analyzers, settings.go:63-84,
+  // addressable by id so field mappings are plain data) --------------------
+
+  val Keyword = "keyword" //             keyword tokenizer + lowercase
+  val KeywordFold = "keyword_fold" //    keyword + lowercase + asciifolding
+  val Text = "text" //                   standard + lowercase + asciifolding
+  val TextStop = "text_stop" //          text + `_english_` stop filter
+  val Chains: Set[String] = Set(Keyword, KeywordFold, Text, TextStop)
+
+  /** Query-side analysis under a chain: the token stream a query string
+    * produces against a field indexed with that chain (rank-identity
+    * precondition — same function both sides). Keyword chains yield the
+    * whole string as one token; empty/null yields none. */
+  def analyzeChain(kind: String, q: String): Array[String] = kind match {
+    case Keyword =>
+      if (q == null || q.isEmpty) Array.empty else Array(analyzeKeyword(q))
+    case KeywordFold =>
+      if (q == null || q.isEmpty) Array.empty else Array(analyzeKeywordFold(q))
+    case Text => analyze(q)
+    case TextStop => analyzeStop(q)
+    case other => throw new IllegalArgumentException(s"unknown analyzer chain: $other")
+  }
+
+  /** Index-side counting under a chain over a MULTI-VALUED field (ES array
+    * semantics: values concatenate into one token stream; for keyword
+    * chains each non-empty value is one token). Returns (dl, term→tf). */
+  def chainCounts(kind: String, values: Iterator[String])
+      : (Int, java.util.TreeMap[String, Int]) = {
+    val counts = new java.util.TreeMap[String, Int]()
+    var dl = 0
+    kind match {
+      case Keyword | KeywordFold =>
+        val fold = kind == KeywordFold
+        values.foreach { v =>
+          if (v != null && v.nonEmpty) {
+            val tok = if (fold) analyzeKeywordFold(v) else analyzeKeyword(v)
+            counts.merge(tok, 1, (a, b) => a + b)
+            dl += 1
+          }
+        }
+      case Text =>
+        values.foreach(v => dl += countInto(v, Set.empty, counts))
+      case TextStop =>
+        values.foreach(v => dl += countInto(v, EnglishStop, counts))
+      case other =>
+        throw new IllegalArgumentException(s"unknown analyzer chain: $other")
+    }
+    (dl, counts)
+  }
 }

@@ -4,17 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.extract.CrossrefReader
-import graft.index.PostingsBuilder
+import graft.index.{FieldedIndex, PostingsBuilder}
 import graft.io.TableIO
-import graft.web.WebIndex
 
 /** The reference CLI's one job, engine-native (`cmd/crossrefindexer/
   * main.go:60-140`): load crossref files → simplify → LWW-dedup by DOI →
   * index. The sink is the engine's own table build instead of an ES bulk
-  * request: the searchable text is the `bibliographic` field (the field the
-  * reference's query path searches, `elastic/settings.go:133-136`), the DOI
-  * is the external doc identity (ES `_id`), and `--remove-index` maps to
-  * deleting the index directory before the build (`elastic.go:71-87`). */
+  * request: every mapped SimplifiedPublication field is indexed with its
+  * spec'd analyzer chain (`elastic/settings.go:87-138` — DOI keyword,
+  * title/journal/bibliographic text+stop, the rest folding keyword), the
+  * DOI is the external doc identity (ES `_id`), and `--remove-index` maps
+  * to deleting the index directory before the build (`elastic.go:71-87`). */
 object Main {
 
   /** S3, the stdin source (`data.go:118-126`): a cluster engine cannot
@@ -52,13 +52,15 @@ object Main {
     }
     val pubs = CrossrefReader.simplified(
       spark, path, strict = cfg.bool("strict"), format = fmt)
-    WebIndex.buildFromCorpus(spark,
-      pubs.select(col("DOI").as("doi"), col("bibliographic").as("text")),
+    // keyCol "doi": resolves (case-insensitively) to the DOI column and
+    // names the doc_map identity column in the reference's lowercase form
+    FieldedIndex.build(spark, pubs,
       cfg("index-dir"),
+      FieldedIndex.CrossrefMapping,
+      keyCol = "doi",
       PostingsBuilder.Config(
         shardSize = cfg.long("shard-size"),
-        shardGroups = cfg.int("shard-groups")),
-      keyCol = "doi")
+        shardGroups = cfg.int("shard-groups")))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,165 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.extract.{Crossref, CrossrefFixtures, CrossrefReader}
+import graft.index.FieldedIndex
+import graft.io.TableIO
+
+/** Fielded-index oracle queries over the crossref fixture: the reference's
+  * per-field analyzers actually queried per field (the Biblio-Glutton
+  * pattern — DOI exact match, metadata keyword matches, per-field BM25 —
+  * `elastic/settings.go:87-138`), each replayed in DuckDB SQL over the same
+  * fixture file.
+  *
+  * Doc-identity note: internal doc_ids are invisible to the oracle, so the
+  * fixture corpus is staged SORTED BY DOI — doc_id order == lexicographic
+  * DOI order — and both engines break score ties by the SAME key (Spark by
+  * doc_id, the oracle by doi). */
+object FieldedQueries {
+
+  private val IdxVersion = "v1"
+
+  /** DOI term queries (keyword chain: whole string, lowercased) — mixed
+    * case exercises the analyzer, one miss exercises absence. */
+  val DoiQueries: Seq[String] =
+    Seq("10.1/ND.7", "10.1/nd.123", "10.1/Nd.999", "10.1/absent")
+
+  /** year term query (folding-keyword chain over the stringified year). */
+  val YearQuery: String = "1997"
+
+  /** Per-field BM25 queries over `title` (text+stop chain). Fixture titles
+    * are ["Record $i title", "second title $i"], so each query has one
+    * discriminative numeric term; the tie-broken tail ranks exercise the
+    * deterministic ordering hard (999 equal-score docs). */
+  val TitleQueries: Seq[(Int, String)] =
+    Seq(1 -> "title 42", 2 -> "second 7 record", 3 -> "RECORD 999")
+
+  val K = 10
+
+  private def fixtures(): String = CrossrefFixtures.ensure(Oracle.fixturesDir)
+
+  private def spec(field: String): FieldedIndex.FieldSpec =
+    FieldedIndex.CrossrefMapping.find(_.field == field).get
+
+  /** Build (once per JVM/target dir, snapshot-idempotent) the fielded index
+    * over the 1000-doc ndjson fixture through the REAL extract path. */
+  def ensureFieldedIndex(spark: SparkSession): String = {
+    val fix = fixtures()
+    val dir = s"${sys.props("user.dir")}/target/graft-idx/fielded_$IdxVersion"
+    if (!FieldedIndex.isComplete(dir)) {
+      new TableIO(dir).deleteAll()
+      val pubs = Crossref.simplify(
+        CrossrefReader.load(spark, s"$fix/ndjson_plain.ndjson"))
+      val docs = pubs.orderBy("DOI") // doc_id order == doi order (tie-break)
+      FieldedIndex.build(spark, docs, dir, FieldedIndex.CrossrefMapping,
+        keyCol = "doi",
+        graft.index.PostingsBuilder.Config(shardSize = 256))
+    }
+    dir
+  }
+
+  private def docMap(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/doc_map")
+
+  // ---- Spark sides --------------------------------------------------------
+
+  /** ES term query on the keyword-analyzed DOI field → matching dois. */
+  def fieldDoi(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.termQuery(spark, dir, spec("DOI"), DoiQueries)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("doi")).orderBy("doi")
+  }
+
+  /** ES term query on the folding-keyword year field → matching dois. */
+  def fieldYear(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.termQuery(spark, dir, spec("year"), Seq(YearQuery))
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("doi")).orderBy("doi")
+  }
+
+  /** ES match query on the title field: BM25 with the FIELD's stats
+    * (df/dl/avgdl/N over title tokens only). */
+  def bm25Title(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.searchField(spark, dir, spec("title"), TitleQueries, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
+  }
+
+  // ---- DuckDB sides -------------------------------------------------------
+
+  /** read_json over the fixture with the needed columns pinned. */
+  private def fixtureSrc(extraCols: String = ""): String =
+    s"""SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |  format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]'$extraCols})""".stripMargin
+
+  private val dateCols: String =
+    """,
+      |    'issued':'STRUCT("date-parts" BIGINT[][])',
+      |    'published-online':'STRUCT("date-parts" BIGINT[][])',
+      |    'published-print':'STRUCT("date-parts" BIGINT[][])',
+      |    'created':'STRUCT("date-parts" BIGINT[][], "date-time" TIMESTAMP, timestamp BIGINT)'""".stripMargin
+
+  /** Keyword chain on the query side = lower(); embedded pre-analyzed. */
+  def fieldDoiSql: String = {
+    val terms = DoiQueries.map(q => s"'${Analyzer.analyzeKeyword(q)}'")
+    s"""WITH src AS (${fixtureSrc()})
+       |SELECT DOI AS doi FROM src WHERE lower(DOI) IN (${terms.mkString(", ")})
+       |ORDER BY doi""".stripMargin
+  }
+
+  /** The indexed year token is CAST(pubYear AS VARCHAR) under the folding
+    * keyword chain (digits: fold = identity, lower = identity). */
+  def fieldYearSql: String = {
+    val t = Analyzer.analyzeKeywordFold(YearQuery)
+    s"""WITH src AS (SELECT DOI AS doi,
+       |  CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y
+       |FROM (${fixtureSrc(dateCols)}))
+       |SELECT doi FROM src WHERE y = '$t' ORDER BY doi""".stripMargin
+  }
+
+  /** Per-field BM25 replay: tokens = lower(split(title elements)) minus the
+    * stop list (the fixture's titles are single-space ASCII, where this
+    * equals the UAX#29 chain — same contract the corpus oracles use);
+    * field stats from the title sub-corpus only; ranks tie-break on doi. */
+  def bm25TitleSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = TitleQueries.flatMap { case (qid, q) =>
+      Analyzer.analyzeStop(q).map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |qterms(qid, term) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT q.qid, tf.doi, sum(${Oracle.bm25Expr}) AS score
+       |  FROM qterms q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY q.qid, tf.doi),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+}

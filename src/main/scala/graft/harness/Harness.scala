@@ -139,7 +139,7 @@ object Oracle {
 
   def fixturesDir: String = s"${sys.props("user.dir")}/target/fixtures"
 
-  private def yearCase(prefix: String): String =
+  private[harness] def yearCase(prefix: String): String =
     s"""CASE WHEN ${prefix}issued."date-parts" IS NOT NULL THEN coalesce(${prefix}issued."date-parts"[1][1], 0)
        |  WHEN $prefix"published-online" IS NOT NULL THEN coalesce($prefix"published-online"."date-parts"[1][1], 0)
        |  WHEN $prefix"published-print" IS NOT NULL THEN coalesce($prefix"published-print"."date-parts"[1][1], 0)

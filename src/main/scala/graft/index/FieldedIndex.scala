@@ -1,0 +1,174 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.analysis.Analyzer
+import graft.io.TableIO
+import graft.query.Searcher
+
+/** Per-field inverted indexing + fielded queries — the reference's
+  * 12-field → 4-analyzer mapping (elastic/settings.go:87-138) as a
+  * first-class index layout.
+  *
+  * Layout: doc identity is assigned ONCE at the top level (staged docs +
+  * `doc_map`), and every mapped field gets its own complete doc-sharded
+  * sub-index under `<dir>/field=<name>`, built by [[PostingsBuilder]] with
+  * the field's analyzer chain. This is the "per-field index dirs" shape:
+  *
+  *  - all sub-indexes share the doc_id space, so cross-field results join
+  *    on doc_id with no translation;
+  *  - per-field BM25 statistics (df, dl, avgdl, N) fall out naturally —
+  *    each sub-index's stats ARE the field's stats, which is exactly
+  *    Lucene's per-field norms/docCount model;
+  *  - a query against field F opens F's sub-index and analyzes the query
+  *    text with F's chain (ES match-query semantics); keyword-chain fields
+  *    support exact-match term queries (ES term query) via
+  *    [[Searcher.termDocs]];
+  *  - at scale, each field build costs its own text volume only (title/DOI
+  *    fields are tiny next to `bibliographic`), fields build CONCURRENTLY
+  *    ([[TableIO.stepsPar]] — independent manifests, Spark interleaves the
+  *    jobs), and a reader pays only for the fields it queries (sub-index
+  *    scans are per-field directories — never a scan over other fields'
+  *    postings).
+  *
+  * Multi-valued fields follow ES array semantics ([[Analyzer.chainCounts]]):
+  * values concatenate into one token stream (text chains) or contribute one
+  * token per non-empty value (keyword chains). A doc belongs to a field's
+  * sub-corpus iff it has ≥1 non-empty value for the field — the engine's
+  * definition of Lucene's per-field docCount.
+  */
+object FieldedIndex {
+
+  final case class FieldSpec(field: String, chain: String) {
+    require(Analyzer.Chains.contains(chain), s"unknown chain $chain")
+  }
+
+  /** The reference's full mapping (elastic/settings.go:87-138).
+    * `first_author`, `author` and `query` are declared in the reference's
+    * index settings but never populated by its pipeline
+    * (SimplifiedPublication carries 9 fields, publication.go:202-212) —
+    * they are supported chains here and simply absent from the crossref
+    * corpus projection. */
+  val CrossrefMapping: Seq[FieldSpec] = Seq(
+    FieldSpec("DOI", Analyzer.Keyword),
+    FieldSpec("title", Analyzer.TextStop),
+    FieldSpec("first_author", Analyzer.KeywordFold),
+    FieldSpec("author", Analyzer.Text),
+    FieldSpec("first_page", Analyzer.KeywordFold),
+    FieldSpec("journal", Analyzer.TextStop),
+    FieldSpec("abbreviated_journal", Analyzer.KeywordFold),
+    FieldSpec("volume", Analyzer.KeywordFold),
+    FieldSpec("issue", Analyzer.KeywordFold),
+    FieldSpec("year", Analyzer.KeywordFold),
+    FieldSpec("query", Analyzer.Text),
+    FieldSpec("bibliographic", Analyzer.TextStop))
+
+  def fieldDir(indexDir: String, field: String): String =
+    s"$indexDir/field=$field"
+
+  val FinalStep = "fields_done"
+
+  def isComplete(indexDir: String): Boolean =
+    new TableIO(indexDir).isComplete(FinalStep)
+
+  /** Normalize a field column to array<string> (ES: every field is
+    * implicitly multi-valued): arrays pass through, scalars wrap, non-string
+    * scalars stringify (the reference stores `year` as text via
+    * fmt.Sprint, publication.go:196). */
+  private def valsCol(df: DataFrame, field: String): Column =
+    df.schema(field).dataType match {
+      case ArrayType(StringType, _) => col(field)
+      case StringType => array(col(field))
+      case _ => array(col(field).cast("string"))
+    }
+
+  /** Build the fielded index over `docs` for every mapped field present in
+    * the schema. `keyCol` is the external doc identity carried into
+    * doc_map (the ES `_id`); duplicate keys collapse last-write-wins in
+    * input order (the ES bulk `"index"`-action overwrite,
+    * elastic/elastic.go:165-167). */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
+            fields: Seq[FieldSpec], keyCol: String,
+            cfg: PostingsBuilder.Config = PostingsBuilder.Config()): TableIO = {
+    graft.streaming.Compactor.finishInterruptedSwap(indexDir)
+    val io = new TableIO(indexDir)
+    // codec-format guard at the TOP manifest: a fielded index cached from an
+    // older block format wipes wholesale (the sub-builds' own markers never
+    // re-run once the field_* steps are committed here)
+    PostingsBuilder.ensureFormat(io)
+    val present = fields.filter(f => docs.columns.contains(f.field))
+    val fieldSteps = present.map(f => s"field_${f.field}")
+    val done = io.committedSteps()
+    if ((fieldSteps :+ "doc_map").forall(done.contains)) return io
+
+    // one staging pass pins doc identity for every sub-index (DocIds
+    // tag/resolve protocol: ids derive from the persisted _mid, safe under
+    // AQE replanning / resume). The key rides under the internal `_key`
+    // alias so a key column that is ALSO a mapped field (the usual case:
+    // DOI) cannot collide with the field's array-normalized column under
+    // Spark's case-insensitive resolution.
+    io.step("docs") {
+      DocIds.tag(docs.select(col(keyCol).as("_key") +: present.map(f =>
+        valsCol(docs, f.field).as(f.field)): _*))
+        .write.mode("overwrite").parquet(io.tablePath("docs"))
+    }
+    val rawStaged = spark.read.parquet(io.tablePath("docs"))
+    val resolved = DocIds.resolveWith(rawStaged, DocIds.offsets(rawStaged))
+    // last-write-wins per key on arrival order (_mid order == input order):
+    // later duplicates overwrite earlier ones, like the ES doc-id overwrite
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_key")).orderBy(col("doc_id").desc)
+    val staged = resolved
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    io.step("doc_map") {
+      staged.select(col("doc_id"), col("_key").as(keyCol))
+        .write.mode("overwrite").parquet(io.tablePath("doc_map"))
+    }
+
+    // per-field sub-indexes build CONCURRENTLY — independent directories,
+    // independent manifests; each is itself resumable and step-overlapped
+    io.stepsPar(present.map { f =>
+      s"field_${f.field}" -> { () =>
+        val cleaned = filter(col(f.field),
+          v => v.isNotNull && v =!= lit(""))
+        val corpus = staged
+          .select(col("doc_id"), cleaned.as("vals"))
+          .where(size(col("vals")) > 0)
+        PostingsBuilder.build(spark, corpus, fieldDir(indexDir, f.field),
+          cfg, docTermFn = TextIndex.fieldDocTermFreqs(_, f.chain))
+        ()
+      }
+    }: _*)
+    io.commitStep(FinalStep)
+    io
+  }
+
+  /** Per-field resident handles, opened once per (index, field) per JVM —
+    * the serving-node model ([[Searcher.Handle]]). */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[String, Searcher.Handle]()
+
+  def handleFor(spark: SparkSession, indexDir: String,
+                field: String): Searcher.Handle =
+    handles.computeIfAbsent(fieldDir(indexDir, field),
+      d => Searcher.open(spark, d))
+
+  /** ES match-query against one field: analyze with the field's chain,
+    * BM25 over the field's sub-index with the FIELD's stats. Returns
+    * (qid, rnk, doc_id, score_x6). */
+  def searchField(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                  rawQueries: Seq[(Int, String)], k: Int): DataFrame =
+    Searcher.search(handleFor(spark, indexDir, spec.field), rawQueries, k,
+      Analyzer.analyzeChain(spec.chain, _))
+
+  /** ES term-query against one field (exact match under the field's chain,
+    * filter context): (term, doc_id) for each analyzed value. */
+  def termQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                values: Seq[String]): DataFrame =
+    Searcher.termDocs(handleFor(spark, indexDir, spec.field),
+      values.flatMap(v => Analyzer.analyzeChain(spec.chain, v)))
+}

@@ -94,7 +94,10 @@ object IndexTables {
     import spark.implicits._
     val batches = activeBatches(io)
     if (batches.isEmpty)
-      spark.read.parquet(io.tablePath("stats")).as[CorpusStats].head()
+      // na.fill: an empty (sub-)index stores null avg/sum aggregates
+      spark.read.parquet(io.tablePath("stats"))
+        .na.fill(0.0, Seq("avgdl")).na.fill(0L, Seq("total_dl"))
+        .as[CorpusStats].head()
     else {
       val r = unionView(spark, io, "stats", batches)
         .agg(sum("n_docs").as("n"), sum("total_dl").as("dl")).head()

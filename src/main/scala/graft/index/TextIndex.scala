@@ -57,6 +57,15 @@ object TextIndex {
       .select(col("doc_id"), col("at.dl").cast("long").as("dl"),
         col("at.tfs").as("tfs"))
 
+  /** The per-FIELD twin: docs carry (doc_id, vals: array<string>) and the
+    * chain is one of [[Analyzer.Chains]] — same row-local shape, so every
+    * field build keeps the zero-token-shuffle property. */
+  def fieldDocTermFreqs(docs: DataFrame, kind: String): DataFrame =
+    docs.select(col("doc_id"),
+      graft.analysis.FieldTfExpr.analyzeTf(col("vals"), kind).as("at"))
+      .select(col("doc_id"), col("at.dl").cast("long").as("dl"),
+        col("at.tfs").as("tfs"))
+
   /** Exact document frequency per term, derived from the (term, doc_id)
     * grouping — north_rule forbids approx_count_distinct. */
   def docFreqs(termFreqs: DataFrame): DataFrame =

@@ -66,6 +66,9 @@ object Searcher {
 
   def open(spark: SparkSession, indexDir: String): Handle = {
     import spark.implicits._
+    // a compaction crashed mid-swap must not leave the index unopenable
+    // until the NEXT compaction: finish (or roll back) the swap here too
+    graft.streaming.Compactor.finishInterruptedSwap(indexDir)
     val io = new TableIO(indexDir)
     val stats = graft.index.IndexTables.corpusStats(spark, io)
     val tight = tightBoundsOf(io)
@@ -164,12 +167,17 @@ object Searcher {
   }
 
   /** Search via a resident handle: two short jobs over the cached shard
-    * indexes, driver-side top-k merge. */
-  def search(h: Handle, rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
+    * indexes, driver-side top-k merge. `chain` analyzes the query string
+    * with the target field's analyzer (reference semantics: ES analyzes
+    * query text with the queried field's mapped chain,
+    * elastic/settings.go:87-138) — default is the stopword text chain the
+    * single-field indexes use. */
+  def search(h: Handle, rawQueries: Seq[(Int, String)], k: Int,
+             chain: String => Array[String] = Analyzer.analyzeStop): DataFrame = {
     // analyzed terms with query-occurrence weights (Lucene: a repeated query
     // term contributes once per occurrence)
     val analyzed: Seq[(Int, Map[String, Int])] = rawQueries.map { case (qid, q) =>
-      qid -> Analyzer.analyzeStop(q).groupBy(identity).view.mapValues(_.length).toMap
+      qid -> chain(q).groupBy(identity).view.mapValues(_.length).toMap
     }
     val uniqueTerms: Array[String] = analyzed.flatMap(_._2.keys).distinct.toArray
 
@@ -245,5 +253,25 @@ object Searcher {
     val h = open(spark, indexDir)
     try search(h, rawQueries, k)
     finally h.close()
+  }
+
+  /** ES term-query analogue (filter context — set-valued, no scoring): all
+    * docs whose indexed field contains one of the PRE-ANALYZED terms. One
+    * narrow job over the resident shard indexes; the result stays a
+    * distributed (term, doc_id) DataFrame because a term's posting list is
+    * corpus-sized at scale (a keyword-field lookup like DOI yields a
+    * handful of rows, a year-field lookup yields millions). */
+  def termDocs(h: Handle, terms: Seq[String]): DataFrame = {
+    import h.spark.implicits._
+    val ts = terms.toArray
+    h.shards.flatMap { si =>
+      ts.iterator.flatMap { t =>
+        val tp = si.terms.get(t)
+        if (tp == null) Iterator.empty
+        else tp.blocks.iterator.flatMap(b =>
+          graft.index.Codec.decodeDocIds(b.doc_ids, b.n).iterator
+            .map(d => (t, d)))
+      }
+    }.toDF("term", "doc_id")
   }
 }

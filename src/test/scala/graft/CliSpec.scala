@@ -65,13 +65,31 @@ class CliSpec extends AnyFunSuite {
       "--index-dir", idxDir,
       "--shard-size", "256"), env = Map.empty))
     assert(io.isComplete("doc_map"))
+    assert(io.isComplete(graft.index.FieldedIndex.FinalStep))
 
-    // doc_map carries the DOI identity; the index serves BM25 queries
+    // doc_map carries the DOI identity; every mapped field present in
+    // SimplifiedPublication got its own sub-index with its spec'd analyzer
     val docMap = spark.read.parquet(s"$idxDir/doc_map")
     assert(docMap.columns.contains("doi"))
-    assert(docMap.count() === IndexTables.docLens(spark, io).count())
-    val hits = Searcher.search(spark, idxDir, Seq(1 -> "journal title"), 5)
+    assert(docMap.count() === 1000)
+    for (f <- Seq("DOI", "title", "journal", "abbreviated_journal", "volume",
+        "issue", "year", "first_page", "bibliographic"))
+      assert(graft.index.PostingsBuilder.isComplete(
+        graft.index.FieldedIndex.fieldDir(idxDir, f)), s"field $f not built")
+    // the bibliographic field is the reference query path's target
+    // (settings.go:133-136) — BM25 serves from its sub-index
+    val hits = Searcher.search(spark,
+      graft.index.FieldedIndex.fieldDir(idxDir, "bibliographic"),
+      Seq(1 -> "journal title"), 5)
     assert(hits.count() > 0)
+    // keyword DOI lookup (ES term query) resolves through doc_map
+    val h = Searcher.open(spark,
+      graft.index.FieldedIndex.fieldDir(idxDir, "DOI"))
+    try {
+      val docs = Searcher.termDocs(h, Seq("10.1/nd.77"))
+        .join(docMap, "doc_id").select("doi").collect().map(_.getString(0))
+      assert(docs.toSeq === Seq("10.1/nd.77"))
+    } finally h.close()
 
     // --remove-index rebuilds from scratch (elastic.go:71-87 analogue)
     val io2 = Main.run(spark, Cli.parse(Array(

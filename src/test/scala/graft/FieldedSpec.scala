@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.harness.FieldedQueries
+import graft.index.{FieldedIndex, PostingsBuilder}
+import graft.io.TableIO
+import graft.query.Searcher
+
+/** Per-field indexing (reference elastic/settings.go:87-138): per-field
+  * stats, chain selection per field, ES array semantics, empty-field
+  * sub-indexes, key LWW, and fielded query correctness over the fixture. */
+class FieldedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val idx = FieldedQueries.ensureFieldedIndex(spark)
+  private def spec(f: String) = FieldedIndex.CrossrefMapping.find(_.field == f).get
+
+  test("every mapped SimplifiedPublication field builds a complete sub-index") {
+    for (f <- Seq("DOI", "title", "journal", "abbreviated_journal", "volume",
+        "issue", "year", "first_page", "bibliographic"))
+      assert(PostingsBuilder.isComplete(FieldedIndex.fieldDir(idx, f)),
+        s"field $f missing")
+    // the mapping's never-populated fields are simply absent
+    assert(!new java.io.File(FieldedIndex.fieldDir(idx, "author")).exists())
+  }
+
+  test("per-field BM25 stats: the title field's own N/avgdl/df, not the doc's") {
+    // every fixture title is ["Record $i title", "second title $i"]:
+    // 6 tokens/doc, 'title' tf=2 in every doc
+    val stats = spark.read.parquet(
+      s"${FieldedIndex.fieldDir(idx, "title")}/stats").head()
+    assert(stats.getAs[Long]("n_docs") === 1000L)
+    assert(stats.getAs[Double]("avgdl") === 6.0)
+    val df = spark.read.parquet(
+        s"${FieldedIndex.fieldDir(idx, "title")}/term_stats")
+      .where(col("term") === "title").head().getAs[Long]("df")
+    assert(df === 1000L)
+  }
+
+  test("keyword chain: the whole DOI is one lowercased token (ES term query)") {
+    val h = Searcher.open(spark, FieldedIndex.fieldDir(idx, "DOI"))
+    try {
+      // analyzer lowers the query; the doc token was lowered at index time
+      val hit = Searcher.termDocs(h, Seq(Analyzer.analyzeKeyword("10.1/ND.5")))
+      assert(hit.count() === 1L)
+      // sub-token of a DOI matches NOTHING (keyword ≠ text tokenization)
+      assert(Searcher.termDocs(h, Seq("nd.5")).count() === 0L)
+    } finally h.close()
+  }
+
+  test("folding-keyword year field: term query returns the year's cohort") {
+    // fixture year = 1990 + i%30 → 1997 ⇔ i ≡ 7 (mod 30) → 34 docs
+    val rows = FieldedQueries.fieldYear(spark, "")
+    assert(rows.count() === 34L)
+  }
+
+  test("empty-valued field builds an empty-but-servable sub-index") {
+    // the fixture has no short-container-title → abbreviated_journal = []
+    val d = FieldedIndex.fieldDir(idx, "abbreviated_journal")
+    assert(PostingsBuilder.isComplete(d))
+    val h = Searcher.open(spark, d)
+    try assert(Searcher.termDocs(h, Seq("journal")).count() === 0L)
+    finally h.close()
+  }
+
+  test("fielded BM25: discriminative term tops its doc; ranks tie-break by key order") {
+    val rows = FieldedQueries.bm25Title(spark, "").collect()
+    val top = rows.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[String]("doi")).toMap
+    assert(top === Map(1L -> "10.1/nd.42", 2L -> "10.1/nd.7", 3L -> "10.1/nd.999"))
+    // the tied tail ranks ascend in doi order (doc_id order == doi order)
+    val q1Tail = rows.filter(r => r.getAs[Long]("qid") == 1L && r.getAs[Long]("rnk") > 1L)
+      .sortBy(_.getAs[Long]("rnk")).map(_.getAs[String]("doi")).toSeq
+    assert(q1Tail === q1Tail.sorted)
+  }
+
+  test("ES array semantics + key LWW on a synthetic multi-valued corpus") {
+    import spark.implicits._
+    val dir = s"${sys.props("user.dir")}/target/test-idx/fielded-multi"
+    new TableIO(dir).deleteAll()
+    val docs = Seq(
+      // key k1 appears twice: the LATER row must win (ES overwrite)
+      ("k1", Seq("Old", "stale"), "drop me"),
+      ("k1", Seq("A", "b", "", "A"), "keep: b C"),
+      ("k2", Seq("b"), "the c")
+    ).toDF("k", "tags", "body")
+    FieldedIndex.build(spark, docs, dir,
+      Seq(FieldedIndex.FieldSpec("tags", Analyzer.Keyword),
+        FieldedIndex.FieldSpec("body", Analyzer.TextStop)),
+      keyCol = "k", PostingsBuilder.Config(shardSize = 16))
+
+    assert(spark.read.parquet(s"$dir/doc_map").count() === 2L)
+    // keyword array: one token per non-empty value, lowercased, tf counted
+    val tagTerms = spark.read.parquet(
+        s"${FieldedIndex.fieldDir(dir, "tags")}/term_stats")
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(tagTerms === Map("a" -> 1L, "b" -> 2L))
+    assert(!tagTerms.contains("old"), "LWW loser leaked into the index")
+    // dl of k1's tags = 3 kept values (empty dropped, dup counted)
+    val k1 = spark.read.parquet(s"$dir/doc_map")
+      .where(col("k") === "k1").head().getAs[Long]("doc_id")
+    val dl = spark.read.parquet(
+        s"${FieldedIndex.fieldDir(dir, "tags")}/doc_terms")
+      .where(col("doc_id") === k1).head().getAs[Long]("dl")
+    assert(dl === 3L)
+    // text chain on the other field: stopwords dropped, case folded
+    val bodyTerms = spark.read.parquet(
+        s"${FieldedIndex.fieldDir(dir, "body")}/term_stats")
+      .collect().map(_.getAs[String]("term")).toSet
+    assert(bodyTerms === Set("keep", "b", "c"))
+  }
+
+  test("fielded oracle queries return the expected shapes") {
+    val dois = FieldedQueries.fieldDoi(spark, "").collect().map(_.getString(0))
+    assert(dois.toSeq === Seq("10.1/nd.123", "10.1/nd.7", "10.1/nd.999"))
+  }
+}
