@@ -117,6 +117,59 @@ object RelQueries {
       |WHERE rnk <= 3 AND o_custkey % 100 = 0
       |ORDER BY o_custkey, rnk""".stripMargin
 
+  /** TPC-H Q2 shape (min-cost supplier per part within a region), adapted
+    * to this schema: the driver tables ship no partsupp, so the supply
+    * relation is derived from lineitem — cost(part, supp) = min extended
+    * price observed. Scale shape: region⋈nation is a broadcast chain of
+    * bounded dims (5 × 25 rows at ANY scale) onto supplier; the
+    * corpus-sized work is one partial-agg'd groupBy of lineitem down to
+    * (part, supp) and one per-part window (hash partition by part — the
+    * LWW shape, no global sort); the part table joins AFTER the rank
+    * filter, touching only winners. */
+  def relMinSupp(spark: SparkSession, dir: String): DataFrame = {
+    val euro = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
+    val offers = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("price_c")).as("cost_c"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("cost_c").asc, col("s_suppkey").asc)
+    offers.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1 && col("l_partkey") % 20 === 0)
+      .join(t(spark, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_type"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("cost_c"))
+      .orderBy("p_partkey")
+  }
+
+  val relMinSuppSql: String =
+    """WITH offers AS (SELECT l_partkey, l_suppkey,
+      |  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+      |  FROM lineitem GROUP BY 1, 2),
+      |euro AS (SELECT n_nationkey, n_name FROM nation
+      |         JOIN region ON n_regionkey = r_regionkey
+      |         WHERE r_name = 'EUROPE'),
+      |sup AS (SELECT s_suppkey, s_name, n_name FROM supplier
+      |        JOIN euro ON s_nationkey = n_nationkey),
+      |r AS (SELECT o.l_partkey, s.s_suppkey, s.s_name, s.n_name, o.cost_c,
+      |        row_number() OVER (PARTITION BY o.l_partkey
+      |          ORDER BY o.cost_c ASC, s.s_suppkey ASC) AS rnk
+      |      FROM offers o JOIN sup s ON o.l_suppkey = s.s_suppkey)
+      |SELECT p.p_partkey, p.p_type, r.s_suppkey, r.s_name, r.n_name, r.cost_c
+      |FROM r JOIN part p ON r.l_partkey = p.p_partkey
+      |WHERE r.rnk = 1 AND p.p_partkey % 20 = 0
+      |ORDER BY p.p_partkey""".stripMargin
+
   /** Sessionize the events stream: per-user lag window → 30-minute-gap
     * session breaks. Same shuffle shape as the LWW window (partition by
     * user, sort by time); at 100 TB this is the canonical
