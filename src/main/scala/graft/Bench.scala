@@ -147,6 +147,14 @@ object Bench {
 
     // ---- 2. per-query timings over the sf tables --------------------------
     val sparkQ = session(cpus)
+    // untimed: the on-disk fixture indexes the bm25_wand / fielded queries
+    // read (snapshot-cached across JVMs — a cold target/ would otherwise
+    // charge one query with a whole index build; build cost is what
+    // phase 1 measures)
+    try {
+      graft.harness.TextQueries.ensureIndex(sparkQ, sfDir)
+      graft.harness.FieldedQueries.ensureFieldedIndex(sparkQ)
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (_, sec) = timeIt {
         try fn(sparkQ, sfDir).count()

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_field_doi" -> FieldedQueries.fieldDoi _,
     "q_field_year" -> FieldedQueries.fieldYear _,
     "q_bm25_title" -> FieldedQueries.bm25Title _,
+    "q_field_multi" -> FieldedQueries.fieldMulti _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +95,6 @@ object SparkEntry {
     "q_field_doi" -> FieldedQueries.fieldDoiSql,
     "q_field_year" -> FieldedQueries.fieldYearSql,
     "q_bm25_title" -> FieldedQueries.bm25TitleSql,
+    "q_field_multi" -> FieldedQueries.fieldMultiSql,
   )
 }

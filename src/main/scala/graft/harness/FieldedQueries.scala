@@ -30,6 +30,15 @@ object FieldedQueries {
   /** year term query (folding-keyword chain over the stringified year). */
   val YearQuery: String = "1997"
 
+  /** ES bool/should multi-field match (the Biblio-Glutton pattern): a
+    * citation-string match on `bibliographic` plus keyword matches on
+    * `year` and `volume`, ranked by the SUM of per-field BM25 scores.
+    * Doc 123 (year 1993, volume 23) is the intended hit. */
+  val MultiLegs: Seq[(String, String)] = Seq(
+    "bibliographic" -> "fam123 Record 123 title Journal 123",
+    "year" -> "1993",
+    "volume" -> "23")
+
   /** Per-field BM25 queries over `title` (text+stop chain). Fixture titles
     * are ["Record $i title", "second title $i"], so each query has one
     * discriminative numeric term; the tie-broken tail ranks exercise the
@@ -92,6 +101,17 @@ object FieldedQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Multi-field bool/should: per-leg BM25 under each field's own stats,
+    * summed per doc, deterministic top-k. */
+  def fieldMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val legs = MultiLegs.map { case (f, text) => (spec(f), text) }
+    FieldedIndex.multiMatch(spark, dir, legs, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -122,6 +142,75 @@ object FieldedQueries {
        |  CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y
        |FROM (${fixtureSrc(dateCols)}))
        |SELECT doi FROM src WHERE y = '$t' ORDER BY doi""".stripMargin
+  }
+
+  /** Multi-field bool/should replay: three legs (bibliographic text_stop,
+    * year + volume folding keyword), each scored with ITS field's stats,
+    * summed per doc. Every leg's per-term double mirrors the engine's
+    * Bm25.idf/tfNorm parenthesization via [[Oracle.bm25Expr]]; micro-unit
+    * rounding of the summed score absorbs FP-order noise; ranks tie-break
+    * on doi (== internal doc_id order by construction). Sub-corpus rule
+    * per leg: docs with ≥1 non-empty value (every fixture doc qualifies
+    * for all three legs, so the simple tok-derived dl/stats CTEs equal the
+    * engine's). */
+  def fieldMultiSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    def weights(chain: String, text: String): Seq[(String, Int)] = {
+      import scala.jdk.CollectionConverters._
+      val (_, counts) = Analyzer.chainCounts(chain, Iterator(text))
+      counts.entrySet().asScala.map(e => e.getKey -> e.getValue.intValue()).toSeq
+    }
+    def qvals(ws: Seq[(String, Int)]): String =
+      ws.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    // per-leg CTE block: tok table named `<p>_tok` must exist upstream
+    def leg(p: String): String =
+      s"""${p}_tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM ${p}_tok GROUP BY 1, 2),
+         |${p}_dft AS (SELECT term, count(*)::BIGINT AS df FROM ${p}_tf GROUP BY term),
+         |${p}_dl AS (SELECT doi, count(*)::BIGINT AS dl FROM ${p}_tok GROUP BY doi),
+         |${p}_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ${p}_dl),
+         |${p}_leg AS (
+         |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS c
+         |  FROM ${p}_q q
+         |  JOIN ${p}_tf tf ON tf.term = q.term
+         |  JOIN ${p}_dft dft ON dft.term = q.term
+         |  JOIN ${p}_dl dl ON dl.doi = tf.doi
+         |  CROSS JOIN ${p}_stats s
+         |  GROUP BY tf.doi)""".stripMargin
+    val bibW = weights(Analyzer.TextStop, MultiLegs(0)._2)
+    val yW = weights(Analyzer.KeywordFold, MultiLegs(1)._2)
+    val vW = weights(Analyzer.KeywordFold, MultiLegs(2)._2)
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'author':'STRUCT(given VARCHAR, family VARCHAR, sequence VARCHAR)[]',
+       |    'container-title':'VARCHAR[]','short-container-title':'VARCHAR[]',
+       |    'volume':'VARCHAR','issue':'VARCHAR','page':'VARCHAR'$dateCols})),
+       |base AS (SELECT DOI AS doi,
+       |  ${Oracle.bibliographicExpr} AS bib,
+       |  CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y,
+       |  coalesce(volume, '') AS vol
+       |FROM src),
+       |b_tok AS (SELECT doi, t AS term FROM
+       |            (SELECT doi, unnest(string_split(lower(bib), ' ')) AS t FROM base)
+       |          WHERE t <> '' AND t NOT IN ($stopIn)),
+       |b_q(term, w) AS (VALUES ${qvals(bibW)}),
+       |${leg("b")},
+       |y_tok AS (SELECT doi, y AS term FROM base WHERE y <> ''),
+       |y_q(term, w) AS (VALUES ${qvals(yW)}),
+       |${leg("y")},
+       |v_tok AS (SELECT doi, vol AS term FROM base WHERE vol <> ''),
+       |v_q(term, w) AS (VALUES ${qvals(vW)}),
+       |${leg("v")},
+       |allc AS (SELECT doi, c FROM b_leg UNION ALL
+       |         SELECT doi, c FROM y_leg UNION ALL
+       |         SELECT doi, c FROM v_leg),
+       |scored AS (SELECT doi, sum(c) AS score FROM allc GROUP BY doi),
+       |ranked AS (SELECT doi,
+       |    CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                       doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
 
   /** Per-field BM25 replay: tokens = lower(split(title elements)) minus the

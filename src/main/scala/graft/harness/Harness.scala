@@ -153,6 +153,19 @@ object Oracle {
   private val firstPageExpr =
     """regexp_split_to_array(coalesce(page,''), ',|-|\s')[1]"""
 
+  /** The F5 bibliographic byte-string as a DuckDB expression over the raw
+    * crossref columns — shared by the simplify oracle and the fielded
+    * multi-match oracle. */
+  private[harness] def bibliographicExpr: String =
+    s"""concat_ws(' ',
+       |    coalesce(trim(array_to_string(list_filter(list_transform(author, a -> a.family), f -> f IS NOT NULL AND f <> ''), ' ')), ''),
+       |    ($titleCleanExpr)[1],
+       |    coalesce(array_to_string(coalesce("container-title", []), ' '), ''),
+       |    coalesce(array_to_string(coalesce("short-container-title", []), ' '), ''),
+       |    coalesce(volume, ''), coalesce(issue, ''),
+       |    $firstPageExpr,
+       |    CAST((${yearCase("")}) AS VARCHAR))""".stripMargin
+
   def crossrefSimplifySql: String =
     s"""WITH src AS (
        |  SELECT * FROM read_json('$fixturesDir/ndjson_plain.ndjson', format='newline_delimited', columns={
@@ -172,14 +185,7 @@ object Oracle {
        |  coalesce(array_to_string(coalesce("short-container-title", []), '|'), '') AS abbrev_j,
        |  coalesce(volume,'') AS volume, coalesce(issue,'') AS issue,
        |  CAST(${yearCase("")} AS BIGINT) AS year,
-       |  concat_ws(' ',
-       |    coalesce(trim(array_to_string(list_filter(list_transform(author, a -> a.family), f -> f IS NOT NULL AND f <> ''), ' ')), ''),
-       |    ($titleCleanExpr)[1],
-       |    coalesce(array_to_string(coalesce("container-title", []), ' '), ''),
-       |    coalesce(array_to_string(coalesce("short-container-title", []), ' '), ''),
-       |    coalesce(volume, ''), coalesce(issue, ''),
-       |    $firstPageExpr,
-       |    CAST((${yearCase("")}) AS VARCHAR)) AS bibliographic
+       |  $bibliographicExpr AS bibliographic
        |FROM src ORDER BY doi""".stripMargin
 
   def crossrefDumpSql: String =

@@ -171,4 +171,35 @@ object FieldedIndex {
                 values: Seq[String]): DataFrame =
     Searcher.termDocs(handleFor(spark, indexDir, spec.field),
       values.flatMap(v => Analyzer.analyzeChain(spec.chain, v)))
+
+  /** ES bool/should multi-field match — the reference's actual client
+    * pattern (Biblio-Glutton posts a bool of per-field matches against the
+    * mapped index and ranks by the SUM of clause scores): each leg
+    * analyzes its text with its field's chain and scores BM25 under that
+    * field's own stats; legs union and sum per doc. Top-k cannot be taken
+    * per field first (a doc can win the sum from middling per-field
+    * scores), so the legs stay full distributed score lists — one narrow
+    * decode job per field, one hash-agg sum, TakeOrderedAndProject for the
+    * final k; at scale this is |query terms| posting-list scans, never a
+    * corpus scan. Returns (rnk, doc_id, score_x6) under the usual
+    * deterministic ordering. */
+  def multiMatch(spark: SparkSession, indexDir: String,
+                 legs: Seq[(FieldSpec, String)], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val contribs = legs.map { case (spec, text) =>
+      val tw = Analyzer.analyzeChain(spec.chain, text)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      Searcher.contribs(handleFor(spark, indexDir, spec.field), tw)
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x6").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
+  }
 }

@@ -1,5 +1,7 @@
 package graft.query
 
+import java.util.concurrent.atomic.AtomicLong
+
 import scala.collection.mutable
 
 import graft.index.Codec
@@ -16,6 +18,28 @@ import graft.model.PostingBlock
   * slack so FP-sum-order noise can never prune a doc the naive path keeps.
   */
 object BlockMaxWand {
+
+  /** Per-JVM θ boards for cross-shard pruning: every shard task of one
+    * (query run, qid) resolves the same AtomicLong within its executor
+    * JVM — in local mode that is ALL shards, on a cluster the shards
+    * co-resident per executor (exactly the population whose θ can be
+    * shared for free; cross-executor sharing would need RPC). Bounded
+    * LRU-ish eviction: boards are tiny and per-query, but executors are
+    * long-lived, so the map must not grow without bound. */
+  object ThetaBoards {
+    private val MaxBoards = 8192
+    private val boards =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, AtomicLong](64, 0.75f, false) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, AtomicLong]): Boolean =
+            size() > MaxBoards
+        })
+    def boardFor(key: String): AtomicLong =
+      boards.synchronized {
+        boards.computeIfAbsent(key, _ => new AtomicLong(Long.MinValue))
+      }
+  }
 
   /** One query term's state: idf, query-occurrence weight, and its posting
     * blocks (block_id-sorted) within the current shard. */
@@ -114,9 +138,23 @@ object BlockMaxWand {
 
   /** Run one query against one shard's blocks. Returns up to k
     * (doc_id, exact score) hits — unordered; the caller applies the global
-    * deterministic ordering. */
+    * deterministic ordering.
+    *
+    * `shared` (optional) is a cross-shard θ board: shards co-resident in
+    * one JVM publish their current kth-best micro-rounded score and prune
+    * with the MAX over all shards. Sound because the global kth score is ≥
+    * any shard's kth score (each full shard already contributes k docs at
+    * least that good), so a doc whose upper bound cannot ROUND to the
+    * shared kth can never enter the global top-k; the same half-micro-unit
+    * Slack that protects local ties protects cross-shard ties (a doc that
+    * could round EQUAL to the shared kth is still scored, so doc_id
+    * tie-breaks at the global boundary see every candidate). With θ shared,
+    * a shard may return fewer than k hits — only ones the merged top-k
+    * could use. Rank-identity with the naive scorer is unchanged
+    * (IndexSpec/WebSpec assert it through this path). */
   def scoreShard(q: WandQuery, blocksByTerm: Map[String, IndexedSeq[PostingBlock]],
-                 avgdl: Double, k: Int, tightBounds: Boolean = true): Array[(Long, Double)] = {
+                 avgdl: Double, k: Int, tightBounds: Boolean = true,
+                 shared: AtomicLong = null): Array[(Long, Double)] = {
     val iters: Array[TermIter] = q.terms.flatMap { t =>
       blocksByTerm.get(t.term).map(bs =>
         new TermIter(bs, t.idf, t.weight, avgdl, tightBounds))
@@ -129,9 +167,26 @@ object BlockMaxWand {
       Ordering.by[(Long, Long, Double), (Long, Long)] { case (x6, d, _) => (-x6, d) }
     val heap = mutable.PriorityQueue.empty[(Long, Long, Double)]
 
-    def theta: Double =
-      if (heap.size < k) Double.NegativeInfinity
-      else heap.head._1 / 1e6 - Slack
+    // Cross-shard θ traffic discipline: `sharedSeen` caches the highest
+    // global kth this shard has observed (via read OR its own publish), and
+    // a publish happens ONLY when the local kth exceeds it. Without the
+    // cache, a CAS per scored doc across 32 co-resident shard threads
+    // ping-pongs one cacheline and SLOWS queries ~4-5× (measured at 9.6M
+    // docs) — the board must be read-mostly.
+    var sharedSeen = Long.MinValue
+
+    def theta: Double = {
+      val local =
+        if (heap.size < k) Double.NegativeInfinity
+        else heap.head._1 / 1e6 - Slack
+      if (shared == null) local
+      else {
+        val sx6 = shared.get()
+        if (sx6 > sharedSeen) sharedSeen = sx6
+        if (sharedSeen == Long.MinValue) local
+        else math.max(local, sharedSeen / 1e6 - Slack)
+      }
+    }
 
     def drain(): Array[(Long, Double)] =
       heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
@@ -145,6 +200,12 @@ object BlockMaxWand {
           heap.dequeue(); heap.enqueue((x6, doc, s))
         }
       }
+      // publish the kth-best as a global lower bound only when it ADVANCES
+      // the observed global max (max-fold: monotone, race-free — a stale
+      // read only weakens pruning, never correctness)
+      if (shared != null && heap.size == k && heap.head._1 > sharedSeen)
+        sharedSeen = shared.accumulateAndGet(heap.head._1,
+          (a, b) => math.max(a, b))
     }
 
     val n = iters.length

@@ -64,27 +64,51 @@ object Searcher {
     def close(): Unit = shards.unpersist()
   }
 
+  private val BlockCols = Seq("doc_shard", "term", "block_id", "n",
+    "first_doc_id", "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm",
+    "max_tf", "enc_wall_ms")
+
   def open(spark: SparkSession, indexDir: String): Handle = {
-    import spark.implicits._
     // a compaction crashed mid-swap must not leave the index unopenable
     // until the NEXT compaction: finish (or roll back) the swap here too
     graft.streaming.Compactor.finishInterruptedSwap(indexDir)
     val io = new TableIO(indexDir)
     val stats = graft.index.IndexTables.corpusStats(spark, io)
     val tight = tightBoundsOf(io)
-    // One shuffle at open (build-once cost): co-locate each shard, stream its
-    // (term, first_doc_id)-sorted blocks into a hash index, pin in memory.
-    // The committed-groups view makes a crashed micro-batch's half-written
-    // postings group invisible (partition-pruned before the scan).
-    // partitions = total cores, NOT spark.sql.shuffle.partitions: per-query
-    // work per shard is microseconds, so query jobs are task-scheduling-
-    // bound — one task per core per wave is the latency-optimal width (on a
-    // cluster: one serving slot per executor core, the ES shard-fan-out
-    // model)
+    val batches = graft.index.IndexTables.activeBatches(io)
+    // Fast path (no active streamed segments — the compacted common case):
+    // the encode stage hash-repartitions by doc_shard and writes one file
+    // per task, so every postings FILE holds whole, internally-sorted
+    // shards — the shard co-location a shuffle would buy already exists ON
+    // DISK. Read files unsplit (split size ≥ total/width so packing, not
+    // splitting, forms partitions) and build hash indexes in place: open
+    // cost is a local scan, not an index-sized all-to-all — on a cluster
+    // the difference between shuffling the whole postings table through
+    // the network at every serving start and reading HDFS-local blocks.
+    // A tiny guard verifies no shard spans partitions (the only way the
+    // format property could be violated) and falls back to the shuffle
+    // path. With active segments the slow path is REQUIRED: a partially
+    // filled tail shard continues into the segment's files, and its blocks
+    // must merge into one serving index.
+    val shards0 =
+      if (batches.isEmpty && sys.env.getOrElse("GRAFT_OPEN_SHUFFLE", "0") != "1")
+        openUnshuffled(spark, io)
+      else None
+    val shards = shards0.getOrElse(openShuffled(spark, io))
+    shards.count() // materialize now: open pays the build, queries don't
+    new Handle(spark, indexDir, stats, tight, shards)
+  }
+
+  /** The shuffle open: co-locate each shard (base + streamed segments),
+    * stream its (term, first_doc_id)-sorted blocks into a hash index.
+    * partitions = total cores, NOT spark.sql.shuffle.partitions: per-query
+    * work per shard is microseconds, so query jobs are task-scheduling-
+    * bound — one task per core per wave is the latency-optimal width (on a
+    * cluster: one serving slot per executor core, the ES fan-out model). */
+  private def openShuffled(spark: SparkSession, io: TableIO): RDD[ShardIndex] = {
+    import spark.implicits._
     val sorted = graft.index.IndexTables.postings(spark, io)
-      .select("doc_shard", "term", "block_id", "n", "first_doc_id",
-        "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm", "max_tf",
-        "enc_wall_ms")
+      .select(BlockCols.head, BlockCols.tail: _*)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_shard"))
       .sortWithinPartitions("doc_shard", "term", "first_doc_id")
       .as[PostingBlock]
@@ -94,11 +118,47 @@ object Searcher {
     // evicted shards a local read away. Plain (deserialized) level, NOT
     // _SER: serialized-in-memory blocks re-deserialize the hash maps on
     // EVERY query (measured p50 93 → 257 ms).
-    val shards = sorted.rdd
+    sorted.rdd
       .mapPartitions(buildShardIndexes, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    shards.count() // materialize now: open pays the build, queries don't
-    new Handle(spark, indexDir, stats, tight, shards)
+  }
+
+  /** The no-shuffle open. Returns None (after cleaning up) if the
+    * shard-whole-files property does not hold. */
+  private def openUnshuffled(spark: SparkSession,
+      io: TableIO): Option[RDD[ShardIndex]] = {
+    import spark.implicits._
+    val width = spark.sparkContext.defaultParallelism
+    val dir = new org.apache.hadoop.fs.Path(io.tablePath("postings"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val totalBytes = fs.getContentSummary(dir).getLength
+    // per-read split sizing (Spark honors these as datasource read options):
+    // a split must never cut a file (shards would split with it), so the
+    // split size is the pack target total/width — any single file is far
+    // smaller than that by construction (files ≈ total/invertParts,
+    // invertParts ≫ width); the guard below catches pathological layouts
+    val packBytes = math.max(totalBytes / math.max(width, 1) + (1L << 20),
+      1L << 22)
+    val blocks = spark.read
+      .option("maxPartitionBytes", packBytes.toString)
+      .option("openCostInBytes", (1L << 20).toString)
+      .parquet(io.tablePath("postings"))
+      .where(col("group") < graft.index.IndexTables.GroupBase)
+      .select(BlockCols.head, BlockCols.tail: _*)
+      .as[PostingBlock]
+    val shards = blocks.rdd
+      .mapPartitions(buildShardIndexes, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // guard: every shard must be whole within one partition (format
+    // property; violation ⇒ a doc's postings would split across serving
+    // indexes and scores would be partial). Shard-count-sized, tiny.
+    val ids = shards.map(_.shard).collect()
+    if (sys.env.contains("GRAFT_OPEN_LOG"))
+      System.err.println(s"[open] unshuffled: ${shards.getNumPartitions} " +
+        s"partitions, ${ids.length} shard indexes, pack=$packBytes")
+    if (ids.length == ids.distinct.length) Some(shards)
+    else { shards.unpersist(blocking = false); None }
   }
 
   /** Stored block-max bounds are avgdl-tight unless streamed appends shifted
@@ -180,23 +240,7 @@ object Searcher {
       qid -> chain(q).groupBy(identity).view.mapValues(_.length).toMap
     }
     val uniqueTerms: Array[String] = analyzed.flatMap(_._2.keys).distinct.toArray
-
-    // job 1 — query-sized df for cache misses only: k hash lookups per
-    // shard, Σ over shards (skipped entirely once the handle has served the
-    // query's terms before)
-    val missing: Array[String] = uniqueTerms.filterNot(h.dfCache.containsKey)
-    if (missing.nonEmpty) {
-      val looked = h.shards.flatMap { si =>
-        missing.flatMap { t =>
-          val tp = si.terms.get(t)
-          if (tp == null) None else Some((t, tp.df))
-        }
-      }.collect().groupMapReduce(_._1)(_._2)(_ + _)
-      missing.foreach(t => h.dfCache.put(t, Long.box(looked.getOrElse(t, 0L))))
-    }
-    val dfByTerm: Map[String, Long] = uniqueTerms.iterator
-      .map(t => t -> h.dfCache.get(t).longValue())
-      .filter(_._2 > 0L).toMap
+    val dfByTerm: Map[String, Long] = resolveDfs(h, uniqueTerms)
 
     val nDocs = h.stats.n_docs
     val wandQueries: Array[WandQuery] = analyzed.map { case (qid, tw) =>
@@ -208,6 +252,12 @@ object Searcher {
     val avgdl = h.stats.avgdl
     val tight = h.tightBounds
     val kk = k
+    // unique run id: shards sharing a JVM share one θ board per query
+    // (BlockMaxWand.ThetaBoards) — head-term pruning tightens as soon as
+    // ANY co-resident shard fills its heap. GRAFT_SHARED_THETA=0 disables
+    // (A/B benchmarking knob).
+    val shareTheta = sys.env.getOrElse("GRAFT_SHARED_THETA", "1") != "0"
+    val runId = java.util.UUID.randomUUID().toString
 
     // job 2 — WAND fan-out: each shard scores every query from its own hash
     // index; only (qid, doc_id, score) winners leave the executor
@@ -220,7 +270,9 @@ object Searcher {
             else Iterator.single(t.term -> ArraySeq.unsafeWrapArray(tp.blocks))
           }.toMap
         if (byTerm.isEmpty) Iterator.empty
-        else BlockMaxWand.scoreShard(q, byTerm, avgdl, kk, tight)
+        else BlockMaxWand.scoreShard(q, byTerm, avgdl, kk, tight,
+          if (shareTheta) BlockMaxWand.ThetaBoards.boardFor(s"$runId/${q.qid}")
+          else null)
           .iterator.map { case (doc, s) => (q.qid, doc, s) }
       }
     }.collect()
@@ -253,6 +305,60 @@ object Searcher {
     val h = open(spark, indexDir)
     try search(h, rawQueries, k)
     finally h.close()
+  }
+
+  /** Query-sized df lookup for cache misses only: |terms| hash lookups per
+    * shard, Σ over shards (skipped entirely once the handle has served the
+    * terms before). Returns only terms with df > 0. */
+  private def resolveDfs(h: Handle,
+      uniqueTerms: Array[String]): Map[String, Long] = {
+    val missing: Array[String] = uniqueTerms.filterNot(h.dfCache.containsKey)
+    if (missing.nonEmpty) {
+      val looked = h.shards.flatMap { si =>
+        missing.flatMap { t =>
+          val tp = si.terms.get(t)
+          if (tp == null) None else Some((t, tp.df))
+        }
+      }.collect().groupMapReduce(_._1)(_._2)(_ + _)
+      missing.foreach(t => h.dfCache.put(t, Long.box(looked.getOrElse(t, 0L))))
+    }
+    uniqueTerms.iterator
+      .map(t => t -> h.dfCache.get(t).longValue())
+      .filter(_._2 > 0L).toMap
+  }
+
+  /** Per-doc BM25 contributions of a weighted term bag against this
+    * handle's index: (doc_id, contrib) with contrib = weight · idf ·
+    * tfNorm under THIS index's stats — the building block of multi-field
+    * (ES bool/should) scoring, where per-field score lists must be summed
+    * across sub-indexes rather than top-k'd per field (a doc can win the
+    * sum without being in any single field's top-k). Distributed end to
+    * end: one narrow decode job per handle, rows stay on executors for the
+    * downstream sum. The doubles are the WAND kernel's own (same
+    * [[Bm25.idf]]/[[Bm25.tfNorm]] calls), so micro-rounded sums agree with
+    * the oracle's exactly like the single-field paths. */
+  def contribs(h: Handle, termWeights: Map[String, Int]): DataFrame = {
+    import h.spark.implicits._
+    val dfByTerm = resolveDfs(h, termWeights.keys.toArray)
+    val n = h.stats.n_docs
+    val avgdl = h.stats.avgdl
+    val idfW: Array[(String, Double)] = termWeights.toArray.collect {
+      case (t, w) if dfByTerm.contains(t) =>
+        t -> w * Bm25.idf(n, dfByTerm(t))
+    }
+    h.shards.flatMap { si =>
+      idfW.iterator.flatMap { case (t, iw) =>
+        val tp = si.terms.get(t)
+        if (tp == null) Iterator.empty
+        else tp.blocks.iterator.flatMap { b =>
+          val ids = graft.index.Codec.decodeDocIds(b.doc_ids, b.n)
+          val tfs = graft.index.Codec.decodeTfs(b.tfs, b.n)
+          val dls = graft.index.Codec.decodeTfs(b.dls, b.n)
+          (0 until b.n).iterator.map(i =>
+            (ids(i), iw * Bm25.tfNorm(tfs(i).toDouble, dls(i).toDouble, avgdl)))
+        }
+      }
+    }.toDF("doc_id", "contrib")
   }
 
   /** ES term-query analogue (filter context — set-valued, no scoring): all

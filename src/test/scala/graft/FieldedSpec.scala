@@ -123,4 +123,16 @@ class FieldedSpec extends AnyFunSuite {
     val dois = FieldedQueries.fieldDoi(spark, "").collect().map(_.getString(0))
     assert(dois.toSeq === Seq("10.1/nd.123", "10.1/nd.7", "10.1/nd.999"))
   }
+
+  test("multi-field bool/should: summed per-field BM25 tops the cited doc") {
+    val rows = FieldedQueries.fieldMulti(spark, "").collect()
+    assert(rows.length === FieldedQueries.K)
+    // doc 123 matches all three legs (fam123/123 in bibliographic,
+    // year 1993, volume 23) — nothing else comes close
+    assert(rows.head.getAs[Long]("rnk") === 1L)
+    assert(rows.head.getAs[String]("doi") === "10.1/nd.123")
+    // scores strictly ordered, ties by doi
+    val xs = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("score_x6"))
+    assert(xs.toSeq === xs.sortBy(-_).toSeq)
+  }
 }

@@ -83,6 +83,38 @@ class KernelSpec extends AnyFunSuite {
     })
   }
 
+  test("FieldTfExpr.analyzeTf == analyzeChain token counts for every chain") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.analysis.FieldTfExpr
+    val valsGen: Gen[List[String]] = Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)),
+      Gen.oneOf("", "The Fast", "Åström 9", "a b the", "MIXED case")))
+    val chains = Seq(Analyzer.Keyword, Analyzer.KeywordFold,
+      Analyzer.Text, Analyzer.TextStop)
+    for (kind <- chains) {
+      check(s"fieldTf-$kind", Prop.forAll(valsGen) { vals =>
+        val arr = new GenericArrayData(
+          vals.map(v => UTF8String.fromString(v): Any).toArray)
+        val row = FieldTfExpr.analyzeTf(arr, kind)
+        val got = {
+          val a = row.getArray(1)
+          (0 until a.numElements()).map { i =>
+            val st = a.getStruct(i, 2)
+            st.getUTF8String(0).toString -> st.getInt(1)
+          }.toMap
+        }
+        // reference: the per-value query-side chain, counted (keyword
+        // chains: one token per non-empty value)
+        val toks = vals.flatMap {
+          case "" => Nil
+          case v => Analyzer.analyzeChain(kind, v).toList
+        }
+        val expected = toks.groupBy(identity).view.mapValues(_.length).toMap
+        row.getInt(0) == toks.length && got == expected
+      })
+    }
+  }
+
   // ---- HashKernels: row-local dedup/fingerprint signature kernels --------
 
   // codepoint fold — what the DuckDB oracle's ascii(substr(c,i,1)) char
