@@ -52,7 +52,14 @@ object Searcher {
   /** A query-server handle: corpus stats loaded once, shard indexes resident
     * in executor memory. The term dictionary stays distributed (inside the
     * shard indexes) — per-query metadata is looked up, never collected
-    * wholesale. */
+    * wholesale.
+    *
+    * Reopen contract (the Lucene IndexReader model): a handle is a
+    * snapshot of the index AT OPEN TIME. After a [[graft.streaming
+    * .Compactor.compact]] swaps the directory, an old handle keeps serving
+    * its cached partitions consistently, but an evicted partition would
+    * recompute against the NEW directory (different doc ids) — close and
+    * reopen handles after compaction rather than serving through it. */
   final class Handle private[Searcher] (val spark: SparkSession,
       val indexDir: String, val stats: CorpusStats, val tightBounds: Boolean,
       private[Searcher] val shards: RDD[ShardIndex]) {
