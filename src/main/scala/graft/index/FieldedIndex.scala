@@ -77,21 +77,30 @@ object FieldedIndex {
     * implicitly multi-valued): arrays pass through, scalars wrap, non-string
     * scalars stringify (the reference stores `year` as text via
     * fmt.Sprint, publication.go:196). */
-  private def valsCol(df: DataFrame, field: String): Column =
+  private[graft] def valsCol(df: DataFrame, field: String): Column =
     df.schema(field).dataType match {
       case ArrayType(StringType, _) => col(field)
       case StringType => array(col(field))
       case _ => array(col(field).cast("string"))
     }
 
+  /** Committed view of (doc_id, key): base doc_map + active streamed
+    * segments' doc_map — the fielded twin of [[IndexTables.docMap]]
+    * (identical storage model at the TOP manifest). */
+  def docMap(spark: SparkSession, indexDir: String): DataFrame =
+    IndexTables.docMap(spark, new TableIO(indexDir))
+
   /** Build the fielded index over `docs` for every mapped field present in
     * the schema. `keyCol` is the external doc identity carried into
     * doc_map (the ES `_id`); duplicate keys collapse last-write-wins in
     * input order (the ES bulk `"index"`-action overwrite,
-    * elastic/elastic.go:165-167). */
+    * elastic/elastic.go:165-167). `docMapKeyName` overrides the doc_map
+    * output column name when the input key column is already an internal
+    * alias (the compaction rebuild path). */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
             fields: Seq[FieldSpec], keyCol: String,
-            cfg: PostingsBuilder.Config = PostingsBuilder.Config()): TableIO = {
+            cfg: PostingsBuilder.Config = PostingsBuilder.Config(),
+            docMapKeyName: String = null): TableIO = {
     graft.streaming.Compactor.finishInterruptedSwap(indexDir)
     val io = new TableIO(indexDir)
     // codec-format guard at the TOP manifest: a fielded index cached from an
@@ -125,7 +134,8 @@ object FieldedIndex {
       .filter(col("_rn") === 1).drop("_rn")
 
     io.step("doc_map") {
-      staged.select(col("doc_id"), col("_key").as(keyCol))
+      staged.select(col("doc_id"),
+          col("_key").as(Option(docMapKeyName).getOrElse(keyCol)))
         .write.mode("overwrite").parquet(io.tablePath("doc_map"))
     }
 
@@ -147,15 +157,26 @@ object FieldedIndex {
     io
   }
 
-  /** Per-field resident handles, opened once per (index, field) per JVM —
-    * the serving-node model ([[Searcher.Handle]]). */
+  /** Per-field resident handles — the serving-node model
+    * ([[Searcher.Handle]]), SNAPSHOT-AWARE: the cache key carries the
+    * field sub-index's manifest snapshot id, so a streamed ingest or a
+    * compaction (both advance the manifest) transparently reopens the
+    * handle on next access (the Lucene reopen model; the superseded
+    * handle is closed). The staleness check is one tiny file read. */
   private val handles =
-    new java.util.concurrent.ConcurrentHashMap[String, Searcher.Handle]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Searcher.Handle)]()
 
   def handleFor(spark: SparkSession, indexDir: String,
-                field: String): Searcher.Handle =
-    handles.computeIfAbsent(fieldDir(indexDir, field),
-      d => Searcher.open(spark, d))
+                field: String): Searcher.Handle = {
+    val d = fieldDir(indexDir, field)
+    val snap = new TableIO(d).currentSnapshotId().getOrElse("")
+    handles.compute(d, (_, cur) =>
+      if (cur != null && cur._1 == snap) cur
+      else {
+        if (cur != null) cur._2.close()
+        (snap, Searcher.open(spark, d))
+      })._2
+  }
 
   /** ES match-query against one field: analyze with the field's chain,
     * BM25 over the field's sub-index with the FIELD's stats. Returns

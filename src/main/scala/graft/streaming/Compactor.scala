@@ -74,13 +74,19 @@ object Compactor {
     tio.commit(tio.committedSteps() ++
       batches.map(b => s"stream_g$b") + s"compact_e$maxEpoch")
 
-    // swap: old aside → new in → drop old
+    swapIn(indexDir, tmpDir)
+    true
+  }
+
+  /** The crash-safe swap: old aside → new in → drop old. Shared by the
+    * webtext and fielded compactors; every window is covered by
+    * [[finishInterruptedSwap]]. */
+  private[streaming] def swapIn(indexDir: String, tmpDir: String): Unit = {
     val live = Paths.get(indexDir)
     val old = Paths.get(s"$indexDir.old")
     Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmpDir), live, StandardCopyOption.ATOMIC_MOVE)
     new TableIO(old.toString).deleteAll()
-    true
   }
 
   /** Crash recovery for the swap's non-atomic windows — idempotent, cheap
@@ -104,8 +110,16 @@ object Compactor {
     val tmp = Paths.get(s"$indexDir.compact")
     val old = Paths.get(s"$indexDir.old")
     if (!Files.exists(live) && Files.exists(old)) {
-      if (Files.exists(tmp) &&
-          new TableIO(tmp.toString).isComplete(PostingsBuilder.FinalStep)) {
+      // roll forward only if the side build reached ITS final step (plain
+      // index: lineage; fielded index: fields_done) — both compactors
+      // commit markers before the first rename, so a tmp that looks
+      // complete here is fully marker-carried too
+      val tmpComplete = Files.exists(tmp) && {
+        val t = new TableIO(tmp.toString)
+        t.isComplete(PostingsBuilder.FinalStep) ||
+          t.isComplete(graft.index.FieldedIndex.FinalStep)
+      }
+      if (tmpComplete) {
         Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
         new TableIO(old.toString).deleteAll()
       } else {

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.{DocIds, FieldedIndex, IndexTables, PostingsBuilder, TextIndex}
+import graft.index.FieldedIndex.FieldSpec
+import graft.io.TableIO
+
+/** Streaming ingest + LWW compaction for PER-FIELD indexes — the segment
+  * model of [[IncrementalIndexer]]/[[Compactor]] applied to the fielded
+  * layout the CLI builds (a doc's update must land in EVERY field's
+  * sub-index, which is exactly what Elasticsearch's bulk `"index"` action
+  * does across its per-field inverted lists).
+  *
+  * Batch anatomy (all idempotent overwrites; visibility points LAST):
+  *
+  *  1. within-batch LWW by key, dense ids continuing the TOP doc_id space
+  *     (staged `stream_docs/batch=b` with `_mid` — the tag/resolve
+  *     protocol), a top-level doc_map segment;
+  *  2. one segment PER FIELD sub-index via the shared
+  *     [[IncrementalIndexer.appendSegment]] core — per-field stats merge
+  *     additively inside each sub-index exactly as in the single-index
+  *     model, and each field dir commits its own `stream_g<b>` step, so a
+  *     crashed batch resumes by redoing only the unfinished fields;
+  *  3. the TOP manifest's `stream_g<b>` commit — the batch-level
+  *     visibility point (the doc_map segment and "batch happened" fact).
+  *
+  * Between a field's commit and the top commit, that field serves the new
+  * docs while doc_map does not yet resolve their keys — a crash-window
+  * inconsistency bounded by replay (the same eventual-per-shard visibility
+  * ES exhibits between bulk item and refresh).
+  *
+  * Re-crawled keys exist once per epoch until [[compact]] folds all
+  * segments last-write-wins into a fresh fielded base (side-dir rebuild +
+  * the crash-safe rename swap shared with [[Compactor]]); per-field
+  * block-max bounds re-tighten at each field's merged avgdl, and
+  * [[FieldedIndex.handleFor]]'s snapshot check reopens serving handles
+  * automatically. */
+object FieldedStreaming {
+
+  /** Append one batch of (key + field columns) docs to a complete fielded
+    * index. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+                  fields: Seq[FieldSpec], keyCol: String, batchId: Long,
+                  cfg: PostingsBuilder.Config): Unit = {
+    Compactor.finishInterruptedSwap(indexDir)
+    val io = new TableIO(indexDir)
+    val step = s"stream_g$batchId"
+    if (io.committedSteps().contains(step)) return // replay past commit
+    require(io.isComplete(FieldedIndex.FinalStep),
+      s"fielded ingest requires a complete fielded index at $indexDir")
+    val present = fields.filter(f => batch.columns.contains(f.field))
+
+    val nextId = FieldedIndex.docMap(spark, indexDir)
+      .agg(max("doc_id")).head().getLong(0) + 1
+
+    // stage (idempotent overwrite), resolve ids from the persisted _mid,
+    // within-batch LWW by key on arrival order — same semantics as build
+    DocIds.tag(batch.select(col(keyCol).as("_key") +: present.map(f =>
+        FieldedIndex.valsCol(batch, f.field).as(f.field)): _*))
+      .write.mode("overwrite")
+      .parquet(io.tablePath(s"stream_docs/batch=$batchId"))
+    val resolved = DocIds.resolve(
+      spark.read.parquet(io.tablePath(s"stream_docs/batch=$batchId")))
+    val w = Window.partitionBy(col("_key")).orderBy(col("doc_id").desc)
+    val withIds = resolved
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("doc_id", col("doc_id") + lit(nextId))
+
+    // top-level doc_map segment (keys resolve once the TOP step commits)
+    val keyName = spark.read.parquet(io.tablePath("doc_map")).columns(1)
+    withIds.select(col("doc_id"), col("_key").as(keyName))
+      .write.mode("overwrite")
+      .parquet(IndexTables.segPath(io, batchId, "doc_map"))
+
+    // one segment per field sub-index; each commits independently so a
+    // crashed batch redoes only the unfinished fields on replay
+    present.foreach { f =>
+      val fio = new TableIO(FieldedIndex.fieldDir(indexDir, f.field))
+      if (!fio.committedSteps().contains(step)) {
+        val cleaned = filter(col(f.field), v => v.isNotNull && v =!= lit(""))
+        val corpus = withIds.select(col("doc_id"), cleaned.as("vals"))
+          .where(size(col("vals")) > 0)
+        val docTerms = TextIndex.fieldDocTermFreqs(corpus, f.chain).cache()
+        IncrementalIndexer.appendSegment(spark, fio, docTerms, batchId, cfg)
+        docTerms.unpersist()
+        fio.commitStep(step)
+      }
+    }
+    io.commitStep(step) // batch-level visibility point
+  }
+
+  /** Fold all active streamed batches into a fresh fielded base,
+    * last-write-wins per key across epochs (arrival order). Returns true
+    * if a compaction ran. */
+  def compact(spark: SparkSession, indexDir: String, fields: Seq[FieldSpec],
+              cfg: PostingsBuilder.Config): Boolean = {
+    Compactor.finishInterruptedSwap(indexDir)
+    val io = new TableIO(indexDir)
+    val batches = IndexTables.activeBatches(io)
+    if (batches.isEmpty) return false
+    val maxEpoch = batches.max
+    val keyName = spark.read.parquet(io.tablePath("doc_map")).columns(1)
+    val fieldCols = fields.map(_.field).filter(f =>
+      spark.read.parquet(io.tablePath("docs")).columns.contains(f))
+
+    // union of the immutable staged corpora (base epoch −1 + segments),
+    // LWW per key on (epoch, within-epoch arrival _mid)
+    def staged(path: String, epoch: Long): DataFrame =
+      spark.read.parquet(path)
+        .select((col("_key") +: fieldCols.map(col)) :+
+          col(DocIds.MidCol) :+ lit(epoch).as("_epoch"): _*)
+    val parts = staged(io.tablePath("docs"), -1L) +:
+      batches.map(b => staged(io.tablePath(s"stream_docs/batch=$b"), b))
+    val w = Window.partitionBy(col("_key"))
+      .orderBy(col("_epoch").desc, col(DocIds.MidCol).desc)
+    val lww = parts.reduce(_.unionByName(_))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_key") +: fieldCols.map(col): _*)
+
+    // full fielded rebuild in a side dir (fresh shared ids, per-field
+    // tight bounds at each field's merged avgdl)
+    val tmpDir = s"$indexDir.compact"
+    val tio = new TableIO(tmpDir)
+    tio.deleteAll()
+    FieldedIndex.build(spark, lww, tmpDir, fields, keyCol = "_key", cfg,
+      docMapKeyName = keyName)
+
+    // carry replay markers + retirement, THEN swap (ordering matters for
+    // finishInterruptedSwap's roll-forward)
+    tio.commit(tio.committedSteps() ++
+      batches.map(b => s"stream_g$b") + s"compact_e$maxEpoch")
+    Compactor.swapIn(indexDir, tmpDir)
+    true
+  }
+}

@@ -38,7 +38,6 @@ object IncrementalIndexer {
   /** Append one batch of input_hint rows to an existing complete index. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                   batchId: Long, cfg: PostingsBuilder.Config): Unit = {
-    import spark.implicits._
     Compactor.finishInterruptedSwap(indexDir) // mid-swap crash ⇒ recover first
     val io = new TableIO(indexDir)
     val step = s"stream_g$batchId"
@@ -46,7 +45,6 @@ object IncrementalIndexer {
     require(io.isComplete(PostingsBuilder.FinalStep),
       s"incremental ingest requires a complete base index at $indexDir")
 
-    val stats0 = IndexTables.corpusStats(spark, io)
     val nextId = IndexTables.docLens(spark, io)
       .agg(max("doc_id")).head().getLong(0) + 1
 
@@ -67,6 +65,24 @@ object IncrementalIndexer {
     // one tokenization pass for the batch — row-local tf (no token shuffle,
     // no tf⋈dl join; same kernel as the batch build)
     val docTerms = TextIndex.docTermFreqs(withIds).cache()
+    appendSegment(spark, io, docTerms, batchId, cfg,
+      docMapKeys = Some(withIds.select(col("doc_id"), col("url"))))
+    docTerms.unpersist()
+    io.commitStep(step) // the single visibility point (atomic RMW)
+  }
+
+  /** The reusable segment-append core: write one immutable batch segment
+    * (doc_lens / term_stats / stats [+ doc_map when the index keeps one] +
+    * its postings group) for an already-id-assigned per-doc tf relation.
+    * Everything is an idempotent overwrite; the caller commits the
+    * `stream_g<batchId>` visibility step (per sub-index — the fielded
+    * ingest appends one segment per field dir, each committing its own
+    * step so replay skips exactly the finished fields). */
+  private[streaming] def appendSegment(spark: SparkSession, io: TableIO,
+      docTerms: DataFrame, batchId: Long, cfg: PostingsBuilder.Config,
+      docMapKeys: Option[DataFrame] = None): Unit = {
+    import spark.implicits._
+    val stats0 = IndexTables.corpusStats(spark, io)
     val dl = docTerms.select(col("doc_id"), col("dl"))
 
     // batch-local stats (the segment's additive delta; avgdl of the MERGED
@@ -74,13 +90,20 @@ object IncrementalIndexer {
     val batchAgg = dl.agg(count(lit(1)), sum("dl")).head()
     val n1 = batchAgg.getLong(0)
     val dl1 = if (batchAgg.isNullAt(1)) 0L else batchAgg.getLong(1)
-    val avgdlNew = (stats0.total_dl + dl1).toDouble / (stats0.n_docs + n1)
+    val nMerged = stats0.n_docs + n1
+    // an empty merged corpus (a field nothing has values for) has no
+    // meaningful avgdl; 0.0 keeps the encode total and the stats row sane
+    val avgdlNew =
+      if (nMerged == 0) 0.0 else (stats0.total_dl + dl1).toDouble / nMerged
 
     def seg(table: String) = IndexTables.segPath(io, batchId, table)
     dl.write.mode("overwrite").parquet(seg("doc_lens"))
-    withIds.select("doc_id", "url").join(dl, "doc_id")
-      .select(col("doc_id"), col("url"), col("dl").cast("int").as("dl"))
-      .write.mode("overwrite").parquet(seg("doc_map"))
+    docMapKeys.foreach { keys =>
+      keys.join(dl, "doc_id")
+        .select(col("doc_id"), col(keys.columns(1)),
+          col("dl").cast("int").as("dl"))
+        .write.mode("overwrite").parquet(seg("doc_map"))
+    }
     docTerms.select(explode(col("tfs.term")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(seg("term_stats"))
@@ -98,9 +121,6 @@ object IncrementalIndexer {
         ((n1 + cfg.invertPartitionDocs - 1) / cfg.invertPartitionDocs).toInt))
       .write.mode("overwrite")
       .parquet(io.tablePath(s"postings/group=${IndexTables.GroupBase + batchId}"))
-
-    docTerms.unpersist()
-    io.commitStep(step) // the single visibility point (atomic RMW)
   }
 
   /** Start the streaming ingest over a directory of input_hint parquet. */

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.index.{FieldedIndex, PostingsBuilder}
+import graft.index.FieldedIndex.FieldSpec
+import graft.io.TableIO
+import graft.query.Searcher
+import graft.streaming.FieldedStreaming
+
+/** Streaming ingest + LWW compaction over the PER-FIELD index layout:
+  * segment visibility, per-field stats merge, handle reopen on manifest
+  * advance, replay idempotency, and cross-epoch last-write-wins. */
+class FieldedStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val fields = Seq(
+    FieldSpec("tags", Analyzer.Keyword), FieldSpec("body", Analyzer.TextStop))
+  private val cfg = PostingsBuilder.Config(shardSize = 16)
+  private def root = s"${sys.props("user.dir")}/target/test-fielded-stream"
+
+  private def docsDf(rows: Seq[(String, Seq[String], String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "tags", "body")
+  }
+
+  // base: k000..k049; body "w<i%7> common"; tag "t<i%5>"
+  private def baseRows = (0 until 50).map(i =>
+    (f"k$i%03d", Seq(s"t${i % 5}"), s"w${i % 7} common"))
+  // batch: 10 fresh keys + 5 re-crawls of k000..k004 with updated bodies
+  private def batchRows =
+    (100 until 110).map(i => (f"k$i%03d", Seq("fresh"), s"fresh f$i")) ++
+    (0 until 5).map(i => (f"k$i%03d", Seq(s"t${i % 5}"), s"updated u$i"))
+
+  private def bodyDocs(dir: String, term: String): Long =
+    FieldedIndex.termQuery(spark, dir, fields(1), Seq(term)).count()
+
+  private def scoresOf(dir: String, q: String): Seq[Long] =
+    FieldedIndex.searchField(spark, dir, fields(1), Seq(1 -> q), 10)
+      .collect().sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("score_x6")).toSeq
+
+  test("fielded ingest: segments visible per field, LWW compaction folds epochs") {
+    new TableIO(root).deleteAll()
+    val dir = s"$root/idx"
+    FieldedIndex.build(spark, docsDf(baseRows), dir, fields, "k", cfg)
+
+    // open handles BEFORE ingest — the snapshot-aware cache must reopen
+    assert(bodyDocs(dir, "common") === 50L)
+    assert(bodyDocs(dir, "fresh") === 0L)
+
+    FieldedStreaming.ingestBatch(spark, docsDf(batchRows), dir, fields, "k", 0L, cfg)
+
+    // append semantics: new + re-crawled docs visible, stale versions too
+    assert(FieldedIndex.docMap(spark, dir).count() === 65L)
+    assert(bodyDocs(dir, "fresh") === 10L)
+    assert(bodyDocs(dir, "updated") === 5L)
+    assert(bodyDocs(dir, "w0") === 8L) // k000's OLD body still present
+    // per-field stats merged additively (N over the union)
+    val bio = new TableIO(FieldedIndex.fieldDir(dir, "body"))
+    assert(graft.index.IndexTables.corpusStats(spark, bio).n_docs === 65L)
+    assert(!Searcher.tightBoundsOf(bio)) // streamed appends ⇒ safe bounds
+
+    // replay is a no-op (top marker committed)
+    FieldedStreaming.ingestBatch(spark, docsDf(batchRows), dir, fields, "k", 0L, cfg)
+    assert(FieldedIndex.docMap(spark, dir).count() === 65L)
+
+    // score-identity with a one-shot fielded build over the same 65-doc
+    // multiset (re-crawls get distinct synthetic keys: pre-compaction
+    // streaming serves BOTH versions)
+    val refRows = baseRows ++ batchRows.map { case (k, t, b) => (s"$k@1", t, b) }
+    val refDir = s"$root/idx-ref"
+    FieldedIndex.build(spark, docsDf(refRows), refDir, fields, "k", cfg)
+    assert(scoresOf(dir, "common w3") === scoresOf(refDir, "common w3"))
+
+    // crash window: retract the TOP step only (fields committed) — replay
+    // must skip the finished fields and restore the batch atomically
+    val io = new TableIO(dir)
+    io.commit(io.committedSteps() - "stream_g0")
+    FieldedStreaming.ingestBatch(spark, docsDf(batchRows), dir, fields, "k", 0L, cfg)
+    assert(FieldedIndex.docMap(spark, dir).count() === 65L)
+
+    // compact: LWW per key across epochs, fresh per-field tight bounds
+    assert(FieldedStreaming.compact(spark, dir, fields, cfg))
+    assert(FieldedIndex.docMap(spark, dir).count() === 60L)
+    assert(bodyDocs(dir, "updated") === 5L)
+    assert(bodyDocs(dir, "w0") === 7L) // stale k000 version folded away
+    assert(bodyDocs(dir, "fresh") === 10L)
+    assert(Searcher.tightBoundsOf(
+      new TableIO(FieldedIndex.fieldDir(dir, "body"))))
+    assert(graft.index.IndexTables.activeBatches(new TableIO(dir)).isEmpty)
+
+    // post-compaction: replayed batch still no-ops (markers carried)
+    FieldedStreaming.ingestBatch(spark, docsDf(batchRows), dir, fields, "k", 0L, cfg)
+    assert(FieldedIndex.docMap(spark, dir).count() === 60L)
+
+    // score-identity with a one-shot build over the folded corpus
+    val lwwRows = batchRows ++ baseRows.filterNot(r =>
+      batchRows.exists(_._1 == r._1))
+    val refDir2 = s"$root/idx-ref2"
+    FieldedIndex.build(spark, docsDf(lwwRows), refDir2, fields, "k", cfg)
+    assert(scoresOf(dir, "common w3") === scoresOf(refDir2, "common w3"))
+    assert(scoresOf(dir, "updated u2") === scoresOf(refDir2, "updated u2"))
+
+    // streaming continues after compaction
+    FieldedStreaming.ingestBatch(spark,
+      docsDf(Seq(("k200", Seq("late"), "late arrival"))), dir, fields, "k", 7L, cfg)
+    assert(FieldedIndex.docMap(spark, dir).count() === 61L)
+    assert(bodyDocs(dir, "late") === 1L)
+    // idempotent compact of the new epoch
+    assert(FieldedStreaming.compact(spark, dir, fields, cfg))
+    assert(!FieldedStreaming.compact(spark, dir, fields, cfg))
+    assert(FieldedIndex.docMap(spark, dir).count() === 61L)
+  }
+}

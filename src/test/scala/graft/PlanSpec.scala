@@ -93,6 +93,29 @@ class PlanSpec extends AnyFunSuite {
     assert(ids.toSeq === (0L until ids.length).toSeq)
   }
 
+  test("a field sub-build scans only its own column of the staged fielded docs") {
+    import org.apache.spark.sql.functions._
+    // stage a 3-field docs table the way FieldedIndex does, then check the
+    // per-field corpus plan prunes the scan to (doc_id, that field): at 12
+    // mapped fields a scan that read every array column would make each
+    // sub-build pay the whole row width
+    val dir = s"${sys.props("user.dir")}/target/plan-fielded"
+    new graft.io.TableIO(dir).deleteAll()
+    val df = spark.range(0, 100).select(col("id"),
+      array(concat(lit("t"), col("id") % 5)).as("tags"),
+      array(concat(lit("b"), col("id") % 7)).as("body"),
+      array(concat(lit("x"), col("id"))).as("extra"))
+    df.write.parquet(s"$dir/docs")
+    val staged = spark.read.parquet(s"$dir/docs")
+    val corpus = staged.select(col("id").as("doc_id"),
+      filter(col("body"), v => v.isNotNull && v =!= lit("")).as("vals"))
+      .where(size(col("vals")) > 0)
+    val p = planString(
+      graft.index.TextIndex.fieldDocTermFreqs(corpus, "text_stop"))
+    assert(p.contains("body") && !p.contains("tags") && !p.contains("extra"),
+      s"field corpus scan reads sibling field columns:\n$p")
+  }
+
   test("docLens view prunes the doc_terms scan to (doc_id, dl)") {
     // build a tiny index, then check the projection reaches the scan
     val dir = s"${sys.props("user.dir")}/target/plan-idx"
