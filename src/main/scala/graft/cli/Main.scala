@@ -52,15 +52,32 @@ object Main {
     }
     val pubs = CrossrefReader.simplified(
       spark, path, strict = cfg.bool("strict"), format = fmt)
-    // keyCol "doi": resolves (case-insensitively) to the DOI column and
-    // names the doc_map identity column in the reference's lowercase form
-    FieldedIndex.build(spark, pubs,
-      cfg("index-dir"),
-      FieldedIndex.CrossrefMapping,
-      keyCol = "doi",
-      PostingsBuilder.Config(
-        shardSize = cfg.long("shard-size"),
-        shardGroups = cfg.int("shard-groups")))
+    val idxDir = cfg("index-dir")
+    val bcfg = PostingsBuilder.Config(
+      shardSize = cfg.long("shard-size"),
+      shardGroups = cfg.int("shard-groups"))
+    // Reference semantics for a SECOND run against an existing index
+    // (elastic.go:89-114 swallows "already exists", then the bulk
+    // `"index"` actions ADD new DOIs and OVERWRITE re-sent ones): append
+    // the file as a new epoch and compact so the LWW collapse is visible
+    // immediately, like the ES doc-id overwrite. A fresh (or
+    // --remove-index'd) directory takes the batch-build path.
+    if (FieldedIndex.isComplete(idxDir)) {
+      val io = new TableIO(idxDir)
+      val epoch = io.committedSteps().collect {
+        case s if s.startsWith("stream_g") => s.stripPrefix("stream_g").toLong
+      }.maxOption.map(_ + 1).getOrElse(0L)
+      graft.streaming.FieldedStreaming.ingestBatch(spark, pubs, idxDir,
+        FieldedIndex.CrossrefMapping, keyCol = "doi", epoch, bcfg)
+      graft.streaming.FieldedStreaming.compact(spark, idxDir,
+        FieldedIndex.CrossrefMapping, bcfg)
+      io
+    } else {
+      // keyCol "doi": resolves (case-insensitively) to the DOI column and
+      // names the doc_map identity column in the reference's lowercase form
+      FieldedIndex.build(spark, pubs, idxDir,
+        FieldedIndex.CrossrefMapping, keyCol = "doi", bcfg)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -169,7 +169,9 @@ object FieldedIndex {
   def handleFor(spark: SparkSession, indexDir: String,
                 field: String): Searcher.Handle = {
     val d = fieldDir(indexDir, field)
-    val snap = new TableIO(d).currentSnapshotId().getOrElse("")
+    // the TOKEN, not the id: a compaction swap resets the id sequence and
+    // the fresh directory's id can collide with the cached one
+    val snap = new TableIO(d).snapshotToken().getOrElse("")
     handles.compute(d, (_, cur) =>
       if (cur != null && cur._1 == snap) cur
       else {

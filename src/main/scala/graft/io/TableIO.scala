@@ -43,6 +43,18 @@ final class TableIO(val indexDir: String) extends Serializable {
     if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim)
     else None
 
+  /** Globally-unique token of the current snapshot (the manifest header's
+    * uuid). Snapshot IDS are small per-directory integers, so after a
+    * compaction swaps a fresh directory in, the new manifest's id can
+    * EQUAL the old one — anything caching "have I seen this index state"
+    * (the fielded handle cache) must key on this token, not the id. */
+  def snapshotToken(): Option[String] =
+    currentSnapshotId().flatMap { id =>
+      val snap = snapDir.resolve(s"snap-$id.json")
+      if (!Files.exists(snap)) None
+      else Files.readAllLines(snap).asScala.headOption
+    }
+
   /** Commit `steps` as the new snapshot (monotonic id). Atomic: manifest is
     * fully written before CURRENT is renamed over. Synchronized so
     * concurrent [[stepsPar]] bodies commit without losing each other's
@@ -52,7 +64,9 @@ final class TableIO(val indexDir: String) extends Serializable {
     val prev = currentSnapshotId().map(_.toLong).getOrElse(-1L)
     val id = (prev + 1).toString
     val snap = snapDir.resolve(s"snap-$id.json")
-    val body = (s"snapshot $id" +: steps.toSeq.sorted).mkString("\n")
+    // header carries a unique commit token (see snapshotToken)
+    val body = (s"snapshot $id ${java.util.UUID.randomUUID()}" +:
+      steps.toSeq.sorted).mkString("\n")
     Files.writeString(snap, body)
     val tmp = snapDir.resolve(s"CURRENT.tmp$id")
     Files.writeString(tmp, id)

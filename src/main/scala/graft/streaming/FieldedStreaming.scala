@@ -93,6 +93,24 @@ object FieldedStreaming {
     io.commitStep(step) // batch-level visibility point
   }
 
+  /** Structured-Streaming entry: watch a directory of parquet batches at
+    * the given schema and ingest each micro-batch —
+    * [[IncrementalIndexer.start]]'s fielded twin (exactly-once by the same
+    * argument: idempotent segment overwrites + manifest-step visibility). */
+  def start(spark: SparkSession, sourceDir: String,
+            schema: org.apache.spark.sql.types.StructType, indexDir: String,
+            fields: Seq[FieldSpec], keyCol: String, checkpointDir: String,
+            cfg: PostingsBuilder.Config)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch.sparkSession, batch, indexDir, fields, keyCol,
+          batchId, cfg)
+      }
+      .start()
+
   /** Fold all active streamed batches into a fresh fielded base,
     * last-write-wins per key across epochs (arrival order). Returns true
     * if a compaction ran. */
@@ -108,11 +126,20 @@ object FieldedStreaming {
       spark.read.parquet(io.tablePath("docs")).columns.contains(f))
 
     // union of the immutable staged corpora (base epoch −1 + segments),
-    // LWW per key on (epoch, within-epoch arrival _mid)
-    def staged(path: String, epoch: Long): DataFrame =
-      spark.read.parquet(path)
-        .select((col("_key") +: fieldCols.map(col)) :+
-          col(DocIds.MidCol) :+ lit(epoch).as("_epoch"): _*)
+    // LWW per key on (epoch, within-epoch arrival _mid). A batch staged
+    // without some field column (schema drift across crawls) null-fills
+    // it: the ES `"index"` action replaces the WHOLE document, so a
+    // re-crawl that omits a field drops the field — replacement, not
+    // patch.
+    def staged(path: String, epoch: Long): DataFrame = {
+      val df = spark.read.parquet(path)
+      val vals = fieldCols.map(f =>
+        if (df.columns.contains(f)) col(f)
+        else lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)).as(f))
+      df.select((col("_key") +: vals) :+
+        col(DocIds.MidCol) :+ lit(epoch).as("_epoch"): _*)
+    }
     val parts = staged(io.tablePath("docs"), -1L) +:
       batches.map(b => staged(io.tablePath(s"stream_docs/batch=$b"), b))
     val w = Window.partitionBy(col("_key"))

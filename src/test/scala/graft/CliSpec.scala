@@ -91,6 +91,33 @@ class CliSpec extends AnyFunSuite {
       assert(docs.toSeq === Seq("10.1/nd.77"))
     } finally h.close()
 
+    // re-running against the EXISTING index is the reference's bulk
+    // overwrite, not a no-op and not duplication: the file lands as a new
+    // epoch and compaction folds it LWW by DOI immediately
+    Main.run(spark, Cli.parse(Array(
+      "--file", s"$fixtures/ndjson_plain.ndjson",
+      "--index-dir", idxDir,
+      "--shard-size", "256"), env = Map.empty))
+    assert(spark.read.parquet(s"$idxDir/doc_map").count() === 1000)
+    assert(Searcher.search(spark,
+      graft.index.FieldedIndex.fieldDir(idxDir, "bibliographic"),
+      Seq(1 -> "journal title"), 5).count() > 0)
+
+    // query-side CLI: field-targeted BM25 through the same index (the
+    // _search endpoint stand-in); DOI keyword field via --field
+    val qa = graft.cli.Query.parse(Array(
+      "--index-dir", idxDir, "--field", "title", "--k", "3",
+      "title", "42"))
+    val qHits = graft.cli.Query.run(spark, qa)
+    assert(qHits.nonEmpty && qHits.head._1 === 1L)
+    assert(qHits.head._2 === "10.1/nd.42") // the discriminative-term doc
+    assert(intercept[graft.cli.Cli.CliError](
+      graft.cli.Query.parse(Array("--index-dir", idxDir)))
+      .getMessage.contains("usage"))
+    assert(intercept[graft.cli.Cli.CliError](
+      graft.cli.Query.run(spark, qa.copy(field = "nope")))
+      .getMessage.contains("unknown field"))
+
     // --remove-index rebuilds from scratch (elastic.go:71-87 analogue)
     val io2 = Main.run(spark, Cli.parse(Array(
       "--file", s"$fixtures/ndjson_plain.ndjson",

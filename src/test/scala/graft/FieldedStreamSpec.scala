@@ -118,4 +118,26 @@ class FieldedStreamSpec extends AnyFunSuite {
     assert(!FieldedStreaming.compact(spark, dir, fields, cfg))
     assert(FieldedIndex.docMap(spark, dir).count() === 61L)
   }
+
+  test("schema drift: a batch without a field column REPLACES the doc (field drops)") {
+    import spark.implicits._
+    val dir = s"$root/idx-drift"
+    new TableIO(dir).deleteAll()
+    val base = (0 until 10).map(i =>
+      (f"k$i%03d", Seq(s"t${i % 5}"), s"w$i common"))
+    FieldedIndex.build(spark, docsDf(base), dir, fields, "k", cfg)
+    assert(FieldedIndex.termQuery(spark, dir, fields(0), Seq("t0")).count() === 2L)
+
+    // re-crawl k000 with NO tags column at all (evolving crawl schema)
+    val drifted = Seq(("k000", "replaced body")).toDF("k", "body")
+    FieldedStreaming.ingestBatch(spark, drifted, dir, fields, "k", 0L, cfg)
+    assert(FieldedStreaming.compact(spark, dir, fields, cfg))
+
+    // ES "index"-action semantics: the re-crawl REPLACES the document —
+    // its tags are gone, its body is the new one
+    assert(FieldedIndex.docMap(spark, dir).count() === 10L)
+    assert(FieldedIndex.termQuery(spark, dir, fields(0), Seq("t0")).count() === 1L)
+    assert(bodyDocs(dir, "replaced") === 1L)
+    assert(bodyDocs(dir, "w0") === 0L)
+  }
 }
