@@ -39,6 +39,13 @@ object FieldedQueries {
     "year" -> "1993",
     "volume" -> "23")
 
+  /** ES bool filter+must: match `title` in query context, FILTER by
+    * year=1997 in filter context (unscored) — top-k of the filtered set.
+    * Doc 7 (year 1997) carries the discriminative "7"; docs of other
+    * years never appear however well they match. */
+  val FilteredMatchText = "title 7"
+  val FilteredYear = "1997"
+
   /** Per-field BM25 queries over `title` (text+stop chain). Fixture titles
     * are ["Record $i title", "second title $i"], so each query has one
     * discriminative numeric term; the tie-broken tail ranks exercise the
@@ -107,6 +114,17 @@ object FieldedQueries {
     val dir = ensureFieldedIndex(spark)
     val legs = MultiLegs.map { case (f, text) => (spec(f), text) }
     FieldedIndex.multiMatch(spark, dir, legs, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
+  /** Filter-context + query-context bool: title match restricted to the
+    * year-1997 cohort. */
+  def fieldFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.filteredMatch(spark, dir,
+      spec("title"), FilteredMatchText, spec("year"), Seq(FilteredYear), K)
       .join(docMap(spark, dir), "doc_id")
       .select(col("rnk"), col("doi"), col("score_x6"))
       .orderBy("rnk")
@@ -210,6 +228,47 @@ object FieldedQueries {
        |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
        |                       doi ASC) AS rnk
        |  FROM scored)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** Filtered-match replay: the title leg scored with the FULL title-field
+    * stats (ES filter context does not alter query-context statistics),
+    * semi-joined to the year cohort BEFORE ranking. */
+  def fieldFilteredSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(FilteredMatchText)
+      .groupBy(identity).view.mapValues(_.length)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val yt = Analyzer.analyzeKeywordFold(FilteredYear)
+    s"""WITH src0 AS (SELECT DOI AS doi, title,
+       |    CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y
+       |  FROM (${fixtureSrc(dateCols)})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |allowed AS (SELECT doi FROM src0 WHERE y = '$yt'),
+       |ranked AS (
+       |  SELECT s.doi, CAST(round(s.score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(s.score * 1000000.0) AS BIGINT) DESC,
+       |                       s.doi ASC) AS rnk
+       |  FROM scored s JOIN allowed USING (doi))
        |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
 

@@ -195,6 +195,39 @@ object FieldedIndex {
     Searcher.termDocs(handleFor(spark, indexDir, spec.field),
       values.flatMap(v => Analyzer.analyzeChain(spec.chain, v)))
 
+  /** ES bool filter+must — a match leg scored in query context, restricted
+    * to docs passing a keyword term filter on ANOTHER field (filter
+    * context: unscored, like `{"bool":{"must":[match],"filter":[term]}}`).
+    * The top-k must be of the FILTERED set, so the filter semi-joins the
+    * full distributed score list BEFORE ranking — a post-filter of an
+    * unfiltered top-k would under-fill. Shapes: the filter doc set stays
+    * distributed (a term's postings are corpus-sized at scale) and the
+    * semi-join runs on doc_id; AQE picks broadcast when the filter side is
+    * small (a DOI lookup) and shuffle-hash when it is not (a year
+    * cohort). Returns (rnk, doc_id, score_x6). */
+  def filteredMatch(spark: SparkSession, indexDir: String,
+                    matchSpec: FieldSpec, matchText: String,
+                    filterSpec: FieldSpec, filterValues: Seq[String],
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tw = Analyzer.analyzeChain(matchSpec.chain, matchText)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val scores = Searcher
+      .contribs(handleFor(spark, indexDir, matchSpec.field), tw)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    val allowed = termQuery(spark, indexDir, filterSpec, filterValues)
+      .select("doc_id").distinct()
+    scores.join(allowed, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x6").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** ES bool/should multi-field match — the reference's actual client
     * pattern (Biblio-Glutton posts a bool of per-field matches against the
     * mapped index and ranks by the SUM of clause scores): each leg

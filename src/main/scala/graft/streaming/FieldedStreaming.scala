@@ -76,19 +76,33 @@ object FieldedStreaming {
       .write.mode("overwrite")
       .parquet(IndexTables.segPath(io, batchId, "doc_map"))
 
-    // one segment per field sub-index; each commits independently so a
-    // crashed batch redoes only the unfinished fields on replay
-    present.foreach { f =>
-      val fio = new TableIO(FieldedIndex.fieldDir(indexDir, f.field))
-      if (!fio.committedSteps().contains(step)) {
-        val cleaned = filter(col(f.field), v => v.isNotNull && v =!= lit(""))
-        val corpus = withIds.select(col("doc_id"), cleaned.as("vals"))
-          .where(size(col("vals")) > 0)
-        val docTerms = TextIndex.fieldDocTermFreqs(corpus, f.chain).cache()
-        IncrementalIndexer.appendSegment(spark, fio, docTerms, batchId, cfg)
-        docTerms.unpersist()
-        fio.commitStep(step)
-      }
+    // one segment per field sub-index, appended CONCURRENTLY (independent
+    // directories and manifests — same parallel shape as the build; Spark
+    // interleaves the jobs); each field commits independently so a crashed
+    // batch redoes only the unfinished fields on replay
+    val failures =
+      new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    val threads = present.map { f =>
+      val t = new Thread(() => {
+        try {
+          val fio = new TableIO(FieldedIndex.fieldDir(indexDir, f.field))
+          if (!fio.committedSteps().contains(step)) {
+            val cleaned = filter(col(f.field), v => v.isNotNull && v =!= lit(""))
+            val corpus = withIds.select(col("doc_id"), cleaned.as("vals"))
+              .where(size(col("vals")) > 0)
+            val docTerms = TextIndex.fieldDocTermFreqs(corpus, f.chain).cache()
+            IncrementalIndexer.appendSegment(spark, fio, docTerms, batchId, cfg)
+            docTerms.unpersist()
+            fio.commitStep(step)
+          }
+        } catch { case e: Throwable => failures.put(f.field, e) }
+      }, s"graft-ingest-${f.field}")
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) {
+      val k = failures.keys().nextElement()
+      throw new RuntimeException(s"field segment '$k' failed", failures.get(k))
     }
     io.commitStep(step) // batch-level visibility point
   }

@@ -124,6 +124,22 @@ class FieldedSpec extends AnyFunSuite {
     assert(dois.toSeq === Seq("10.1/nd.123", "10.1/nd.7", "10.1/nd.999"))
   }
 
+  test("filter+must: top-k is of the FILTERED set, filter context unscored") {
+    val rows = FieldedQueries.fieldFiltered(spark, "").collect()
+    assert(rows.length === FieldedQueries.K)
+    // doc 7 is in the 1997 cohort AND carries the discriminative term
+    assert(rows.head.getAs[String]("doi") === "10.1/nd.7")
+    // every result is from the 34-doc year-1997 cohort (i ≡ 7 mod 30)
+    val dois = rows.map(_.getAs[String]("doi")).toSet
+    for (d <- dois) {
+      val i = d.stripPrefix("10.1/nd.").toInt
+      assert(i % 30 === 7, s"doc outside the filter cohort: $d")
+    }
+    // a doc that matches the text better than most cohort members but
+    // fails the filter (doc 42, year 2002) must NOT appear
+    assert(!dois.contains("10.1/nd.42"))
+  }
+
   test("multi-field bool/should: summed per-field BM25 tops the cited doc") {
     val rows = FieldedQueries.fieldMulti(spark, "").collect()
     assert(rows.length === FieldedQueries.K)
