@@ -103,7 +103,7 @@ object PostingsBuilder {
   def build(spark: SparkSession, docs: DataFrame, indexDir: String,
             cfg: Config = Config(),
             concurrentSteps: Seq[(String, () => Unit)] = Nil,
-            docTermFn: DataFrame => DataFrame = TextIndex.docTermFreqs): TableIO = {
+            docTermFn: DataFrame => DataFrame = TextIndex.docTermFreqs(_)): TableIO = {
     import spark.implicits._
     val io = new TableIO(indexDir)
     // idempotent re-run: complete only when FinalStep AND every concurrent

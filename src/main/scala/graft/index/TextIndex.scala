@@ -48,14 +48,19 @@ object TextIndex {
   def termFreqs(tokens: DataFrame): DataFrame =
     tokens.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
 
-  /** Per-doc (doc_id, dl, tfs: array<struct<term,tf>>) in ONE narrow pass —
-    * tf is document-local, so it is computed as a row-local fold
-    * ([[graft.analysis.AnalyzeTfExpr]]) and the token stream never shuffles. */
-  def docTermFreqs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.analysis.AnalyzeTfExpr.analyzeTf(col("text")).as("at"))
-      .select(col("doc_id"), col("at.dl").cast("long").as("dl"),
-        col("at.tfs").as("tfs"))
+  /** Per-doc (doc_id[, carried cols], dl, tfs: array<struct<term,tf>>) in
+    * ONE narrow pass — tf is document-local, so it is computed as a
+    * row-local fold ([[graft.analysis.AnalyzeTfExpr]]) and the token
+    * stream never shuffles. `carry` columns (e.g. the external doc key)
+    * ride through into the staged doc_terms row so derivations like
+    * doc_map become column-pruned PROJECTIONS of doc_terms instead of a
+    * corpus×corpus join (measured 76-86 s of overlapped join work at 9.6M
+    * docs); downstream readers prune the carried columns away. */
+  def docTermFreqs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select((col("doc_id") +: carry.map(col)) :+
+        graft.analysis.AnalyzeTfExpr.analyzeTf(col("text")).as("at"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        col("at.dl").cast("long").as("dl") :+ col("at.tfs").as("tfs"): _*)
 
   /** The per-FIELD twin: docs carry (doc_id, vals: array<string>) and the
     * chain is one of [[Analyzer.Chains]] — same row-local shape, so every

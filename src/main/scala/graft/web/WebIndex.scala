@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.index.{DocIds, PostingsBuilder}
+import graft.index.{DocIds, PostingsBuilder, TextIndex}
 import graft.io.TableIO
 
 /** End-to-end index build over the `input_hint` webtext table
@@ -79,16 +79,20 @@ object WebIndex {
     val staged = DocIds.resolveWith(rawStaged, DocIds.offsets(rawStaged))
       .select(col("doc_id"), col(keyCol), col("text"))
 
-    // doc_map overlaps the builder's postings stage (it only needs the
-    // staged docs + the doc_terms dl projection, both committed earlier)
-    PostingsBuilder.build(spark, staged.select("doc_id", "text"), indexDir, cfg,
+    // doc_map overlaps the builder's postings stage, and is a PROJECTION:
+    // the key column rides through the tokenize pass into doc_terms
+    // (TextIndex.docTermFreqs carry), so attaching dl needs no
+    // corpus-sized join — at 9.6M docs the former docs⋈doc_terms shuffle
+    // join cost 76-86 s of overlapped work that contended with the
+    // postings stage for cores
+    PostingsBuilder.build(spark, staged.select("doc_id", keyCol, "text"),
+      indexDir, cfg,
       concurrentSteps = Seq("doc_map" -> { () =>
-        staged.select("doc_id", keyCol)
-          .join(spark.read.parquet(io.tablePath("doc_terms"))
-            .select(col("doc_id"), col("dl")), "doc_id")
+        spark.read.parquet(io.tablePath("doc_terms"))
           .select(col("doc_id"), col(keyCol), col("dl").cast("int").as("dl"))
           .write.mode("overwrite").parquet(io.tablePath("doc_map"))
-      }))
+      }),
+      docTermFn = TextIndex.docTermFreqs(_, carry = Seq(keyCol)))
     io
   }
 }
