@@ -110,7 +110,12 @@ object FieldedIndex {
     val present = fields.filter(f => docs.columns.contains(f.field))
     val fieldSteps = present.map(f => s"field_${f.field}")
     val done = io.committedSteps()
-    if ((fieldSteps :+ "doc_map").forall(done.contains)) return io
+    if ((fieldSteps :+ "doc_map").forall(done.contains)) {
+      // crash window: every member step committed but the final marker
+      // didn't — stamp it rather than looking incomplete forever
+      if (!done.contains(FinalStep)) io.commitStep(FinalStep)
+      return io
+    }
 
     // one staging pass pins doc identity for every sub-index (DocIds
     // tag/resolve protocol: ids derive from the persisted _mid, safe under
@@ -123,15 +128,24 @@ object FieldedIndex {
         valsCol(docs, f.field).as(f.field)): _*))
         .write.mode("overwrite").parquet(io.tablePath("docs"))
     }
-    val rawStaged = spark.read.parquet(io.tablePath("docs"))
-    val resolved = DocIds.resolveWith(rawStaged, DocIds.offsets(rawStaged))
     // last-write-wins per key on arrival order (_mid order == input order):
-    // later duplicates overwrite earlier ones, like the ES doc-id overwrite
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_key")).orderBy(col("doc_id").desc)
-    val staged = resolved
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // later duplicates overwrite earlier ones, like the ES doc-id
+    // overwrite. Materialized ONCE: every field sub-build and doc_map read
+    // the winners as a plain narrow scan — without this table each of the
+    // 12 field builds would re-run the LWW window, i.e. 12 corpus-sized
+    // shuffles for one logical pass. (The raw `docs` table keeps the
+    // losers + _mid: compaction folds epochs from it.)
+    io.step("docs_lww") {
+      val rawStaged = spark.read.parquet(io.tablePath("docs"))
+      val resolved = DocIds.resolveWith(rawStaged, DocIds.offsets(rawStaged))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_key")).orderBy(col("doc_id").desc)
+      resolved
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+        .write.mode("overwrite").parquet(io.tablePath("docs_lww"))
+    }
+    val staged = spark.read.parquet(io.tablePath("docs_lww"))
 
     io.step("doc_map") {
       staged.select(col("doc_id"),
@@ -216,8 +230,10 @@ object FieldedIndex {
       .contribs(handleFor(spark, indexDir, matchSpec.field), tw)
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
+    // no distinct(): left_semi ignores right-side duplicates, and a
+    // distinct here would only add an exchange
     val allowed = termQuery(spark, indexDir, filterSpec, filterValues)
-      .select("doc_id").distinct()
+      .select("doc_id")
     scores.join(allowed, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
       .orderBy(col("score_x6").desc, col("doc_id").asc)

@@ -65,10 +65,13 @@ object FieldedStreaming {
     val resolved = DocIds.resolve(
       spark.read.parquet(io.tablePath(s"stream_docs/batch=$batchId")))
     val w = Window.partitionBy(col("_key")).orderBy(col("doc_id").desc)
+    // cached: the doc_map write + every field segment re-reads this
+    // batch-sized relation (≈13 jobs at the full mapping)
     val withIds = resolved
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .withColumn("doc_id", col("doc_id") + lit(nextId))
+      .cache()
 
     // top-level doc_map segment (keys resolve once the TOP step commits)
     val keyName = spark.read.parquet(io.tablePath("doc_map")).columns(1)
@@ -80,9 +83,17 @@ object FieldedStreaming {
     // directories and manifests — same parallel shape as the build; Spark
     // interleaves the jobs); each field commits independently so a crashed
     // batch redoes only the unfinished fields on replay
+    // a field mapped AFTER the base build has no sub-index to append to:
+    // its staged batch column is carried anyway and the field becomes
+    // searchable at the next compaction (the rebuild creates its
+    // sub-index from the folded corpus) — static-mapping evolution via
+    // compaction, never a mid-stream half-index
+    val appendable = present.filter(f => new TableIO(
+      FieldedIndex.fieldDir(indexDir, f.field))
+      .isComplete(PostingsBuilder.FinalStep))
     val failures =
       new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
-    val threads = present.map { f =>
+    val threads = appendable.map { f =>
       val t = new Thread(() => {
         try {
           val fio = new TableIO(FieldedIndex.fieldDir(indexDir, f.field))
@@ -100,6 +111,7 @@ object FieldedStreaming {
       t.setDaemon(true); t.start(); t
     }
     threads.foreach(_.join())
+    withIds.unpersist()
     if (!failures.isEmpty) {
       val k = failures.keys().nextElement()
       throw new RuntimeException(s"field segment '$k' failed", failures.get(k))
@@ -136,8 +148,14 @@ object FieldedStreaming {
     if (batches.isEmpty) return false
     val maxEpoch = batches.max
     val keyName = spark.read.parquet(io.tablePath("doc_map")).columns(1)
-    val fieldCols = fields.map(_.field).filter(f =>
-      spark.read.parquet(io.tablePath("docs")).columns.contains(f))
+    // fold every mapped field present in ANY epoch's staged schema — a
+    // field first seen in a streamed batch (mapping evolution) gets its
+    // sub-index built by this rebuild
+    val stagedPaths = io.tablePath("docs") +:
+      batches.map(b => io.tablePath(s"stream_docs/batch=$b"))
+    val avail = stagedPaths.flatMap(p =>
+      spark.read.parquet(p).columns).toSet
+    val fieldCols = fields.map(_.field).filter(avail.contains)
 
     // union of the immutable staged corpora (base epoch −1 + segments),
     // LWW per key on (epoch, within-epoch arrival _mid). A batch staged

@@ -140,4 +140,29 @@ class FieldedStreamSpec extends AnyFunSuite {
     assert(bodyDocs(dir, "replaced") === 1L)
     assert(bodyDocs(dir, "w0") === 0L)
   }
+
+  test("mapping evolution: a field first seen in a batch indexes at compaction") {
+    import spark.implicits._
+    val dir = s"$root/idx-newfield"
+    new TableIO(dir).deleteAll()
+    val notes = FieldedIndex.FieldSpec("notes", Analyzer.TextStop)
+    val evolved = fields :+ notes
+    val base = (0 until 8).map(i => (f"k$i%03d", Seq(s"t$i"), s"w$i"))
+    // base built WITHOUT the notes field (not in the corpus yet)
+    FieldedIndex.build(spark, docsDf(base), dir, evolved, "k", cfg)
+    assert(!new java.io.File(FieldedIndex.fieldDir(dir, "notes")).exists())
+
+    // a later crawl starts carrying notes: the batch ingests (notes has no
+    // sub-index yet — its column is staged, not appended mid-stream)...
+    val batch = Seq(("k100", Seq("fresh"), "fresh body", Seq("hello note")))
+      .toDF("k", "tags", "body", "notes")
+    FieldedStreaming.ingestBatch(spark, batch, dir, evolved, "k", 0L, cfg)
+    assert(bodyDocs(dir, "fresh") === 1L) // mapped-and-built fields append
+    // ...and the next compaction folds the column in and BUILDS the
+    // notes sub-index — static-mapping evolution via rebuild
+    assert(FieldedStreaming.compact(spark, dir, evolved, cfg))
+    assert(PostingsBuilder.isComplete(FieldedIndex.fieldDir(dir, "notes")))
+    assert(FieldedIndex.termQuery(spark, dir, notes, Seq("note")).count() === 1L)
+    assert(bodyDocs(dir, "fresh") === 1L)
+  }
 }
