@@ -38,7 +38,18 @@ object Main {
   /** Run the index job; separated from [[main]] for spec-level testing. */
   def run(spark: SparkSession, cfg: Cli.Config,
           stdin: java.io.InputStream = System.in): TableIO = {
-    if (cfg.bool("remove-index")) new TableIO(cfg("index-dir")).deleteAll()
+    // Recover a mid-swap-crashed index BEFORE branching on completeness:
+    // with the live dir absent and `.old` present, isComplete() is false and
+    // the run would take the batch-build branch, whose build-side recovery
+    // then returns the recovered index early WITHOUT ingesting the input
+    // file — the CLI would exit 0 having silently dropped the bulk (the
+    // reference always indexes the file, elastic/elastic.go:89-114).
+    // Recovered first, the append/compact branch sees a complete index.
+    graft.streaming.Compactor.finishInterruptedSwap(cfg("index-dir"))
+    if (cfg.bool("remove-index")) {
+      new TableIO(cfg("index-dir")).deleteAll()
+      new TableIO(cfg("index-dir") + ".compact").deleteAll()
+    }
     val path = cfg.get("file") match {
       case Some("-") => spoolStdin(cfg, stdin)
       case Some(f) => f

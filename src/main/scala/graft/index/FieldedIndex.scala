@@ -147,10 +147,18 @@ object FieldedIndex {
     }
     val staged = spark.read.parquet(io.tablePath("docs_lww"))
 
-    io.step("doc_map") {
+    if (!io.committedSteps().contains("doc_map")) {
       staged.select(col("doc_id"),
           col("_key").as(Option(docMapKeyName).getOrElse(keyCol)))
         .write.mode("overwrite").parquet(io.tablePath("doc_map"))
+      // TOP-manifest max_doc_id property: fielded streamed ingest reads the
+      // next free id from the manifest instead of scanning doc_map per
+      // micro-batch. The max ASSIGNED id always survives the LWW window
+      // (within a key group the winner IS the highest doc_id), so the max
+      // over the winners equals the top of the id space. −1 = empty corpus.
+      val mx = staged.agg(max(col("doc_id"))).head()
+      val maxId = if (mx.isNullAt(0)) -1L else mx.getLong(0)
+      io.commitStep("doc_map", Map("max_doc_id" -> maxId.toString))
     }
 
     // per-field sub-indexes build CONCURRENTLY — independent directories,
@@ -180,16 +188,40 @@ object FieldedIndex {
   private val handles =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Searcher.Handle)]()
 
+  /** Superseded handles are NOT closed inline: other threads may have
+    * queries in flight on them (concurrent serving shares handles), and
+    * close() unpersists the shard RDD under those queries — an evicted
+    * partition would then recompute against the post-swap directory,
+    * violating the Handle snapshot contract. Instead a superseded handle
+    * parks here and is closed only after a grace period comfortably longer
+    * than any query (queries are sub-second; the window is 60 s). Memory is
+    * bounded: at most the handles superseded within the last minute — under
+    * steady serving that is 0-1 per compaction. */
+  private val retiredHandles =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Searcher.Handle)]()
+  private val RetireGraceMs = 60000L
+
+  private def drainRetired(): Unit = {
+    val now = System.currentTimeMillis()
+    var e = retiredHandles.peek()
+    while (e != null && now - e._1 > RetireGraceMs) {
+      if (retiredHandles.remove(e)) e._2.close()
+      e = retiredHandles.peek()
+    }
+  }
+
   def handleFor(spark: SparkSession, indexDir: String,
                 field: String): Searcher.Handle = {
     val d = fieldDir(indexDir, field)
     // the TOKEN, not the id: a compaction swap resets the id sequence and
     // the fresh directory's id can collide with the cached one
     val snap = new TableIO(d).snapshotToken().getOrElse("")
+    drainRetired()
     handles.compute(d, (_, cur) =>
       if (cur != null && cur._1 == snap) cur
       else {
-        if (cur != null) cur._2.close()
+        if (cur != null)
+          retiredHandles.add((System.currentTimeMillis(), cur._2))
         (snap, Searcher.open(spark, d))
       })._2
   }

@@ -126,15 +126,25 @@ object PostingsBuilder {
       // analyzed, so the listener's output-record counter is the exact
       // per-doc progress stream; the interval rows land as the `progress`
       // table next to lineage (the metrics story), the lines on stderr.
+      // unique job group: the listener is context-global, and concurrent
+      // sibling builds (a fielded build's 12 sub-builds) would otherwise be
+      // counted into THIS reporter's docs/sec stream
+      val gid = s"graft-progress-${java.util.UUID.randomUUID()}"
       val reporter =
         if (cfg.progressEvery > 0)
           Some(new graft.meta.ProgressReporter(cfg.progressEvery,
-            cfg.progressEvery * 10, cfg.progressEvery * 10))
+            cfg.progressEvery * 10, cfg.progressEvery * 10,
+            groupId = Some(gid)))
         else None
       reporter.foreach(spark.sparkContext.addSparkListener)
       try {
-        docTermFn(docs)
+        // setJobGroup is thread-local, so each concurrent sub-build tags
+        // only its own jobs (stepsPar bodies run on their own threads)
+        spark.sparkContext.setJobGroup(gid, "graft doc_terms stage",
+          interruptOnCancel = false)
+        try docTermFn(docs)
           .write.mode("overwrite").parquet(io.tablePath("doc_terms"))
+        finally spark.sparkContext.clearJobGroup()
         reporter.foreach { r =>
           org.apache.spark.sql.graftbridge.Bridge
             .drainListenerBus(spark.sparkContext)
@@ -149,9 +159,18 @@ object PostingsBuilder {
     // stats is the ONLY derivation gating the postings stage (avgdl
     // normalizes the block-max bounds): a tiny full-pass aggregate, run
     // alone so its single task is not queued behind sibling stages.
-    io.step("stats") {
+    if (!io.committedSteps().contains("stats")) {
       TextIndex.corpusStats(docTerms.select(col("doc_id"), col("dl")))
         .write.mode("overwrite").parquet(io.tablePath("stats"))
+      // max_doc_id rides the manifest as a snapshot property so streamed
+      // ingest reads the next free id from one tiny metadata file instead
+      // of scanning a corpus-sized table per micro-batch (−1 = empty
+      // corpus). Computed from doc_terms (which has EVERY doc, including
+      // zero-token ones that never reach postings/lineage); the agg is one
+      // column-pruned scan folded into the build.
+      val mx = docTerms.agg(max(col("doc_id"))).head()
+      val maxId = if (mx.isNullAt(0)) -1L else mx.getLong(0)
+      io.commitStep("stats", Map("max_doc_id" -> maxId.toString))
     }
     // na.fill: an EMPTY corpus (legal for a fielded build whose field has
     // no values anywhere) aggregates avg/sum to null — decode as zeros

@@ -29,15 +29,34 @@ final class TableIO(val indexDir: String) extends Serializable {
   private def snapDir: Path = Paths.get(indexDir, "_snapshot")
   private def currentPtr: Path = snapDir.resolve("CURRENT")
 
-  /** Completed step names in the current snapshot (empty if none). */
-  def committedSteps(): Set[String] = {
-    if (!Files.exists(currentPtr)) return Set.empty
+  /** Manifest contents: (steps, properties). Format: header line, then one
+    * entry per line — `prop <key> <value>` lines are snapshot PROPERTIES
+    * (small metadata facts carried by the snapshot, e.g. `max_doc_id`:
+    * streamed ingest reads the next free doc id here instead of scanning a
+    * corpus-sized table per micro-batch), everything else is a step name.
+    * Manifests written before properties existed simply have none. */
+  private def readManifest(): (Set[String], Map[String, String]) = {
+    if (!Files.exists(currentPtr)) return (Set.empty, Map.empty)
     val id = Files.readString(currentPtr).trim
     val snap = snapDir.resolve(s"snap-$id.json")
-    if (!Files.exists(snap)) return Set.empty
-    // manifest format: one step name per line after the header line
-    Files.readAllLines(snap).asScala.drop(1).map(_.trim).filter(_.nonEmpty).toSet
+    if (!Files.exists(snap)) return (Set.empty, Map.empty)
+    val lines = Files.readAllLines(snap).asScala.drop(1)
+      .map(_.trim).filter(_.nonEmpty)
+    val (propLines, stepLines) = lines.partition(_.startsWith("prop "))
+    val props = propLines.map { l =>
+      val parts = l.split(" ", 3)
+      parts(1) -> (if (parts.length > 2) parts(2) else "")
+    }.toMap
+    (stepLines.toSet, props)
   }
+
+  /** Completed step names in the current snapshot (empty if none). */
+  def committedSteps(): Set[String] = readManifest()._1
+
+  /** Snapshot properties of the current snapshot. */
+  def props(): Map[String, String] = readManifest()._2
+
+  def prop(key: String): Option[String] = props().get(key)
 
   def currentSnapshotId(): Option[String] =
     if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim)
@@ -59,14 +78,22 @@ final class TableIO(val indexDir: String) extends Serializable {
     * fully written before CURRENT is renamed over. Synchronized so
     * concurrent [[stepsPar]] bodies commit without losing each other's
     * steps. */
-  def commit(steps: Set[String]): String = synchronized {
+  def commit(steps: Set[String]): String = commit(steps, Map.empty)
+
+  /** Commit `steps` plus property updates (merged over the current
+    * snapshot's properties — existing props are always carried forward, so
+    * a plain commit() never loses them). */
+  def commit(steps: Set[String], newProps: Map[String, String]): String =
+    synchronized {
     Files.createDirectories(snapDir)
     val prev = currentSnapshotId().map(_.toLong).getOrElse(-1L)
+    val merged = readManifest()._2 ++ newProps
     val id = (prev + 1).toString
     val snap = snapDir.resolve(s"snap-$id.json")
     // header carries a unique commit token (see snapshotToken)
     val body = (s"snapshot $id ${java.util.UUID.randomUUID()}" +:
-      steps.toSeq.sorted).mkString("\n")
+      (merged.toSeq.sorted.map { case (k, v) => s"prop $k $v" } ++
+        steps.toSeq.sorted)).mkString("\n")
     Files.writeString(snap, body)
     val tmp = snapDir.resolve(s"CURRENT.tmp$id")
     Files.writeString(tmp, id)
@@ -80,6 +107,13 @@ final class TableIO(val indexDir: String) extends Serializable {
     * committedSteps outside the lock loses a concurrent finisher's step. */
   def commitStep(name: String): String =
     synchronized { commit(committedSteps() + name) }
+
+  /** Atomically commit one step AND property updates in the same snapshot —
+    * the visibility point for both (e.g. a streamed batch's `stream_g<b>`
+    * step and the new `max_doc_id`: committing them separately would let a
+    * crash between the two break replay id-stability). */
+  def commitStep(name: String, newProps: Map[String, String]): String =
+    synchronized { commit(committedSteps() + name, newProps) }
 
   /** Run `body` unless `step` is already committed; commit it after.
     * Per-step wall time goes to stderr when GRAFT_STEP_TIMING is set —

@@ -2,7 +2,7 @@ package graft.meta
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Periodic build-throughput cadence — the engine analogue of the
   * reference's live progress signal, which logs docs/sec every 100k docs
@@ -20,17 +20,32 @@ final class ProgressReporter(
     val small: Long = 100000L,
     val switchAt: Long = 1000000L,
     val big: Long = 1000000L,
-    sink: String => Unit = System.err.println) extends SparkListener {
+    sink: String => Unit = System.err.println,
+    /** Count ONLY jobs of this job group. Listeners are context-global, so
+      * without scoping a reporter attached to one field's doc_terms stage
+      * during a CONCURRENT fielded build also counts every sibling field's
+      * writes — the per-field docs/sec lines over-count. The builder tags
+      * its staged write with a unique group id and passes it here; the
+      * stage→job→group mapping is captured at onJobStart. */
+    groupId: Option[String] = None) extends SparkListener {
 
   private val t0 = System.currentTimeMillis()
   private val docs = new AtomicLong()
   private val lastMark = new AtomicLong()
   private val rows =
     new java.util.concurrent.CopyOnWriteArrayList[ProgressReporter.Interval]()
+  private val groupStages =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   private def nextMark(m: Long): Long = if (m < switchAt) m + small else m + big
 
+  override def onJobStart(j: SparkListenerJobStart): Unit =
+    if (groupId.exists(g => j.properties != null &&
+        g == j.properties.getProperty("spark.jobGroup.id")))
+      j.stageIds.foreach(groupStages.add(_))
+
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+    if (groupId.isDefined && !groupStages.contains(t.stageId)) return
     val m = t.taskMetrics
     if (m == null) return
     val d = m.outputMetrics.recordsWritten

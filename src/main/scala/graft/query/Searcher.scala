@@ -140,23 +140,43 @@ object Searcher {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
     val totalBytes = fs.getContentSummary(dir).getLength
-    // per-read split sizing (Spark honors these as datasource read options):
-    // a split must never cut a file (shards would split with it), so the
-    // split size is the pack target total/width — any single file is far
-    // smaller than that by construction (files ≈ total/invertParts,
-    // invertParts ≫ width); the guard below catches pathological layouts
+    // Split sizing must go through the SESSION conf: Spark 4's
+    // FilePartition.maxSplitBytes reads spark.sql.files.* from the session
+    // only — the equivalent-looking datasource read options are silently
+    // ignored (verified in the shipped spark-sql jar), and riding on
+    // whatever session value happens to be set (e.g. a bench session's
+    // 4 MB) splits postings files, trips the wholeness guard below, and
+    // silently demotes EVERY open to the shuffle path. A split must never
+    // cut a file (shards would split with it), so the split size is the
+    // pack target total/width — any single file is far smaller than that by
+    // construction (files ≈ total/invertParts, invertParts ≫ width); the
+    // guard below catches pathological layouts. The conf flip is scoped +
+    // locked: partition planning happens at `.rdd` below, and concurrent
+    // opens on one session would otherwise race the restore.
     val packBytes = math.max(totalBytes / math.max(width, 1) + (1L << 20),
       1L << 22)
-    val blocks = spark.read
-      .option("maxPartitionBytes", packBytes.toString)
-      .option("openCostInBytes", (1L << 20).toString)
-      .parquet(io.tablePath("postings"))
-      .where(col("group") < graft.index.IndexTables.GroupBase)
-      .select(BlockCols.head, BlockCols.tail: _*)
-      .as[PostingBlock]
-    val shards = blocks.rdd
-      .mapPartitions(buildShardIndexes, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shards = splitConfLock.synchronized {
+      val conf = spark.conf
+      val prevMax = conf.get("spark.sql.files.maxPartitionBytes")
+      val prevOpen = conf.get("spark.sql.files.openCostInBytes")
+      conf.set("spark.sql.files.maxPartitionBytes", packBytes.toString)
+      conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      try {
+        val blocks = spark.read
+          .parquet(io.tablePath("postings"))
+          .where(col("group") < graft.index.IndexTables.GroupBase)
+          .select(BlockCols.head, BlockCols.tail: _*)
+          .as[PostingBlock]
+        // `.rdd` materializes the physical plan — file partitions (and so
+        // the pack layout) are fixed HERE, under the scoped conf
+        blocks.rdd
+          .mapPartitions(buildShardIndexes, preservesPartitioning = true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      } finally {
+        conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    }
     // guard: every shard must be whole within one partition (format
     // property; violation ⇒ a doc's postings would split across serving
     // indexes and scores would be partial). Shard-count-sized, tiny.
@@ -165,8 +185,18 @@ object Searcher {
       System.err.println(s"[open] unshuffled: ${shards.getNumPartitions} " +
         s"partitions, ${ids.length} shard indexes, pack=$packBytes")
     if (ids.length == ids.distinct.length) Some(shards)
-    else { shards.unpersist(blocking = false); None }
+    else {
+      // the fallback is correct but silently loses the no-shuffle open —
+      // make it visible so a layout/conf regression can't hide behind it
+      System.err.println(s"[graft] openUnshuffled guard tripped at " +
+        s"${io.indexDir}: ${ids.length} shard indexes, " +
+        s"${ids.distinct.length} distinct — falling back to shuffle open")
+      shards.unpersist(blocking = false); None
+    }
   }
+
+  /** Serializes the session-conf flip inside [[openUnshuffled]]. */
+  private val splitConfLock = new Object
 
   /** Stored block-max bounds are avgdl-tight unless streamed appends shifted
     * avgdl after encode; a compaction re-encodes everything at the current

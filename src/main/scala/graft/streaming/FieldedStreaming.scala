@@ -53,8 +53,17 @@ object FieldedStreaming {
       s"fielded ingest requires a complete fielded index at $indexDir")
     val present = fields.filter(f => batch.columns.contains(f.field))
 
-    val nextId = FieldedIndex.docMap(spark, indexDir)
-      .agg(max("doc_id")).head().getLong(0) + 1
+    // next free doc id from the manifest property (one tiny metadata read;
+    // written by build and advanced atomically with each batch's top
+    // commit, so a replayed batch — crash anywhere before that commit —
+    // recomputes the SAME ids). Pre-property indexes (older builds) fall
+    // back to the doc_map scan once; the null guard covers a
+    // complete-but-EMPTY base (legal build output), whose max() aggregate
+    // is null.
+    val nextId = io.prop("max_doc_id").map(_.toLong + 1).getOrElse {
+      val mx = FieldedIndex.docMap(spark, indexDir).agg(max("doc_id")).head()
+      if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1
+    }
 
     // stage (idempotent overwrite), resolve ids from the persisted _mid,
     // within-batch LWW by key on arrival order — same semantics as build
@@ -111,12 +120,18 @@ object FieldedStreaming {
       t.setDaemon(true); t.start(); t
     }
     threads.foreach(_.join())
+    // new top of the id space (batch-sized agg on the cached relation; an
+    // empty batch keeps the old max) — committed ATOMICALLY with the batch
+    // step below, so replay before the commit still reads the old value
+    val mxRow = withIds.agg(max("doc_id")).head()
+    val newMax = if (mxRow.isNullAt(0)) nextId - 1 else mxRow.getLong(0)
     withIds.unpersist()
     if (!failures.isEmpty) {
       val k = failures.keys().nextElement()
       throw new RuntimeException(s"field segment '$k' failed", failures.get(k))
     }
-    io.commitStep(step) // batch-level visibility point
+    // batch-level visibility point (step + max_doc_id in one snapshot)
+    io.commitStep(step, Map("max_doc_id" -> newMax.toString))
   }
 
   /** Structured-Streaming entry: watch a directory of parquet batches at

@@ -45,8 +45,15 @@ object IncrementalIndexer {
     require(io.isComplete(PostingsBuilder.FinalStep),
       s"incremental ingest requires a complete base index at $indexDir")
 
-    val nextId = IndexTables.docLens(spark, io)
-      .agg(max("doc_id")).head().getLong(0) + 1
+    // next free doc id from the manifest property (one tiny metadata read,
+    // not an O(corpus) doc_lens scan per micro-batch; advanced atomically
+    // with this batch's commit below so replay recomputes the same ids).
+    // Fallback scan for pre-property indexes; null guard for a
+    // complete-but-empty base whose max() aggregate is null.
+    val nextId = io.prop("max_doc_id").map(_.toLong + 1).getOrElse {
+      val mx = IndexTables.docLens(spark, io).agg(max("doc_id")).head()
+      if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1
+    }
 
     // extract + within-batch LWW dedup (the same row_number-window dedup as
     // the batch build), then dense ids continuing the id space — DocIds
@@ -67,8 +74,13 @@ object IncrementalIndexer {
     val docTerms = TextIndex.docTermFreqs(withIds).cache()
     appendSegment(spark, io, docTerms, batchId, cfg,
       docMapKeys = Some(withIds.select(col("doc_id"), col("url"))))
+    // new top of the id space from the cached batch-sized relation (empty
+    // batch keeps the old max), committed atomically with the batch step
+    val mxRow = docTerms.agg(max("doc_id")).head()
+    val newMax = if (mxRow.isNullAt(0)) nextId - 1 else mxRow.getLong(0)
     docTerms.unpersist()
-    io.commitStep(step) // the single visibility point (atomic RMW)
+    // the single visibility point (atomic RMW of step + max_doc_id)
+    io.commitStep(step, Map("max_doc_id" -> newMax.toString))
   }
 
   /** The reusable segment-append core: write one immutable batch segment

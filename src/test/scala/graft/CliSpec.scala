@@ -139,5 +139,23 @@ class CliSpec extends AnyFunSuite {
     assert(io3.isComplete("doc_map"))
     assert(spark.read.parquet(s"$stdinIdx/doc_map").count() ===
       spark.read.parquet(s"$idxDir/doc_map").count())
+
+    // mid-swap crash window: a compaction that died between the two swap
+    // renames leaves live absent + `.old` present. The CLI must recover
+    // FIRST and then take the append path — before round 4 it saw
+    // isComplete=false, took the batch-build branch, whose build-side
+    // recovery returned the recovered index early, and the input file was
+    // silently never ingested (exit 0, bulk dropped).
+    Files.move(Paths.get(idxDir), Paths.get(s"$idxDir.old"))
+    val before = new TableIO(s"$idxDir.old").committedSteps()
+      .count(_.startsWith("compact_e"))
+    val io4 = Main.run(spark, Cli.parse(Array(
+      "--file", s"$fixtures/ndjson_plain.ndjson",
+      "--index-dir", idxDir,
+      "--shard-size", "256"), env = Map.empty))
+    // recovered AND ingested: the run appended a new epoch and compacted it
+    assert(io4.isComplete(graft.index.FieldedIndex.FinalStep))
+    assert(io4.committedSteps().count(_.startsWith("compact_e")) > before)
+    assert(spark.read.parquet(s"$idxDir/doc_map").count() === 1000)
   }
 }

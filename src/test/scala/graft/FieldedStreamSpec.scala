@@ -119,6 +119,46 @@ class FieldedStreamSpec extends AnyFunSuite {
     assert(FieldedIndex.docMap(spark, dir).count() === 61L)
   }
 
+  test("manifest max_doc_id: empty base ingests (no NPE), ids continue from the property") {
+    val dir = s"$root/idx-empty"
+    new TableIO(dir).deleteAll()
+    // a complete-but-EMPTY fielded base (zero docs) is legal build output
+    FieldedIndex.build(spark,
+      docsDf(Seq.empty[(String, Seq[String], String)]), dir, fields, "k", cfg)
+    val io = new TableIO(dir)
+    assert(io.prop("max_doc_id") === Some("-1"))
+    // first streamed batch into the empty base must ingest, not NPE on the
+    // null max() aggregate
+    FieldedStreaming.ingestBatch(spark,
+      docsDf(Seq(("k000", Seq("t0"), "hello world"))), dir, fields, "k", 0L, cfg)
+    assert(FieldedIndex.docMap(spark, dir).count() === 1L)
+    assert(new TableIO(dir).prop("max_doc_id") === Some("0"))
+    // second batch continues the id space from the manifest property alone
+    FieldedStreaming.ingestBatch(spark,
+      docsDf(Seq(("k001", Seq("t1"), "second doc"))), dir, fields, "k", 1L, cfg)
+    val dm = FieldedIndex.docMap(spark, dir).collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("doc_id")).toMap
+    assert(dm === Map("k000" -> 0L, "k001" -> 1L))
+    assert(new TableIO(dir).prop("max_doc_id") === Some("1"))
+    // compaction carries the property into the swapped-in manifest
+    assert(FieldedStreaming.compact(spark, dir, fields, cfg))
+    assert(new TableIO(dir).prop("max_doc_id") === Some("1"))
+  }
+
+  test("snapshot properties survive plain commits and merge on commitStep") {
+    val io = new TableIO(s"$root/props")
+    io.deleteAll()
+    io.commitStep("a", Map("x" -> "1"))
+    io.commitStep("b")
+    assert(io.committedSteps() === Set("a", "b"))
+    assert(io.prop("x") === Some("1"))
+    io.commit(io.committedSteps() + "c")
+    assert(io.prop("x") === Some("1"))
+    io.commitStep("d", Map("x" -> "2", "y" -> "z 9"))
+    assert(io.prop("x") === Some("2"))
+    assert(io.prop("y") === Some("z 9")) // values may contain spaces
+  }
+
   test("schema drift: a batch without a field column REPLACES the doc (field drops)") {
     import spark.implicits._
     val dir = s"$root/idx-drift"
