@@ -54,6 +54,7 @@ object SparkEntry {
     "q_field_year" -> FieldedQueries.fieldYear _,
     "q_bm25_title" -> FieldedQueries.bm25Title _,
     "q_field_multi" -> FieldedQueries.fieldMulti _,
+    "q_field_msm" -> FieldedQueries.fieldMsm _,
     "q_field_filtered" -> FieldedQueries.fieldFiltered _,
   )
 
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_field_year" -> FieldedQueries.fieldYearSql,
     "q_bm25_title" -> FieldedQueries.bm25TitleSql,
     "q_field_multi" -> FieldedQueries.fieldMultiSql,
+    "q_field_msm" -> FieldedQueries.fieldMsmSql,
     "q_field_filtered" -> FieldedQueries.fieldFilteredSql,
   )
 }

@@ -39,6 +39,17 @@ object FieldedQueries {
     "year" -> "1993",
     "volume" -> "23")
 
+  /** minimum_should_match legs: every leg is selective (the [[MultiLegs]]
+    * bibliographic leg matches every doc via its common tokens, which
+    * would make msm=2 a no-op there). bib leg = three author family
+    * tokens → docs {123, 223, 323}; year 1993 → i ≡ 3 (mod 30); volume
+    * 23 → i ≡ 23 (mod 50). msm=2 admits exactly the pairwise
+    * intersections: {123, 223, 273, 323, 423, 573, 723, 873}. */
+  val MsmLegs: Seq[(String, String)] = Seq(
+    "bibliographic" -> "fam123 fam223 fam323",
+    "year" -> "1993",
+    "volume" -> "23")
+
   /** ES bool filter+must: match `title` in query context, FILTER by
     * year=1997 in filter context (unscored) — top-k of the filtered set.
     * Doc 7 (year 1997) carries the discriminative "7"; docs of other
@@ -109,11 +120,23 @@ object FieldedQueries {
   }
 
   /** Multi-field bool/should: per-leg BM25 under each field's own stats,
-    * summed per doc, deterministic top-k. */
+    * summed per doc, deterministic top-k (combined-bound WAND path). */
   def fieldMulti(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureFieldedIndex(spark)
     val legs = MultiLegs.map { case (f, text) => (spec(f), text) }
     FieldedIndex.multiMatch(spark, dir, legs, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
+  /** Bool/should with `minimum_should_match: 2` (the ES bool parameter
+    * citation matchers use) over the selective [[MsmLegs]]: docs matching
+    * only ONE leg are excluded however well they score. */
+  def fieldMsm(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val legs = MsmLegs.map { case (f, text) => (spec(f), text) }
+    FieldedIndex.multiMatch(spark, dir, legs, K, minShouldMatch = 2)
       .join(docMap(spark, dir), "doc_id")
       .select(col("rnk"), col("doi"), col("score_x6"))
       .orderBy("rnk")
@@ -171,7 +194,14 @@ object FieldedQueries {
     * per leg: docs with ≥1 non-empty value (every fixture doc qualifies
     * for all three legs, so the simple tok-derived dl/stats CTEs equal the
     * engine's). */
-  def fieldMultiSql: String = {
+  def fieldMultiSql: String = multiSql(MultiLegs, 1)
+
+  /** minimum_should_match replay: the selective [[MsmLegs]], HAVING over
+    * the leg count (each leg CTE emits ≤1 row per doi, so count(*) ==
+    * matched legs). */
+  def fieldMsmSql: String = multiSql(MsmLegs, 2)
+
+  private def multiSql(legsIn: Seq[(String, String)], minLegs: Int): String = {
     val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
     def weights(chain: String, text: String): Seq[(String, Int)] = {
       import scala.jdk.CollectionConverters._
@@ -194,9 +224,9 @@ object FieldedQueries {
          |  JOIN ${p}_dl dl ON dl.doi = tf.doi
          |  CROSS JOIN ${p}_stats s
          |  GROUP BY tf.doi)""".stripMargin
-    val bibW = weights(Analyzer.TextStop, MultiLegs(0)._2)
-    val yW = weights(Analyzer.KeywordFold, MultiLegs(1)._2)
-    val vW = weights(Analyzer.KeywordFold, MultiLegs(2)._2)
+    val bibW = weights(Analyzer.TextStop, legsIn(0)._2)
+    val yW = weights(Analyzer.KeywordFold, legsIn(1)._2)
+    val vW = weights(Analyzer.KeywordFold, legsIn(2)._2)
     s"""WITH src AS (
        |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
        |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
@@ -222,7 +252,8 @@ object FieldedQueries {
        |allc AS (SELECT doi, c FROM b_leg UNION ALL
        |         SELECT doi, c FROM y_leg UNION ALL
        |         SELECT doi, c FROM v_leg),
-       |scored AS (SELECT doi, sum(c) AS score FROM allc GROUP BY doi),
+       |scored AS (SELECT doi, sum(c) AS score FROM allc GROUP BY doi${
+      if (minLegs > 1) s" HAVING count(*) >= $minLegs" else ""}),
        |ranked AS (SELECT doi,
        |    CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
        |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,

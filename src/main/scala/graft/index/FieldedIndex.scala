@@ -198,7 +198,7 @@ object FieldedIndex {
     * bounded: at most the handles superseded within the last minute — under
     * steady serving that is 0-1 per compaction. */
   private val retiredHandles =
-    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Searcher.Handle)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, AutoCloseable)]()
   private val RetireGraceMs = 60000L
 
   private def drainRetired(): Unit = {
@@ -223,6 +223,30 @@ object FieldedIndex {
         if (cur != null)
           retiredHandles.add((System.currentTimeMillis(), cur._2))
         (snap, Searcher.open(spark, d))
+      })._2
+  }
+
+  /** Multi-field handle cache (the fielded SERVING open): keyed by the
+    * sorted field set, snapshot-token-aware across every member field —
+    * any member's ingest/compaction reopens the combined handle. */
+  private val multiHandles = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Searcher.MultiHandle)]()
+
+  def multiHandleFor(spark: SparkSession, indexDir: String,
+                     fields: Seq[String]): Searcher.MultiHandle = {
+    val fs = fields.distinct.sorted
+    val key = indexDir + "::" + fs.mkString(",")
+    val token = fs.map(f =>
+      new TableIO(fieldDir(indexDir, f)).snapshotToken().getOrElse(""))
+      .mkString("|")
+    drainRetired()
+    multiHandles.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == token) cur
+      else {
+        if (cur != null)
+          retiredHandles.add((System.currentTimeMillis(), cur._2))
+        (token, Searcher.openMulti(spark,
+          fs.map(f => f -> fieldDir(indexDir, f))))
       })._2
   }
 
@@ -255,6 +279,24 @@ object FieldedIndex {
                     matchSpec: FieldSpec, matchText: String,
                     filterSpec: FieldSpec, filterValues: Seq[String],
                     k: Int): DataFrame = {
+    val tw = Analyzer.analyzeChain(matchSpec.chain, matchText)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val fvals = filterValues.flatMap(v =>
+      Analyzer.analyzeChain(filterSpec.chain, v)).toSeq
+    val mh = multiHandleFor(spark, indexDir,
+      Seq(matchSpec.field, filterSpec.field))
+    Searcher.multiSearch(mh, Seq(Searcher.MultiLeg(matchSpec.field, tw)), k,
+      filter = Some((filterSpec.field, fvals)))
+  }
+
+  /** The declarative twin of [[filteredMatch]] (full score-list decode +
+    * Catalyst semi-join) — the rank-identity reference the kernel path is
+    * property-tested against; not the production plan (a high-df filter
+    * decodes wholesale here). */
+  def filteredMatchNaive(spark: SparkSession, indexDir: String,
+                         matchSpec: FieldSpec, matchText: String,
+                         filterSpec: FieldSpec, filterValues: Seq[String],
+                         k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val tw = Analyzer.analyzeChain(matchSpec.chain, matchText)
       .groupBy(identity).view.mapValues(_.length).toMap
@@ -280,15 +322,32 @@ object FieldedIndex {
     * pattern (Biblio-Glutton posts a bool of per-field matches against the
     * mapped index and ranks by the SUM of clause scores): each leg
     * analyzes its text with its field's chain and scores BM25 under that
-    * field's own stats; legs union and sum per doc. Top-k cannot be taken
-    * per field first (a doc can win the sum from middling per-field
-    * scores), so the legs stay full distributed score lists — one narrow
-    * decode job per field, one hash-agg sum, TakeOrderedAndProject for the
-    * final k; at scale this is |query terms| posting-list scans, never a
-    * corpus scan. Returns (rnk, doc_id, score_x6) under the usual
+    * field's own stats; docs rank by the SUM of leg scores. Served by the
+    * combined-bound WAND over the multi-field handle — all legs' cursors
+    * walk one doc-ordered pivot with θ = kth-best sum (Lucene's
+    * bool/should WANDScorer, which is what the reference's ES runs), so a
+    * high-df leg (a year cohort) is skipped through, never decoded
+    * wholesale. `minShouldMatch` is the ES bool parameter (≥ that many
+    * legs must match). Returns (rnk, doc_id, score_x6) under the usual
     * deterministic ordering. */
   def multiMatch(spark: SparkSession, indexDir: String,
-                 legs: Seq[(FieldSpec, String)], k: Int): DataFrame = {
+                 legs: Seq[(FieldSpec, String)], k: Int,
+                 minShouldMatch: Int = 1): DataFrame = {
+    val mlegs = legs.map { case (spec, text) =>
+      Searcher.MultiLeg(spec.field, Analyzer.analyzeChain(spec.chain, text)
+        .groupBy(identity).view.mapValues(_.length).toMap)
+    }
+    val mh = multiHandleFor(spark, indexDir, legs.map(_._1.field))
+    Searcher.multiSearch(mh, mlegs, k, minShouldMatch)
+  }
+
+  /** The declarative twin of [[multiMatch]] (per-leg full score lists +
+    * Catalyst hash-agg sum) — rank-identity reference for the kernel path;
+    * exact but unpruned (a sum-ranked doc can win from middling per-field
+    * scores, so per-field top-k would be wrong and this decodes every
+    * leg's matches). */
+  def multiMatchNaive(spark: SparkSession, indexDir: String,
+                      legs: Seq[(FieldSpec, String)], k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val contribs = legs.map { case (spec, text) =>
       val tw = Analyzer.analyzeChain(spec.chain, text)

@@ -47,13 +47,23 @@ object BlockMaxWand {
 
   final case class WandQuery(qid: Int, terms: Array[QueryTerm])
 
+  /** One scoring cursor of a (possibly multi-leg) WAND run: a term's blocks
+    * within the current shard plus ITS OWN scoring statistics — per-cursor
+    * idf/avgdl/bound-mode is what lets cursors from DIFFERENT per-field
+    * sub-indexes (each with its own BM25 stats) share one doc-ordered pivot
+    * walk, the Lucene bool/should block-max WAND (sum of per-clause bounds
+    * as the pivot bound). `leg` identifies the bool clause the cursor
+    * belongs to (for minimum_should_match counting). */
+  final case class Cursor(blocks: IndexedSeq[PostingBlock], idf: Double,
+      weight: Int, avgdl: Double, tightBounds: Boolean, leg: Int = 0)
+
   private final val Slack = 0.6e-6 // half a micro-unit + FP headroom
 
   /** Cursor over one term's blocks; skips whole blocks via last_doc_id
     * without decoding (the block-max skip). */
   private final class TermIter(blocks: IndexedSeq[PostingBlock],
                                val idf: Double, val weight: Int, avgdl: Double,
-                               tightBounds: Boolean) {
+                               tightBounds: Boolean, val leg: Int = 0) {
     // When the index contains streamed appends, global avgdl has shifted
     // since blocks were encoded, so the stored (avgdl-dependent) max_tf_norm
     // may no longer upper-bound true scores. The fallback bound
@@ -159,6 +169,40 @@ object BlockMaxWand {
       blocksByTerm.get(t.term).map(bs =>
         new TermIter(bs, t.idf, t.weight, avgdl, tightBounds))
     }
+    run(iters, Array.empty, k, 1, shared)
+  }
+
+  /** Multi-leg (bool/should) block-max WAND: cursors may come from
+    * DIFFERENT per-field sub-indexes (each [[Cursor]] carries its own
+    * idf/avgdl/bound-mode), the pivot walk is over the shared doc_id space,
+    * and θ prunes against the kth-best SUM — Lucene's WANDScorer over a
+    * disjunction, which is what the reference's ES runs for bool/should
+    * queries. Optional ES bool extensions, both exact:
+    *
+    *  - `filters` (filter context): a doc qualifies only if present in at
+    *    least ONE filter posting list (OR over the filter values). A pivot
+    *    miss skips every scoring cursor to the next filter doc — the
+    *    conjunctive skip — and filter blocks decode only around candidate
+    *    pivots (block-max metadata skips the rest), so a corpus-sized
+    *    cohort (e.g. year=1993) is probed, never decoded wholesale.
+    *  - `minShouldMatch`: a doc must match ≥ that many DISTINCT legs
+    *    (clause count, ES bool semantics). Scored-but-failing docs never
+    *    enter the heap, so θ stays a valid bound of the kth qualifying sum.
+    */
+  def scoreCursors(cursors: Seq[Cursor], filters: Seq[IndexedSeq[PostingBlock]],
+                   k: Int, minShouldMatch: Int = 1,
+                   shared: AtomicLong = null): Array[(Long, Double)] = {
+    require(cursors.forall(c => c.leg >= 0 && c.leg < 64),
+      "leg ids must fit the minimum_should_match bitmask (0..63)")
+    val iters = cursors.map(c =>
+      new TermIter(c.blocks, c.idf, c.weight, c.avgdl, c.tightBounds, c.leg))
+      .toArray
+    val fits = filters.map(b => new TermIter(b, 0.0, 0, 1.0, true)).toArray
+    run(iters, fits, k, minShouldMatch, shared)
+  }
+
+  private def run(iters: Array[TermIter], filters: Array[TermIter], k: Int,
+                  msm: Int, shared: AtomicLong): Array[(Long, Double)] = {
     if (iters.isEmpty) return Array.empty
 
     // heap of (score_x6, doc_id, exactScore); head = weakest under the final
@@ -259,15 +303,41 @@ object BlockMaxWand {
           j += 1
         }
       } else if (iters(sorted(0)).curDoc == pivot) {
-        // all cursors up to the pivot are aligned — score it fully
-        var s = 0.0
-        var m = 0
-        while (m < n) {
-          val it = iters(sorted(m))
-          if (it.curDoc == pivot) { s += it.score; it.next() }
-          m += 1
+        // filter context: the pivot must appear in ≥1 filter posting list.
+        // On a miss no doc in [pivot, nextFilterDoc) can qualify, so every
+        // scoring cursor skips to the next filter doc (conjunctive skip) —
+        // filter blocks between candidates are never decoded.
+        var nf = pivot
+        if (filters.length > 0) {
+          nf = Long.MaxValue
+          var fi = 0
+          while (fi < filters.length) {
+            filters(fi).advanceTo(pivot)
+            val d = filters(fi).curDoc
+            if (d < nf) nf = d
+            fi += 1
+          }
         }
-        offer(pivot, s)
+        if (nf > pivot) {
+          var m = 0
+          while (m < n) {
+            if (iters(sorted(m)).curDoc < nf) iters(sorted(m)).advanceTo(nf)
+            m += 1
+          }
+        } else {
+          // all cursors up to the pivot are aligned — score it fully.
+          // Sum order = (leg, term) cursor order (sortBy is stable), so the
+          // kernel's FP sum is deterministic across runs.
+          var s = 0.0
+          var legMask = 0L
+          var m = 0
+          while (m < n) {
+            val it = iters(sorted(m))
+            if (it.curDoc == pivot) { s += it.score; legMask |= 1L << it.leg; it.next() }
+            m += 1
+          }
+          if (java.lang.Long.bitCount(legMask) >= msm) offer(pivot, s)
+        }
       } else {
         // advance the highest-impact cursor below the pivot up to the pivot
         var best = 0

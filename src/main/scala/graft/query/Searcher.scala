@@ -62,13 +62,144 @@ object Searcher {
     * reopen handles after compaction rather than serving through it. */
   final class Handle private[Searcher] (val spark: SparkSession,
       val indexDir: String, val stats: CorpusStats, val tightBounds: Boolean,
-      private[Searcher] val shards: RDD[ShardIndex]) {
+      private[Searcher] val shards: RDD[ShardIndex]) extends AutoCloseable {
     /** Driver-side term→df memo (misses resolved by a distributed lookup;
       * 0 = known-absent). Query-sized growth — only terms actually queried
       * ever reach the driver, never the vocabulary. */
     private[Searcher] val dfCache =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     def close(): Unit = shards.unpersist()
+  }
+
+  /** Field-qualified key inside a multi-field shard index. NUL never occurs
+    * in FIELD names (mapping identifiers), so the first NUL delimits the
+    * field unambiguously whatever bytes a keyword-chain term carries. */
+  val FieldSep = "\u0000"
+
+  /** A multi-FIELD serving handle: one resident shard index whose keys are
+    * `<field><NUL><term>` over the union of several per-field sub-indexes,
+    * co-located by doc shard. This is the ES/Lucene segment shape — one
+    * physical index holding every field's postings for its doc range — and
+    * it is what makes multi-leg bool queries one narrow kernel job: all
+    * legs' cursors for a doc range live in the same partition, so the
+    * combined-bound WAND walks them together with θ = kth-best SUM.
+    *
+    * The per-field build layout stays as-is (it buys per-field build
+    * concurrency and per-field stats); this open pays ONE co-locating
+    * exchange per serving generation — the cost Lucene pays at segment
+    * write time instead — amortized over every query served. Per-field BM25
+    * statistics ride along ([[fieldStats]]) since each leg scores under its
+    * own field's (N, avgdl, df). */
+  final class MultiHandle private[Searcher] (val spark: SparkSession,
+      val fieldStats: Map[String, CorpusStats],
+      val fieldTight: Map[String, Boolean],
+      private[Searcher] val shards: RDD[ShardIndex]) extends AutoCloseable {
+    private[Searcher] val dfCache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def close(): Unit = shards.unpersist()
+  }
+
+  /** One bool/should leg: a field plus its analyzed term→weight bag. */
+  final case class MultiLeg(field: String, termWeights: Map[String, Int])
+
+  /** Serializable per-cursor spec shipped to the scoring fan-out. */
+  private final case class CursorSpec(key: String, idf: Double, weight: Int,
+      avgdl: Double, tight: Boolean, leg: Int)
+
+  /** Open a multi-field handle over per-field sub-index directories
+    * (field → dir). Includes committed streamed segments per field; each
+    * field's bound mode is tracked separately. */
+  def openMulti(spark: SparkSession,
+                dirs: Seq[(String, String)]): MultiHandle = {
+    import spark.implicits._
+    val stats = dirs.map { case (f, d) =>
+      f -> graft.index.IndexTables.corpusStats(spark, new TableIO(d))
+    }.toMap
+    val tight = dirs.map { case (f, d) =>
+      f -> tightBoundsOf(new TableIO(d))
+    }.toMap
+    val union = dirs.map { case (f, d) =>
+      graft.index.IndexTables.postings(spark, new TableIO(d))
+        .select(BlockCols.head, BlockCols.tail: _*)
+        .withColumn("term", concat(lit(f + FieldSep), col("term")))
+    }.reduce(_.unionByName(_))
+    val sorted = union
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_shard"))
+      .sortWithinPartitions("doc_shard", "term", "first_doc_id")
+      .as[PostingBlock]
+    val shards = sorted.rdd
+      .mapPartitions(buildShardIndexes, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shards.count() // open pays the exchange once; queries never do
+    new MultiHandle(spark, stats, tight, shards)
+  }
+
+  /** ES bool query against a multi-field handle: `legs` are should-clauses
+    * (scored, summed per doc), `filter` is an optional (field, analyzed
+    * values) term filter in filter context (unscored, OR over values),
+    * `minShouldMatch` is the ES bool parameter counting matched clauses.
+    * One narrow kernel job over the resident multi-field shards — the
+    * combined-bound WAND ([[BlockMaxWand.scoreCursors]]) prunes with
+    * θ = kth-best SUM, so a high-df leg's posting list is skipped through,
+    * not decoded wholesale. Returns (rnk, doc_id, score_x6) under the
+    * deterministic ordering. */
+  def multiSearch(mh: MultiHandle, legs: Seq[MultiLeg], k: Int,
+                  minShouldMatch: Int = 1,
+                  filter: Option[(String, Seq[String])] = None): DataFrame = {
+    val filterKeys: Array[String] = filter.toArray.flatMap { case (f, vs) =>
+      vs.map(v => f + FieldSep + v)
+    }
+    val legKeys = legs.flatMap(l => l.termWeights.keys.map(l.field + FieldSep + _))
+    val dfByKey = resolveDfs(mh.shards, mh.dfCache,
+      (legKeys ++ filterKeys).distinct.toArray)
+    // cursor order fixed as (leg, term): the kernel's FP sum order — and so
+    // the exact emitted doubles — is deterministic across runs
+    val specs: Array[CursorSpec] = legs.zipWithIndex.flatMap { case (l, li) =>
+      val st = mh.fieldStats(l.field)
+      l.termWeights.toSeq.sortBy(_._1).collect {
+        case (t, w) if dfByKey.contains(l.field + FieldSep + t) =>
+          CursorSpec(l.field + FieldSep + t,
+            Bm25.idf(st.n_docs, dfByKey(l.field + FieldSep + t)), w,
+            st.avgdl, mh.fieldTight(l.field), li)
+      }
+    }.toArray
+    val hasFilter = filter.isDefined
+    val kk = k
+    val msm = minShouldMatch
+    val shareTheta = sys.env.getOrElse("GRAFT_SHARED_THETA", "1") != "0"
+    val runId = java.util.UUID.randomUUID().toString
+
+    val hits: Array[(Long, Double)] = mh.shards.flatMap { si =>
+      val cursors = specs.flatMap { s =>
+        val tp = si.terms.get(s.key)
+        if (tp == null) None
+        else Some(BlockMaxWand.Cursor(ArraySeq.unsafeWrapArray(tp.blocks),
+          s.idf, s.weight, s.avgdl, s.tight, s.leg))
+      }
+      val fblocks: Array[IndexedSeq[PostingBlock]] = filterKeys.flatMap { fk =>
+        val tp = si.terms.get(fk)
+        if (tp == null) None
+        else Some(ArraySeq.unsafeWrapArray(tp.blocks): IndexedSeq[PostingBlock])
+      }
+      if (cursors.isEmpty || (hasFilter && fblocks.isEmpty)) Iterator.empty
+      else BlockMaxWand.scoreCursors(ArraySeq.unsafeWrapArray(cursors),
+        ArraySeq.unsafeWrapArray(fblocks), kk, msm,
+        if (shareTheta) BlockMaxWand.ThetaBoards.boardFor(runId) else null)
+        .iterator
+    }.collect()
+
+    val ranked = hits.map { case (d, s) => (math.round(s * 1e6), d) }
+      .sortBy { case (x6, d) => (-x6, d) }
+      .take(k)
+    val rows = new java.util.ArrayList[Row]()
+    ranked.zipWithIndex.foreach { case ((x6, d), i) =>
+      rows.add(Row((i + 1).toLong, d, x6))
+    }
+    val schema = StructType(Seq(
+      StructField("rnk", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("score_x6", LongType, nullable = false)))
+    mh.spark.createDataFrame(rows, schema).orderBy("rnk")
   }
 
   private val BlockCols = Seq("doc_shard", "term", "block_id", "n",
@@ -348,19 +479,24 @@ object Searcher {
     * shard, Σ over shards (skipped entirely once the handle has served the
     * terms before). Returns only terms with df > 0. */
   private def resolveDfs(h: Handle,
+      uniqueTerms: Array[String]): Map[String, Long] =
+    resolveDfs(h.shards, h.dfCache, uniqueTerms)
+
+  private def resolveDfs(shards: RDD[ShardIndex],
+      dfCache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long],
       uniqueTerms: Array[String]): Map[String, Long] = {
-    val missing: Array[String] = uniqueTerms.filterNot(h.dfCache.containsKey)
+    val missing: Array[String] = uniqueTerms.filterNot(dfCache.containsKey)
     if (missing.nonEmpty) {
-      val looked = h.shards.flatMap { si =>
+      val looked = shards.flatMap { si =>
         missing.flatMap { t =>
           val tp = si.terms.get(t)
           if (tp == null) None else Some((t, tp.df))
         }
       }.collect().groupMapReduce(_._1)(_._2)(_ + _)
-      missing.foreach(t => h.dfCache.put(t, Long.box(looked.getOrElse(t, 0L))))
+      missing.foreach(t => dfCache.put(t, Long.box(looked.getOrElse(t, 0L))))
     }
     uniqueTerms.iterator
-      .map(t => t -> h.dfCache.get(t).longValue())
+      .map(t => t -> dfCache.get(t).longValue())
       .filter(_._2 > 0L).toMap
   }
 

@@ -151,4 +151,38 @@ class FieldedSpec extends AnyFunSuite {
     val xs = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("score_x6"))
     assert(xs.toSeq === xs.sortBy(-_).toSeq)
   }
+
+  test("kernel bool paths are rank-identical to their naive decode twins") {
+    val legs = FieldedQueries.MultiLegs.map { case (f, t) => (spec(f), t) }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_x6"))).toSeq.sorted
+    assert(rows(FieldedIndex.multiMatch(spark, idx, legs, 10)) ===
+      rows(FieldedIndex.multiMatchNaive(spark, idx, legs, 10)))
+    assert(rows(FieldedIndex.filteredMatch(spark, idx,
+        spec("title"), FieldedQueries.FilteredMatchText,
+        spec("year"), Seq(FieldedQueries.FilteredYear), 10)) ===
+      rows(FieldedIndex.filteredMatchNaive(spark, idx,
+        spec("title"), FieldedQueries.FilteredMatchText,
+        spec("year"), Seq(FieldedQueries.FilteredYear), 10)))
+  }
+
+  test("minimum_should_match=2 excludes single-leg matches however well they score") {
+    val msm = FieldedQueries.fieldMsm(spark, "").collect()
+    // exactly the pairwise intersections of the three selective legs:
+    // bib {123,223,323} ∩/∪ year i≡3(30) ∩/∪ volume i≡23(50)
+    val expected = Set(123, 223, 273, 323, 423, 573, 723, 873)
+      .map(i => s"10.1/nd.$i")
+    assert(msm.map(_.getAs[String]("doi")).toSet === expected)
+    // doc 123 tops: it matches all three legs
+    assert(msm.minBy(_.getAs[Long]("rnk")).getAs[String]("doi") ===
+      "10.1/nd.123")
+    // the single-leg year cohort (e.g. doc 933: year 1993 only) scores
+    // high under plain bool but is excluded here
+    val plain = FieldedIndex.multiMatch(spark, idx,
+      FieldedQueries.MsmLegs.map { case (f, t) => (spec(f), t) }, 20)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id")
+      .collect().map(_.getAs[String]("doi")).toSet
+    assert((plain -- expected).nonEmpty, "fixture too weak: msm a no-op")
+  }
 }
