@@ -79,13 +79,16 @@ object AnalyzeTfExpr {
     Bridge.column(AnalyzeTfExpr(Bridge.expression(c)))
 }
 
-/** Fused per-field analyze + tf over a MULTI-VALUED field:
-  * `array<string> → struct<dl, tfs>` under one of the four analyzer chains
-  * ([[Analyzer.Chains]]) — the per-field twin of [[AnalyzeTfExpr]], carrying
-  * the reference's ES array-field semantics (values concatenate into one
-  * token stream; keyword chains emit one token per non-empty value —
-  * elastic/settings.go:87-138). Row-local like its twin: per-field tf/dl
-  * never shuffles a token relation. */
+/** Fused per-field analyze + tf + POSITIONS over a MULTI-VALUED field:
+  * `array<string> → struct<dl, tfs: array<struct<term,tf,pos>>>` under one
+  * of the four analyzer chains ([[Analyzer.Chains]]) — the per-field twin
+  * of [[AnalyzeTfExpr]], carrying the reference's ES array-field semantics
+  * (values concatenate into one token stream; keyword chains emit one
+  * token per non-empty value — elastic/settings.go:87-138) plus the
+  * position stream ES `text` fields index by default (stopword gaps,
+  * multi-value increment gap — [[Analyzer.chainCountsPos]]). Row-local
+  * like its twin: per-field tf/dl/positions never shuffle a token
+  * relation. */
 case class FieldTfExpr(child: Expression, kind: String) extends UnaryExpression {
   require(Analyzer.Chains.contains(kind), s"unknown analyzer chain: $kind")
 
@@ -95,7 +98,7 @@ case class FieldTfExpr(child: Expression, kind: String) extends UnaryExpression 
       s"graft_field_tf requires array<string>, got $dt")
   }
 
-  override def dataType: DataType = AnalyzeTfExpr.OutType
+  override def dataType: DataType = FieldTfExpr.OutTypePos
   override def prettyName: String = s"graft_field_tf_$kind"
 
   override def nullSafeEval(input: Any): Any =
@@ -113,16 +116,37 @@ case class FieldTfExpr(child: Expression, kind: String) extends UnaryExpression 
 
 object FieldTfExpr {
 
+  val TfsPosType: ArrayType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false),
+    StructField("pos", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+
+  val OutTypePos: StructType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tfs", TfsPosType, nullable = false)))
+
   /** Static entry the generated code calls: fold every non-null value of
-    * the array into one (dl, tf) row under the chain. */
+    * the array into one (dl, tf, positions) row under the chain. */
   def analyzeTf(vals: org.apache.spark.sql.catalyst.util.ArrayData,
       kind: String): InternalRow = {
     val n = vals.numElements()
     val it = (0 until n).iterator
       .filterNot(vals.isNullAt)
       .map(i => vals.getUTF8String(i).toString)
-    val (dl, counts) = Analyzer.chainCounts(kind, it)
-    AnalyzeTfExpr.toRow(dl, counts)
+    val (dl, accs) = Analyzer.chainCountsPos(kind, it)
+    val arr = new Array[Any](accs.size)
+    var j = 0
+    val e = accs.entrySet().iterator()
+    while (e.hasNext) {
+      val kv = e.next()
+      val acc = kv.getValue
+      arr(j) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(kv.getKey), acc.tf,
+        new GenericArrayData(acc.positions)))
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](dl, new GenericArrayData(arr)))
   }
 
   /** Column API. */

@@ -201,6 +201,124 @@ object Analyzer extends Serializable {
     case other => throw new IllegalArgumentException(s"unknown analyzer chain: $other")
   }
 
+  // ---- positions (phrase tier) ------------------------------------------
+
+  /** ES `position_increment_gap` default for multi-valued text fields
+    * (public Lucene/ES behavior): the first token of value v+1 sits at
+    * (last position of value v) + gap + 1, so phrases can never match
+    * across value boundaries. */
+  val PositionIncrementGap = 100
+
+  /** Per-term accumulator: tf + token positions (strictly increasing). */
+  final class TermAcc {
+    var tf = 0
+    var pos: Array[Int] = new Array[Int](4)
+    def add(p: Int): Unit = {
+      if (tf == pos.length) pos = java.util.Arrays.copyOf(pos, pos.length * 2)
+      pos(tf) = p
+      tf += 1
+    }
+    def positions: Array[Int] = java.util.Arrays.copyOf(pos, tf)
+  }
+
+  /** The fused counting loop WITH positions: position = index in the
+    * TOKENIZER's stream (offset + seen), so a removed stopword leaves a
+    * gap — Lucene's StopFilter preserves position increments, which is
+    * what makes `match_phrase` refuse to bridge a dropped stopword.
+    * Returns (keptTokens, seenTokens). */
+  private[analysis] def countPosInto(text: String, stop: Set[String],
+      accs: java.util.TreeMap[String, TermAcc], offset: Int): (Int, Int) = {
+    if (text == null || text.isEmpty) return (0, 0)
+    val bi = biCache.get()
+    bi.setText(text)
+    var kept = 0
+    var seen = 0
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      var hasAlnum = false
+      var i = start
+      while (i < end && !hasAlnum) {
+        val cp = text.codePointAt(i)
+        if (Character.isLetterOrDigit(cp)) hasAlnum = true
+        i += Character.charCount(cp)
+      }
+      if (hasAlnum) {
+        val tok = fold(text.substring(start, end).toLowerCase(Locale.ROOT))
+        if (!stop.contains(tok)) {
+          kept += 1
+          accs.computeIfAbsent(tok, _ => new TermAcc).add(offset + seen)
+        }
+        seen += 1 // stopwords advance the position too (increment kept)
+      }
+      start = end
+      end = bi.next()
+    }
+    (kept, seen)
+  }
+
+  /** Index-side counting WITH positions under a chain over a multi-valued
+    * field — the phrase-tier twin of [[chainCounts]] (same dl/tf numbers,
+    * AnalyzerSpec-pinned). Text chains: tokenizer-indexed positions with
+    * stopword gaps and the multi-value [[PositionIncrementGap]]; keyword
+    * chains: one position per kept value (ES keyword fields store no
+    * positions — harmless parity-plus here, a phrase over one keyword
+    * token degenerates to a term query). Returns (dl, term→acc). */
+  def chainCountsPos(kind: String, values: Iterator[String])
+      : (Int, java.util.TreeMap[String, TermAcc]) = {
+    val accs = new java.util.TreeMap[String, TermAcc]()
+    var dl = 0
+    var offset = 0
+    kind match {
+      case Keyword | KeywordFold =>
+        val doFold = kind == KeywordFold
+        values.foreach { v =>
+          if (v != null && v.nonEmpty) {
+            val tok = if (doFold) analyzeKeywordFold(v) else analyzeKeyword(v)
+            accs.computeIfAbsent(tok, _ => new TermAcc).add(offset)
+            dl += 1
+            offset += 1
+          }
+        }
+      case Text | TextStop =>
+        val stop = if (kind == TextStop) EnglishStop else Set.empty[String]
+        values.foreach { v =>
+          val (kept, seen) = countPosInto(v, stop, accs, offset)
+          dl += kept
+          offset += seen + PositionIncrementGap
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown analyzer chain: $other")
+    }
+    (dl, accs)
+  }
+
+  /** Query-side analysis WITH positions (the match_phrase query's token
+    * stream): same tokenizer indices as the index side, so a stopword in
+    * the phrase leaves the same gap it left in the document. */
+  def analyzeChainPos(kind: String, q: String): Array[(String, Int)] =
+    kind match {
+      case Keyword =>
+        if (q == null || q.isEmpty) Array.empty
+        else Array((analyzeKeyword(q), 0))
+      case KeywordFold =>
+        if (q == null || q.isEmpty) Array.empty
+        else Array((analyzeKeywordFold(q), 0))
+      case Text | TextStop =>
+        val stop = if (kind == TextStop) EnglishStop else Set.empty[String]
+        val out = new ArrayBuffer[(String, Int)](8)
+        val toks = tokenize(q)
+        var i = 0
+        while (i < toks.length) {
+          val tok = fold(toks(i).toLowerCase(Locale.ROOT))
+          if (!stop.contains(tok)) out += ((tok, i))
+          i += 1
+        }
+        out.toArray
+      case other =>
+        throw new IllegalArgumentException(s"unknown analyzer chain: $other")
+    }
+
   /** Index-side counting under a chain over a MULTI-VALUED field (ES array
     * semantics: values concatenate into one token stream; for keyword
     * chains each non-empty value is one token). Returns (dl, term→tf). */

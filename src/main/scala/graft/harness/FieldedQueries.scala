@@ -57,6 +57,18 @@ object FieldedQueries {
   val FilteredMatchText = "title 7"
   val FilteredYear = "1997"
 
+  /** match_phrase queries over the multi-valued `title` field
+    * (["Record $i title", "second title $i"], value 2 offset = 3 + gap):
+    * a mass-tie phrase (every doc, pf=1), a discriminative one (doc 42
+    * only, via value 2's "title 42"), a CROSS-VALUE phrase that must match
+    * nothing (the position_increment_gap contract), and a single-term
+    * phrase (pf = tf = 2). */
+  val PhraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "second title",
+    2 -> "title 42",
+    3 -> "title second", // only adjacent across the value boundary — no match
+    4 -> "title")
+
   /** Per-field BM25 queries over `title` (text+stop chain). Fixture titles
     * are ["Record $i title", "second title $i"], so each query has one
     * discriminative numeric term; the tie-broken tail ranks exercise the
@@ -140,6 +152,16 @@ object FieldedQueries {
       .join(docMap(spark, dir), "doc_id")
       .select(col("rnk"), col("doi"), col("score_x6"))
       .orderBy("rnk")
+  }
+
+  /** ES match_phrase on the title field: positions-exact adjacency with
+    * multi-value gap semantics, scored by phrase frequency. */
+  def fieldPhrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.phraseMatch(spark, dir, spec("title"), PhraseQueries, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
   }
 
   /** Filter-context + query-context bool: title match restricted to the
@@ -301,6 +323,69 @@ object FieldedQueries {
        |                       s.doi ASC) AS rnk
        |  FROM scored s JOIN allowed USING (doi))
        |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** match_phrase replay: token positions reconstructed exactly as the
+    * engine assigns them — per value, position = value offset + tokenizer
+    * index (stopwords would keep their slot; the fixture has none in
+    * titles), and value v+1 starts at (tokens of v) + gap(100) past v's
+    * offset. Adjacency is a positional self-join per query; pf = alignment
+    * count; score = (Σ idf over phrase occurrences) · tfNorm(pf, dl,
+    * avgdl) — the Lucene PhraseScorer shape the engine implements. */
+  def fieldPhraseSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val gap = Analyzer.PositionIncrementGap
+    val blocks = PhraseQueries.map { case (qid, q) =>
+      val occs = Analyzer.analyzeChainPos(Analyzer.TextStop, q)
+      require(occs.nonEmpty, s"phrase $qid analyzed to nothing")
+      val base = occs(0)._2
+      val joins = occs.zipWithIndex.drop(1).map { case ((t, p), j) =>
+        s"  JOIN tok t$j ON t$j.doi = t0.doi AND t$j.pos = t0.pos + ${p - base} AND t$j.term = '$t'"
+      }.mkString("\n")
+      val qterms = occs.map { case (t, _) => s"('$t')" }.mkString(", ")
+      s"""q${qid}_t(term) AS (VALUES $qterms),
+         |q${qid}_sidf AS (
+         |  SELECT sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS sidf
+         |  FROM q${qid}_t q JOIN dft ON dft.term = q.term CROSS JOIN stats s),
+         |q${qid}_occ AS (SELECT t0.doi, t0.pos FROM tok t0
+         |$joins
+         |  WHERE t0.term = '${occs(0)._1}'),
+         |q${qid}_pf AS (SELECT doi, count(*)::BIGINT AS pf FROM q${qid}_occ GROUP BY doi),
+         |q${qid}_scored AS (SELECT $qid AS qid, pf.doi,
+         |    si.sidf * (pf.pf / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM q${qid}_pf pf
+         |  JOIN dl ON dl.doi = pf.doi
+         |  CROSS JOIN stats s CROSS JOIN q${qid}_sidf si)""".stripMargin
+    }
+    val unionScored = PhraseQueries.map { case (qid, _) =>
+      s"SELECT qid, doi, score FROM q${qid}_scored" }.mkString(" UNION ALL ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |vals AS (SELECT doi, v, string_split(lower(el), ' ') AS toks FROM
+       |          (SELECT doi, unnest(title) AS el,
+       |                  unnest(range(len(title))) AS v FROM src) u),
+       |offs AS (SELECT doi, v, toks,
+       |    coalesce(sum(len(toks) + $gap) OVER (PARTITION BY doi ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM vals),
+       |tok0 AS (SELECT doi, off + unnest(range(len(toks))) AS pos,
+       |                unnest(toks) AS term FROM offs),
+       |tok AS (SELECT doi, pos, term FROM tok0
+       |        WHERE term <> '' AND term NOT IN ($stopIn)),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |${blocks.mkString(",\n")},
+       |scored AS ($unionScored),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   }
 
   /** Per-field BM25 replay: tokens = lower(split(title elements)) minus the

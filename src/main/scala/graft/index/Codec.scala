@@ -236,4 +236,63 @@ object Codec extends Serializable {
     while (i < n) { out(i) = vs(i).toInt + 1; i += 1 }
     out
   }
+
+  // ---- positions (phrase/proximity tier) --------------------------------
+
+  /** Encode a block's token positions — one strictly-increasing non-negative
+    * array per posting, in posting order (the Lucene .pos shape, ES `text`
+    * fields index positions by default, settings.go:87-138) — as ONE PFor
+    * stream of per-doc deltas: first position absolute, then gap−1. Counts
+    * are NOT stored: posting i owns tfs(i) values, so the tfs block is the
+    * length table. Empty input → empty array (a positionless index stores
+    * zero bytes per block). */
+  def encodePositions(perDoc: Array[Array[Int]]): Array[Byte] = {
+    var total = 0
+    var i = 0
+    while (i < perDoc.length) { total += perDoc(i).length; i += 1 }
+    if (total == 0) return Array.emptyByteArray
+    val flat = new Array[Long](total)
+    var o = 0
+    i = 0
+    while (i < perDoc.length) {
+      val ps = perDoc(i)
+      var j = 0
+      var prev = -1
+      while (j < ps.length) {
+        require(ps(j) > prev, s"positions must be strictly increasing at $i/$j")
+        flat(o) = if (j == 0) ps(j).toLong else (ps(j) - prev - 1).toLong
+        prev = ps(j)
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    encodePfor(flat)
+  }
+
+  /** Decode per-posting position arrays; `tfs` is the per-posting length
+    * table (the decoded tfs block). Returns null for a positionless block
+    * (zero stored bytes). */
+  def decodePositions(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    if (bytes == null || bytes.length == 0) return null
+    var total = 0
+    var i = 0
+    while (i < tfs.length) { total += tfs(i); i += 1 }
+    val flat = decodePfor(bytes, total)
+    val out = new Array[Array[Int]](tfs.length)
+    var o = 0
+    i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Int](tfs(i))
+      var j = 0
+      var prev = -1
+      while (j < ps.length) {
+        prev = if (j == 0) flat(o).toInt else prev + flat(o).toInt + 1
+        ps(j) = prev
+        o += 1; j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
 }

@@ -70,8 +70,12 @@ object FieldedIndex {
 
   val FinalStep = "fields_done"
 
-  def isComplete(indexDir: String): Boolean =
-    new TableIO(indexDir).isComplete(FinalStep)
+  /** Complete AND current-format (see [[PostingsBuilder.isComplete]]). */
+  def isComplete(indexDir: String): Boolean = {
+    val steps = new TableIO(indexDir).committedSteps()
+    steps.contains(FinalStep) &&
+      steps.contains(PostingsBuilder.FormatStep)
+  }
 
   /** Normalize a field column to array<string> (ES: every field is
     * implicitly multi-valued): arrays pass through, scalars wrap, non-string
@@ -257,6 +261,16 @@ object FieldedIndex {
                   rawQueries: Seq[(Int, String)], k: Int): DataFrame =
     Searcher.search(handleFor(spark, indexDir, spec.field), rawQueries, k,
       Analyzer.analyzeChain(spec.chain, _))
+
+  /** ES match_phrase against one field: the phrase analyzes with the
+    * field's chain keeping tokenizer positions (stopword gaps preserved,
+    * so a phrase cannot bridge a dropped stopword, and multi-valued fields
+    * cannot match across values — the position_increment_gap the index
+    * stored). Returns (qid, rnk, doc_id, score_x6). */
+  def phraseMatch(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                  rawQueries: Seq[(Int, String)], k: Int): DataFrame =
+    Searcher.phraseSearch(handleFor(spark, indexDir, spec.field), rawQueries,
+      k, Analyzer.analyzeChainPos(spec.chain, _))
 
   /** ES term-query against one field (exact match under the field's chain,
     * filter context): (term, doc_id) for each analyzed value. */

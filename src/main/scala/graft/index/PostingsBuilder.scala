@@ -79,7 +79,7 @@ object PostingsBuilder {
     * (e.g. the pre-PFor varbyte blocks) and is unreadable by the current
     * decoder — [[ensureFormat]] wipes it so callers rebuild instead of
     * serving garbage from a stale cached directory. */
-  val FormatStep = "format_pfor2"
+  val FormatStep = "format_pfor3" // v3: positions tier (PostingBlock.pos)
 
   /** Invalidate an index directory written under an older block format,
     * then stamp the current marker — committed BEFORE any data step, so a
@@ -91,8 +91,14 @@ object PostingsBuilder {
     io.step(FormatStep) {}
   }
 
-  def isComplete(indexDir: String): Boolean =
-    new TableIO(indexDir).isComplete(FinalStep)
+  /** Complete AND current-format: an index with every data step but an
+    * older codec marker must read as incomplete, or callers that gate on
+    * isComplete (fixture ensure-paths, the CLI's append branch) would
+    * serve blocks the current decoder cannot read. */
+  def isComplete(indexDir: String): Boolean = {
+    val steps = new TableIO(indexDir).committedSteps()
+    steps.contains(FinalStep) && steps.contains(FormatStep)
+  }
 
   /** Build the postings index. `concurrentSteps` (e.g. the caller's doc_map
     * write) run in parallel with the postings stage — they may depend on
@@ -243,7 +249,8 @@ object PostingsBuilder {
           sum(col("n")).cast("long").as("n_postings"),
           count(lit(1)).as("n_blocks"),
           sum(length(col("doc_ids")) + length(col("tfs")) +
-            length(col("dls"))).cast("long").as("postings_bytes"),
+            length(col("dls")) + length(col("pos")))
+            .cast("long").as("postings_bytes"),
           max(col("enc_wall_ms")).as("build_wall_ms"))
         .withColumn("snapshot_id", lit(snapId))
         .write.mode("overwrite").parquet(io.tablePath("lineage"))
@@ -267,13 +274,24 @@ object PostingsBuilder {
     * is why external-sort inversion is the classic construction. */
   def invertStage(docTermsSharded: DataFrame, avgdl: Double,
                   blockSize: Int, numPartitions: Int = 0): DataFrame = {
+    // positions ride along when the analyze kernel produced them (fielded
+    // chains — ES text fields index positions by default); the webtext
+    // body kernel omits them (docs/freqs index_options) and the encoder
+    // stores zero bytes
+    val tfsElem = docTermsSharded.schema("tfs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val posCol =
+      if (tfsElem.fieldNames.contains("pos")) col("t.pos")
+      else lit(null).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
     val sorted = (if (numPartitions > 0)
         docTermsSharded.repartition(numPartitions, col("doc_shard"))
       else docTermsSharded.repartition(col("doc_shard")))
       .select(col("doc_shard"), col("doc_id"),
         col("dl").cast("int").as("dl"), explode(col("tfs")).as("t"))
       .select(col("doc_shard"), col("t.term").as("term"), col("doc_id"),
-        col("t.tf").as("tf"), col("dl"))
+        col("t.tf").as("tf"), col("dl"), posCol.as("pos"))
       .sortWithinPartitions("doc_shard", "term", "doc_id")
     org.apache.spark.sql.graftbridge.Bridge.internalMapPartitions(
       sorted, BlockSchema)(encodeInternalRows(avgdl, blockSize))
@@ -296,11 +314,13 @@ object PostingsBuilder {
       private val ids = new Array[Long](blockSize)
       private val tfs = new Array[Int](blockSize)
       private val dls = new Array[Int](blockSize)
+      private val poss = new Array[Array[Int]](blockSize)
       private var n = 0
       private var curShard = Int.MinValue
       private var curTerm: UTF8String = null
       private var blockId = 0
       private val out = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+      private val noPos = Array.emptyIntArray
 
       private def flush(): Unit = {
         if (n == 0) return
@@ -318,7 +338,8 @@ object PostingsBuilder {
           Codec.encodeDocIds(java.util.Arrays.copyOf(ids, n)),
           Codec.encodeTfs(java.util.Arrays.copyOf(tfs, n)),
           Codec.encodeTfs(java.util.Arrays.copyOf(dls, n)),
-          maxNorm, maxTf, System.currentTimeMillis() - t0)))
+          maxNorm, maxTf, System.currentTimeMillis() - t0,
+          Codec.encodePositions(java.util.Arrays.copyOf(poss, n)))))
         blockId += 1
         n = 0
       }
@@ -335,6 +356,7 @@ object PostingsBuilder {
             blockId = 0
           }
           ids(n) = r.getLong(2); tfs(n) = r.getInt(3); dls(n) = r.getInt(4)
+          poss(n) = if (r.isNullAt(5)) noPos else r.getArray(5).toIntArray()
           n += 1
           if (n == blockSize) flush()
         }
@@ -357,6 +379,7 @@ object PostingsBuilder {
     private val ids = new Array[Long](blockSize)
     private val tfs = new Array[Int](blockSize)
     private val dls = new Array[Int](blockSize)
+    private val poss = new Array[Array[Int]](blockSize)
     private var n = 0
     private var curShard = -1
     private var curTerm: String = null
@@ -379,7 +402,8 @@ object PostingsBuilder {
         Codec.encodeDocIds(java.util.Arrays.copyOf(ids, n)),
         Codec.encodeTfs(java.util.Arrays.copyOf(tfs, n)),
         Codec.encodeTfs(java.util.Arrays.copyOf(dls, n)),
-        maxNorm, maxTf, System.currentTimeMillis() - t0)
+        maxNorm, maxTf, System.currentTimeMillis() - t0,
+        Codec.encodePositions(java.util.Arrays.copyOf(poss, n)))
       blockId += 1
       n = 0
     }
@@ -397,7 +421,8 @@ object PostingsBuilder {
     }
 
     private def buffer(r: TfRow): Unit = {
-      ids(n) = r.doc_id; tfs(n) = r.tf; dls(n) = r.dl; n += 1
+      ids(n) = r.doc_id; tfs(n) = r.tf; dls(n) = r.dl; poss(n) = r.pos
+      n += 1
       if (n == blockSize) flush()
     }
 

@@ -7,7 +7,8 @@ package graft.model
   * self-contained at query time (score = f(tf, dl, idf, avgdl); no doc-side
   * join on the query path). Costs ~1 varbyte/posting vs Lucene's 1-byte
   * lossy norm; the north_rule demands exact dl, so we pay it. */
-case class TfRow(doc_shard: Int, term: String, doc_id: Long, tf: Int, dl: Int)
+case class TfRow(doc_shard: Int, term: String, doc_id: Long, tf: Int, dl: Int,
+    pos: Array[Int] = Array.emptyIntArray)
 
 /** A compressed posting block: up to Codec.BlockSize postings of one term
   * within one doc shard. doc_ids are delta-gap varbyte; tfs/dls varbyte.
@@ -28,7 +29,13 @@ case class PostingBlock(
     dls: Array[Byte],
     max_tf_norm: Double,
     max_tf: Int,
-    enc_wall_ms: Long)
+    enc_wall_ms: Long,
+    /** PFor-encoded per-doc token positions (Codec.encodePositions) —
+      * present when the build stores positions (fielded text/keyword
+      * chains, ES parity); empty for docs/freqs-only indexes (the webtext
+      * body index — ES `index_options: freqs`, the deployment choice for a
+      * 100-TB body field). */
+    pos: Array[Byte] = Array.emptyByteArray)
 
 case class TermStat(term: String, df: Long)
 

@@ -1,0 +1,168 @@
+package graft.query
+
+import scala.collection.mutable
+
+import graft.index.Codec
+import graft.model.PostingBlock
+
+/** Exact match_phrase scoring over positioned posting blocks — the last
+  * ES-visible capability of the reference's text fields (ES `text` indexes
+  * positions by default, elastic/settings.go:87-138; clients may post
+  * `match_phrase` against title/journal/bibliographic).
+  *
+  * Semantics (Lucene PhraseQuery/PhraseScorer, public behavior):
+  *  - the phrase's analyzed tokens carry their TOKENIZER positions, so a
+  *    stopword dropped from the query leaves the same gap it left in the
+  *    document ("united of states" requires a one-position gap);
+  *  - a doc matches if some start s aligns every occurrence: doc has
+  *    term_i at s + (qpos_i − qpos_0) for all i;
+  *  - score = (Σ_i idf(term_i)) · tfNorm(phraseFreq, dl, avgdl), with
+  *    phraseFreq = the number of alignments (Lucene's ExactPhraseMatcher
+  *    feeding the similarity with phrase frequency; the idf sums over
+  *    phrase positions, duplicates included).
+  *
+  * Execution shape: a leapfrog conjunction over the phrase terms' cursors
+  * (candidates are bounded by the RAREST term's posting list — the classic
+  * phrase cost), positions decoded only for docs where every term aligns.
+  * No θ pruning: the conjunction is already the selective step, and the
+  * per-shard work is a few block decodes per candidate. */
+object Phrase {
+
+  /** Cursor over one term's blocks with lazy position decode. */
+  private final class PosIter(blocks: Array[PostingBlock]) {
+    private var bi = 0
+    private var pi = 0
+    private var ids: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var dls: Array[Int] = _
+    private var poss: Array[Array[Int]] = _
+    private var decodedBi = -1
+    private var decodedPosBi = -1
+
+    private def decode(): Unit =
+      if (decodedBi != bi && bi < blocks.length) {
+        val b = blocks(bi)
+        ids = Codec.decodeDocIds(b.doc_ids, b.n)
+        tfs = Codec.decodeTfs(b.tfs, b.n)
+        dls = Codec.decodeTfs(b.dls, b.n)
+        decodedBi = bi
+      }
+
+    def exhausted: Boolean = bi >= blocks.length
+
+    def curDoc: Long =
+      if (exhausted) Long.MaxValue
+      else { decode(); ids(pi) }
+
+    def dl: Int = { decode(); dls(pi) }
+
+    /** Positions of the current posting; throws if the index stores none
+      * (a docs/freqs-only index cannot serve phrases). */
+    def positions: Array[Int] = {
+      decode()
+      if (decodedPosBi != bi) {
+        poss = Codec.decodePositions(blocks(bi).pos, tfs)
+        decodedPosBi = bi
+      }
+      require(poss != null,
+        "index stores no positions (index_options docs/freqs) — phrase queries need a positioned build")
+      poss(pi)
+    }
+
+    def advanceTo(d: Long): Unit = {
+      while (bi < blocks.length && blocks(bi).last_doc_id < d) { bi += 1; pi = 0 }
+      if (exhausted) return
+      decode()
+      var lo = pi
+      var hi = blocks(bi).n - 1
+      if (ids(lo) >= d) return
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ids(mid) < d) lo = mid + 1 else hi = mid
+      }
+      pi = lo
+    }
+  }
+
+  /** Number of phrase alignments in the current doc: for each candidate
+    * start from the first occurrence's positions, every other occurrence
+    * must contain start + its relative offset (binary search — arrays are
+    * strictly increasing). */
+  private def phraseFreq(rel: Array[(PosIter, Int)]): Int = {
+    val lead = rel(0)._1.positions
+    var pf = 0
+    var i = 0
+    while (i < lead.length) {
+      val s = lead(i)
+      var ok = true
+      var j = 1
+      while (ok && j < rel.length) {
+        val (it, off) = rel(j)
+        ok = java.util.Arrays.binarySearch(it.positions, s + off) >= 0
+        j += 1
+      }
+      if (ok) pf += 1
+      i += 1
+    }
+    pf
+  }
+
+  /** Score one analyzed phrase (term-occurrence array with tokenizer
+    * positions) against one shard's blocks. Returns up to k (doc_id, exact
+    * score) hits, unordered. */
+  def scoreShard(blocksByTerm: String => Array[PostingBlock],
+                 occs: Array[(String, Int)], sumIdf: Double, avgdl: Double,
+                 k: Int): Array[(Long, Double)] = {
+    if (occs.isEmpty) return Array.empty
+    val uniq = occs.map(_._1).distinct
+    val tps = uniq.map(blocksByTerm)
+    if (tps.exists(_ == null)) return Array.empty // conjunction: all terms
+    val iterByTerm = uniq.zip(tps.map(new PosIter(_))).toMap
+    val base = occs(0)._2
+    val rel: Array[(PosIter, Int)] =
+      occs.map { case (t, p) => (iterByTerm(t), p - base) }
+    val iters = iterByTerm.values.toArray
+
+    // heap under the deterministic ordering (score_x6 asc at head, doc
+    // desc), exactly the WAND heap shape
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by[(Long, Long, Double), (Long, Long)] { case (x6, d, _) => (-x6, d) }
+    val heap = mutable.PriorityQueue.empty[(Long, Long, Double)]
+    def offer(doc: Long, s: Double): Unit = {
+      val x6 = math.round(s * 1e6)
+      if (heap.size < k) heap.enqueue((x6, doc, s))
+      else {
+        val (hx6, hdoc, _) = heap.head
+        if (x6 > hx6 || (x6 == hx6 && doc < hdoc)) {
+          heap.dequeue(); heap.enqueue((x6, doc, s))
+        }
+      }
+    }
+
+    // leapfrog conjunction
+    var d = 0L
+    var i = 0
+    while (i < iters.length) {
+      val c = iters(i).curDoc
+      if (c > d) d = c
+      i += 1
+    }
+    while (d != Long.MaxValue) {
+      var m = d
+      i = 0
+      while (i < iters.length) {
+        iters(i).advanceTo(d)
+        val c = iters(i).curDoc
+        if (c > m) m = c
+        i += 1
+      }
+      if (m == d) { // all aligned on d
+        val pf = phraseFreq(rel)
+        if (pf > 0) offer(d, sumIdf * Bm25.tfNorm(pf.toDouble,
+          iters(0).dl.toDouble, avgdl))
+        d += 1
+      } else d = m
+    }
+    heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
+  }
+}

@@ -204,7 +204,7 @@ object Searcher {
 
   private val BlockCols = Seq("doc_shard", "term", "block_id", "n",
     "first_doc_id", "last_doc_id", "doc_ids", "tfs", "dls", "max_tf_norm",
-    "max_tf", "enc_wall_ms")
+    "max_tf", "enc_wall_ms", "pos")
 
   def open(spark: SparkSession, indexDir: String): Handle = {
     // a compaction crashed mid-swap must not leave the index unopenable
@@ -532,6 +532,59 @@ object Searcher {
         }
       }
     }.toDF("doc_id", "contrib")
+  }
+
+  /** ES match_phrase against a positioned index: analyze each phrase with
+    * the field's chain keeping tokenizer positions, then run the exact
+    * phrase kernel ([[Phrase.scoreShard]]) per shard — one narrow job over
+    * the resident shard indexes, candidates bounded by the rarest term's
+    * postings. Returns (qid, rnk, doc_id, score_x6) under the
+    * deterministic ordering; phrases with any corpus-absent term match
+    * nothing (conjunction). */
+  def phraseSearch(h: Handle, rawQueries: Seq[(Int, String)], k: Int,
+      chain: String => Array[(String, Int)]): DataFrame = {
+    val analyzed: Seq[(Int, Array[(String, Int)])] =
+      rawQueries.map { case (qid, q) => qid -> chain(q) }
+    val uniqueTerms = analyzed.flatMap(_._2.map(_._1)).distinct.toArray
+    val dfByTerm = resolveDfs(h, uniqueTerms)
+    val nDocs = h.stats.n_docs
+    val avgdl = h.stats.avgdl
+    val kk = k
+    val pqs: Array[(Int, Array[(String, Int)], Double)] = analyzed.collect {
+      case (qid, occs) if occs.nonEmpty &&
+          occs.forall(o => dfByTerm.contains(o._1)) =>
+        (qid, occs,
+          occs.iterator.map(o => Bm25.idf(nDocs, dfByTerm(o._1))).sum)
+    }.toArray
+
+    val hits: Array[(Int, Long, Double)] = h.shards.flatMap { si =>
+      pqs.iterator.flatMap { case (qid, occs, sumIdf) =>
+        val lookup: String => Array[PostingBlock] = t => {
+          val tp = si.terms.get(t)
+          if (tp == null) null else tp.blocks
+        }
+        Phrase.scoreShard(lookup, occs, sumIdf, avgdl, kk)
+          .iterator.map { case (doc, s) => (qid, doc, s) }
+      }
+    }.collect()
+
+    val rows = new java.util.ArrayList[Row]()
+    hits.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qid, hs) =>
+      val ranked = hs.map { case (_, doc, s) => (math.round(s * 1e6), doc) }
+        .sortBy { case (x6, doc) => (-x6, doc) }
+        .take(k)
+      var i = 0
+      while (i < ranked.length) {
+        rows.add(Row(qid.toLong, (i + 1).toLong, ranked(i)._2, ranked(i)._1))
+        i += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("rnk", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("score_x6", LongType, nullable = false)))
+    h.spark.createDataFrame(rows, schema).orderBy("qid", "rnk")
   }
 
   /** ES term-query analogue (filter context — set-valued, no scoring): all

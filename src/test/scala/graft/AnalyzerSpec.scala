@@ -61,4 +61,49 @@ class AnalyzerSpec extends AnyFunSuite {
       assert(Analyzer.analyzeStop(s).toSeq === viaSplit, s"corpus parity on: $s")
     }
   }
+
+  test("positions: stopword gaps, multi-value increment gap, keyword value index") {
+    import scala.jdk.CollectionConverters._
+    def posOf(kind: String, values: Seq[String]): Map[String, Seq[Int]] = {
+      val (_, accs) = Analyzer.chainCountsPos(kind, values.iterator)
+      accs.entrySet().asScala
+        .map(e => e.getKey -> e.getValue.positions.toSeq).toMap
+    }
+    // stopword removed, its position slot kept (Lucene StopFilter
+    // increments preserved): "united of states" → united@0, states@2
+    assert(posOf(Analyzer.TextStop, Seq("united of states")) ===
+      Map("united" -> Seq(0), "states" -> Seq(2)))
+    // multi-value gap: value 2 starts at len(value1 tokens) + gap
+    // ("a" is a stopword → gap at 0; "b" is not in the _english_ set)
+    assert(posOf(Analyzer.TextStop, Seq("a b quick", "brown fox")) ===
+      Map("b" -> Seq(1), "quick" -> Seq(2),
+        "brown" -> Seq(103), "fox" -> Seq(104)))
+    // repeated term accumulates ascending positions across values
+    assert(posOf(Analyzer.Text, Seq("x y x")) ===
+      Map("x" -> Seq(0, 2), "y" -> Seq(1)))
+    // keyword chains: one position per kept value, empties skipped
+    assert(posOf(Analyzer.KeywordFold, Seq("A", "", "B", "A")) ===
+      Map("a" -> Seq(0, 2), "b" -> Seq(1)))
+    // dl/tf agree with the positionless twin on every chain
+    for (kind <- Analyzer.Chains) {
+      val vals = Seq("The quick brown Fox", "jumps over the lazy dog", "")
+      val (dl0, counts) = Analyzer.chainCounts(kind, vals.iterator)
+      val (dl1, accs) = Analyzer.chainCountsPos(kind, vals.iterator)
+      assert(dl0 === dl1, kind)
+      assert(counts.asScala.map { case (k, v) => k -> v.intValue() }.toMap ===
+        accs.asScala.map { case (k, v) => k -> v.tf }.toMap, kind)
+      accs.asScala.values.foreach(a =>
+        assert(a.positions.toSeq === a.positions.toSeq.sorted))
+    }
+  }
+
+  test("query-side phrase analysis mirrors index positions (gaps preserved)") {
+    assert(Analyzer.analyzeChainPos(Analyzer.TextStop, "united of states").toSeq
+      === Seq(("united", 0), ("states", 2)))
+    assert(Analyzer.analyzeChainPos(Analyzer.Text, "Quick  Brown").toSeq
+      === Seq(("quick", 0), ("brown", 1)))
+    assert(Analyzer.analyzeChainPos(Analyzer.Keyword, "A b").toSeq
+      === Seq(("a b", 0)))
+    assert(Analyzer.analyzeChainPos(Analyzer.TextStop, "").isEmpty)
+  }
 }

@@ -72,4 +72,24 @@ class CodecSpec extends AnyFunSuite {
       Codec.encodeDocIds(Array(3L, 3L))
     }
   }
+
+  test("positions round-trip: per-doc strictly-increasing arrays, tfs as lengths") {
+    val perDocGen: Gen[Array[Array[Int]]] =
+      Gen.listOf(
+        Gen.nonEmptyListOf(Gen.chooseNum(0, 1 << 20))
+          .map(_.distinct.sorted.toArray).suchThat(_.nonEmpty))
+        .map(_.toArray)
+    val p = Prop.forAll(perDocGen) { perDoc =>
+      val tfs = perDoc.map(_.length)
+      val enc = Codec.encodePositions(perDoc)
+      val dec = Codec.decodePositions(enc, tfs)
+      if (perDoc.isEmpty) dec == null // zero positions → positionless block
+      else dec.length == perDoc.length &&
+        dec.zip(perDoc).forall { case (a, b) => a.sameElements(b) }
+    }
+    check("positions-roundtrip", p)
+    // positionless block: empty bytes, decode reports null
+    assert(Codec.encodePositions(Array.empty).isEmpty)
+    assert(Codec.decodePositions(Array.emptyByteArray, Array(2, 1)) == null)
+  }
 }

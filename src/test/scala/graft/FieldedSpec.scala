@@ -152,6 +152,36 @@ class FieldedSpec extends AnyFunSuite {
     assert(xs.toSeq === xs.sortBy(-_).toSeq)
   }
 
+  test("match_phrase: stopword gaps and value boundaries are ES-exact") {
+    import spark.implicits._
+    val dir = s"${sys.props("user.dir")}/target/test-idx/phrase"
+    new TableIO(dir).deleteAll()
+    val body = FieldedIndex.FieldSpec("body", Analyzer.TextStop)
+    val docs = Seq(
+      ("d1", Seq("united of states")), // stopword leaves a gap
+      ("d2", Seq("united states")), // adjacent
+      ("d3", Seq("united", "states")), // split across values (gap 100)
+      ("d4", Seq("the united states of america and the united states")) // pf=2
+    ).toDF("k", "body")
+    FieldedIndex.build(spark, docs, dir, Seq(body), "k",
+      graft.index.PostingsBuilder.Config(shardSize = 16))
+    def hits(q: String): Map[String, Long] =
+      FieldedIndex.phraseMatch(spark, dir, body, Seq(1 -> q), 10)
+        .join(spark.read.parquet(s"$dir/doc_map"), "doc_id").collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[Long]("score_x6")).toMap
+    // adjacent phrase: NOT across a dropped stopword (d1) and NOT across a
+    // value boundary (d3) — exactly ES's increment semantics
+    assert(hits("united states").keySet === Set("d2", "d4"))
+    // a phrase CONTAINING the stopword carries the same gap → d1 only
+    // (d4's "united states" pairs have no one-position gap)
+    assert(hits("united of states").keySet === Set("d1"))
+    // phraseFreq feeds the score: d4 aligns twice — its tfNorm uses pf=2
+    val h = FieldedIndex.phraseMatch(spark, dir, body, Seq(1 -> "united states"), 10)
+      .join(spark.read.parquet(s"$dir/doc_map"), "doc_id").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("score_x6")).toMap
+    assert(h("d4") !== h("d2")) // different dl AND different pf
+  }
+
   test("kernel bool paths are rank-identical to their naive decode twins") {
     val legs = FieldedQueries.MultiLegs.map { case (f, t) => (spec(f), t) }
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
