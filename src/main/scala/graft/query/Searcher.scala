@@ -169,7 +169,7 @@ object Searcher {
     val shareTheta = sys.env.getOrElse("GRAFT_SHARED_THETA", "1") != "0"
     val runId = java.util.UUID.randomUUID().toString
 
-    val hits: Array[(Long, Double)] = mh.shards.flatMap { si =>
+    val merged = treeTopK(mh.shards, kk) { si =>
       val cursors = specs.flatMap { s =>
         val tp = si.terms.get(s.key)
         if (tp == null) None
@@ -185,12 +185,10 @@ object Searcher {
       else BlockMaxWand.scoreCursors(ArraySeq.unsafeWrapArray(cursors),
         ArraySeq.unsafeWrapArray(fblocks), kk, msm,
         if (shareTheta) BlockMaxWand.ThetaBoards.boardFor(runId) else null)
-        .iterator
-    }.collect()
+        .iterator.map { case (d, s) => (0, d, s) }
+    }
 
-    val ranked = hits.map { case (d, s) => (math.round(s * 1e6), d) }
-      .sortBy { case (x6, d) => (-x6, d) }
-      .take(k)
+    val ranked = merged.getOrElse(0, Array.empty[(Long, Long)])
     val rows = new java.util.ArrayList[Row]()
     ranked.zipWithIndex.foreach { case ((x6, d), i) =>
       rows.add(Row((i + 1).toLong, d, x6))
@@ -394,8 +392,72 @@ object Searcher {
     }
   }
 
+  /** Tree-merged distributed top-k: each PARTITION folds its shards' hits
+    * into per-query top-k partials, partials combine pairwise
+    * (treeAggregate), and the driver receives O(queries × k) tuples at ANY
+    * shard count — the ES coordinating-node fan-in model. A flat collect
+    * of per-shard winners is k × shards × queries tuples, which at 10^6
+    * shards (10^12 docs / 2^20 shardSize) and a 20-query batch is ~10^8
+    * tuples through one driver; the tree bounds it. Hits merge on the
+    * micro-rounded (score_x6, doc_id) ordering — exactly the final
+    * ordering, so the merge is lossless. */
+  private def treeTopK(shards: RDD[ShardIndex], k: Int)(
+      perShard: ShardIndex => Iterator[(Int, Long, Double)])
+      : Map[Int, Array[(Long, Long)]] = {
+    val kk = k
+    def mergeTop(a: Array[(Long, Long)],
+                 b: Array[(Long, Long)]): Array[(Long, Long)] = {
+      val out = new Array[(Long, Long)](math.min(kk, a.length + b.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length) {
+        val takeA = j >= b.length || (i < a.length &&
+          (a(i)._1 > b(j)._1 || (a(i)._1 == b(j)._1 && a(i)._2 < b(j)._2)))
+        if (takeA) { out(o) = a(i); i += 1 } else { out(o) = b(j); j += 1 }
+        o += 1
+      }
+      out
+    }
+    shards.treeAggregate(Map.empty[Int, Array[(Long, Long)]])(
+      (acc, si) => {
+        val byQ = perShard(si).toArray.groupBy(_._1)
+        byQ.foldLeft(acc) { case (m, (qid, hs)) =>
+          val sorted = hs.map { case (_, d, s) => (math.round(s * 1e6), d) }
+            .sortBy { case (x6, d) => (-x6, d) }.take(kk)
+          m.updated(qid,
+            m.get(qid).map(mergeTop(_, sorted)).getOrElse(sorted))
+        }
+      },
+      (m1, m2) => (m1.keySet ++ m2.keySet).iterator.map { q =>
+        q -> ((m1.get(q), m2.get(q)) match {
+          case (Some(a), Some(b)) => mergeTop(a, b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case _ => Array.empty[(Long, Long)]
+        })
+      }.toMap)
+  }
+
+  /** Build the (qid, rnk, doc_id, score_x6) frame from merged top-k. */
+  private def topKFrame(spark: SparkSession,
+      merged: Map[Int, Array[(Long, Long)]]): DataFrame = {
+    val rows = new java.util.ArrayList[Row]()
+    merged.toSeq.sortBy(_._1).foreach { case (qid, ranked) =>
+      var i = 0
+      while (i < ranked.length) {
+        rows.add(Row(qid.toLong, (i + 1).toLong, ranked(i)._2, ranked(i)._1))
+        i += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField("rnk", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("score_x6", LongType, nullable = false)))
+    spark.createDataFrame(rows, schema).orderBy("qid", "rnk")
+  }
+
   /** Search via a resident handle: two short jobs over the cached shard
-    * indexes, driver-side top-k merge. `chain` analyzes the query string
+    * indexes, tree-merged top-k. `chain` analyzes the query string
     * with the target field's analyzer (reference semantics: ES analyzes
     * query text with the queried field's mapped chain,
     * elastic/settings.go:87-138) — default is the stopword text chain the
@@ -427,9 +489,10 @@ object Searcher {
     val shareTheta = sys.env.getOrElse("GRAFT_SHARED_THETA", "1") != "0"
     val runId = java.util.UUID.randomUUID().toString
 
-    // job 2 — WAND fan-out: each shard scores every query from its own hash
-    // index; only (qid, doc_id, score) winners leave the executor
-    val hits: Array[(Int, Long, Double)] = h.shards.flatMap { si =>
+    // job 2 — WAND fan-out + tree merge: each shard scores every query from
+    // its own hash index; partition-level top-k partials combine pairwise,
+    // so only O(queries × k) tuples ever reach the driver (treeTopK)
+    val merged = treeTopK(h.shards, kk) { si =>
       wandQueries.iterator.flatMap { q =>
         val byTerm: Map[String, IndexedSeq[PostingBlock]] =
           q.terms.iterator.flatMap { t =>
@@ -443,28 +506,8 @@ object Searcher {
           else null)
           .iterator.map { case (doc, s) => (q.qid, doc, s) }
       }
-    }.collect()
-
-    // driver merge: per-shard top-k → global top-k under the deterministic
-    // ordering (micro-rounded score desc, doc_id asc) — identical to
-    // TextIndex.topK over the naive scorer
-    val rows = new java.util.ArrayList[Row]()
-    hits.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qid, hs) =>
-      val ranked = hs.map { case (_, doc, s) => (math.round(s * 1e6), doc) }
-        .sortBy { case (x6, doc) => (-x6, doc) }
-        .take(k)
-      var i = 0
-      while (i < ranked.length) {
-        rows.add(Row(qid.toLong, (i + 1).toLong, ranked(i)._2, ranked(i)._1))
-        i += 1
-      }
     }
-    val schema = StructType(Seq(
-      StructField("qid", LongType, nullable = false),
-      StructField("rnk", LongType, nullable = false),
-      StructField("doc_id", LongType, nullable = false),
-      StructField("score_x6", LongType, nullable = false)))
-    h.spark.createDataFrame(rows, schema).orderBy("qid", "rnk")
+    topKFrame(h.spark, merged)
   }
 
   /** Cold-start variant: open a transient handle, search, release. */
@@ -557,7 +600,7 @@ object Searcher {
           occs.iterator.map(o => Bm25.idf(nDocs, dfByTerm(o._1))).sum)
     }.toArray
 
-    val hits: Array[(Int, Long, Double)] = h.shards.flatMap { si =>
+    val merged = treeTopK(h.shards, kk) { si =>
       pqs.iterator.flatMap { case (qid, occs, sumIdf) =>
         val lookup: String => Array[PostingBlock] = t => {
           val tp = si.terms.get(t)
@@ -566,25 +609,8 @@ object Searcher {
         Phrase.scoreShard(lookup, occs, sumIdf, avgdl, kk)
           .iterator.map { case (doc, s) => (qid, doc, s) }
       }
-    }.collect()
-
-    val rows = new java.util.ArrayList[Row]()
-    hits.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qid, hs) =>
-      val ranked = hs.map { case (_, doc, s) => (math.round(s * 1e6), doc) }
-        .sortBy { case (x6, doc) => (-x6, doc) }
-        .take(k)
-      var i = 0
-      while (i < ranked.length) {
-        rows.add(Row(qid.toLong, (i + 1).toLong, ranked(i)._2, ranked(i)._1))
-        i += 1
-      }
     }
-    val schema = StructType(Seq(
-      StructField("qid", LongType, nullable = false),
-      StructField("rnk", LongType, nullable = false),
-      StructField("doc_id", LongType, nullable = false),
-      StructField("score_x6", LongType, nullable = false)))
-    h.spark.createDataFrame(rows, schema).orderBy("qid", "rnk")
+    topKFrame(h.spark, merged)
   }
 
   /** ES term-query analogue (filter context — set-valued, no scoring): all
