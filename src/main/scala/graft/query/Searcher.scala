@@ -401,6 +401,16 @@ object Searcher {
     * tuples through one driver; the tree bounds it. Hits merge on the
     * micro-rounded (score_x6, doc_id) ordering — exactly the final
     * ordering, so the merge is lossless. */
+  /** Partition count above which the pairwise combine runs as an extra
+    * tree stage (treeAggregate) instead of on the driver. Below it, a
+    * single-stage aggregate is strictly better: the per-partition fold
+    * ALREADY bounds what leaves the executors at queries × k per
+    * partition, and the extra stage costs one more task-scheduling wave
+    * per query (~40 ms of p50 at local[32] — measured, which is why this
+    * is adaptive and not always-tree). Test seam: specs force the tree
+    * path by lowering it. */
+  @volatile private[graft] var treeFanInThreshold = 256
+
   private def treeTopK(shards: RDD[ShardIndex], k: Int)(
       perShard: ShardIndex => Iterator[(Int, Long, Double)])
       : Map[Int, Array[(Long, Long)]] = {
@@ -417,24 +427,30 @@ object Searcher {
       }
       out
     }
-    shards.treeAggregate(Map.empty[Int, Array[(Long, Long)]])(
-      (acc, si) => {
-        val byQ = perShard(si).toArray.groupBy(_._1)
-        byQ.foldLeft(acc) { case (m, (qid, hs)) =>
-          val sorted = hs.map { case (_, d, s) => (math.round(s * 1e6), d) }
-            .sortBy { case (x6, d) => (-x6, d) }.take(kk)
-          m.updated(qid,
-            m.get(qid).map(mergeTop(_, sorted)).getOrElse(sorted))
-        }
-      },
-      (m1, m2) => (m1.keySet ++ m2.keySet).iterator.map { q =>
+    val zero = Map.empty[Int, Array[(Long, Long)]]
+    val seqOp = (acc: Map[Int, Array[(Long, Long)]], si: ShardIndex) => {
+      val byQ = perShard(si).toArray.groupBy(_._1)
+      byQ.foldLeft(acc) { case (m, (qid, hs)) =>
+        val sorted = hs.map { case (_, d, s) => (math.round(s * 1e6), d) }
+          .sortBy { case (x6, d) => (-x6, d) }.take(kk)
+        m.updated(qid,
+          m.get(qid).map(mergeTop(_, sorted)).getOrElse(sorted))
+      }
+    }
+    val combOp = (m1: Map[Int, Array[(Long, Long)]],
+                  m2: Map[Int, Array[(Long, Long)]]) =>
+      (m1.keySet ++ m2.keySet).iterator.map { q =>
         q -> ((m1.get(q), m2.get(q)) match {
           case (Some(a), Some(b)) => mergeTop(a, b)
           case (Some(a), None) => a
           case (None, Some(b)) => b
           case _ => Array.empty[(Long, Long)]
         })
-      }.toMap)
+      }.toMap
+    val parts = shards.getNumPartitions
+    if (parts <= treeFanInThreshold) shards.aggregate(zero)(seqOp, combOp)
+    else shards.treeAggregate(zero)(seqOp, combOp,
+      depth = math.max(2, (math.log(parts.toDouble) / math.log(64.0)).ceil.toInt))
   }
 
   /** Build the (qid, rnk, doc_id, score_x6) frame from merged top-k. */

@@ -80,6 +80,16 @@ class IndexSpec extends AnyFunSuite {
     val naive = TextQueries.bm25QuerySet(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(wand === naive)
+    // the FORCED tree fan-in (the >threshold path a 10^6-shard cluster
+    // takes) merges losslessly too — identical frame through the extra
+    // combine stage
+    val prev = Searcher.treeFanInThreshold
+    try {
+      Searcher.treeFanInThreshold = 0
+      val tree = Searcher.search(spark, dir, QuerySet.queries, QuerySet.K)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(tree === naive)
+    } finally Searcher.treeFanInThreshold = prev
   }
 
   test("re-running a completed build is a no-op (snapshot idempotence)") {
