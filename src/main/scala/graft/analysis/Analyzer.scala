@@ -244,7 +244,25 @@ object Analyzer extends Serializable {
         i += Character.charCount(cp)
       }
       if (hasAlnum) {
-        val tok = fold(text.substring(start, end).toLowerCase(Locale.ROOT))
+        // same ASCII fast path as countInto: pure-ASCII tokens lowercase
+        // straight into a char buffer ('A'-'Z'+32 ≡ toLowerCase(ROOT) for
+        // ASCII; fold is the identity) — the per-token substring +
+        // toLowerCase + NFD probe otherwise dominates the analyze kernel
+        var ascii = true
+        var j = start
+        while (ascii && j < end) { if (text.charAt(j) >= 0x80) ascii = false; j += 1 }
+        val tok =
+          if (ascii) {
+            val arr = new Array[Char](end - start)
+            var k = start
+            var m = 0
+            while (k < end) {
+              val c = text.charAt(k)
+              arr(m) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+              k += 1; m += 1
+            }
+            new String(arr)
+          } else fold(text.substring(start, end).toLowerCase(Locale.ROOT))
         if (!stop.contains(tok)) {
           kept += 1
           accs.computeIfAbsent(tok, _ => new TermAcc).add(offset + seen)
