@@ -145,6 +145,28 @@ class FieldedStreamSpec extends AnyFunSuite {
     assert(new TableIO(dir).prop("max_doc_id") === Some("1"))
   }
 
+  test("phrase queries see streamed segments and survive compaction") {
+    val dir = s"$root/idx-phrase"
+    new TableIO(dir).deleteAll()
+    val base = Seq(("k000", Seq("t0"), "alpha beta gamma"))
+    FieldedIndex.build(spark, docsDf(base), dir, fields, "k", cfg)
+    def phraseDocs(q: String): Set[String] =
+      FieldedIndex.phraseMatch(spark, dir, fields(1), Seq(1 -> q), 10)
+        .join(FieldedIndex.docMap(spark, dir), "doc_id")
+        .collect().map(_.getAs[String]("k")).toSet
+    assert(phraseDocs("alpha beta") === Set("k000"))
+    // a streamed batch's positions serve immediately (segment path)
+    FieldedStreaming.ingestBatch(spark,
+      docsDf(Seq(("k001", Seq("t1"), "delta alpha beta"))), dir, fields,
+      "k", 0L, cfg)
+    assert(phraseDocs("alpha beta") === Set("k000", "k001"))
+    assert(phraseDocs("beta delta") === Set.empty) // not adjacent anywhere
+    // ...and survive the compaction rebuild (fresh ids, re-encoded blocks)
+    assert(FieldedStreaming.compact(spark, dir, fields, cfg))
+    assert(phraseDocs("alpha beta") === Set("k000", "k001"))
+    assert(phraseDocs("delta alpha") === Set("k001"))
+  }
+
   test("snapshot properties survive plain commits and merge on commitStep") {
     val io = new TableIO(s"$root/props")
     io.deleteAll()
