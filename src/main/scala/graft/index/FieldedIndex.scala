@@ -160,9 +160,8 @@ object FieldedIndex {
       // micro-batch. The max ASSIGNED id always survives the LWW window
       // (within a key group the winner IS the highest doc_id), so the max
       // over the winners equals the top of the id space. −1 = empty corpus.
-      val mx = staged.agg(max(col("doc_id"))).head()
-      val maxId = if (mx.isNullAt(0)) -1L else mx.getLong(0)
-      io.commitStep("doc_map", Map("max_doc_id" -> maxId.toString))
+      io.commitStep("doc_map", Map("max_doc_id" ->
+        IndexTables.maxDocId(staged, default = -1L).toString))
     }
 
     // per-field sub-indexes build CONCURRENTLY — independent directories,
@@ -279,6 +278,14 @@ object FieldedIndex {
     Searcher.termDocs(handleFor(spark, indexDir, spec.field),
       values.flatMap(v => Analyzer.analyzeChain(spec.chain, v)))
 
+  /** Analyzed term → query-occurrence weight under the field's chain (a
+    * repeated query term contributes once per occurrence, as in Lucene).
+    * The single definition keeps the kernel paths and their naive
+    * rank-identity twins weighting queries identically. */
+  private def termWeights(spec: FieldSpec, text: String): Map[String, Int] =
+    Analyzer.analyzeChain(spec.chain, text)
+      .groupBy(identity).view.mapValues(_.length).toMap
+
   /** ES bool filter+must — a match leg scored in query context, restricted
     * to docs passing a keyword term filter on ANOTHER field (filter
     * context: unscored, like `{"bool":{"must":[match],"filter":[term]}}`).
@@ -293,8 +300,7 @@ object FieldedIndex {
                     matchSpec: FieldSpec, matchText: String,
                     filterSpec: FieldSpec, filterValues: Seq[String],
                     k: Int): DataFrame = {
-    val tw = Analyzer.analyzeChain(matchSpec.chain, matchText)
-      .groupBy(identity).view.mapValues(_.length).toMap
+    val tw = termWeights(matchSpec, matchText)
     val fvals = filterValues.flatMap(v =>
       Analyzer.analyzeChain(filterSpec.chain, v)).toSeq
     val mh = multiHandleFor(spark, indexDir,
@@ -312,8 +318,7 @@ object FieldedIndex {
                          filterSpec: FieldSpec, filterValues: Seq[String],
                          k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tw = Analyzer.analyzeChain(matchSpec.chain, matchText)
-      .groupBy(identity).view.mapValues(_.length).toMap
+    val tw = termWeights(matchSpec, matchText)
     val scores = Searcher
       .contribs(handleFor(spark, indexDir, matchSpec.field), tw)
       .groupBy(col("doc_id"))
@@ -348,8 +353,7 @@ object FieldedIndex {
                  legs: Seq[(FieldSpec, String)], k: Int,
                  minShouldMatch: Int = 1): DataFrame = {
     val mlegs = legs.map { case (spec, text) =>
-      Searcher.MultiLeg(spec.field, Analyzer.analyzeChain(spec.chain, text)
-        .groupBy(identity).view.mapValues(_.length).toMap)
+      Searcher.MultiLeg(spec.field, termWeights(spec, text))
     }
     val mh = multiHandleFor(spark, indexDir, legs.map(_._1.field))
     Searcher.multiSearch(mh, mlegs, k, minShouldMatch)
@@ -364,9 +368,8 @@ object FieldedIndex {
                       legs: Seq[(FieldSpec, String)], k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val contribs = legs.map { case (spec, text) =>
-      val tw = Analyzer.analyzeChain(spec.chain, text)
-        .groupBy(identity).view.mapValues(_.length).toMap
-      Searcher.contribs(handleFor(spark, indexDir, spec.field), tw)
+      Searcher.contribs(handleFor(spark, indexDir, spec.field),
+        termWeights(spec, text))
     }
     contribs.reduce(_.unionByName(_))
       .groupBy(col("doc_id"))

@@ -39,6 +39,15 @@ object IndexTables {
   def segPath(io: TableIO, batch: Long, table: String): String =
     s"${io.tablePath(SegmentRoot)}/batch=$batch/$table"
 
+  /** max(doc_id) over a relation with the empty-relation guard: the
+    * aggregate is null on zero rows (a legal empty corpus/batch) and a
+    * bare getLong would NPE. Every max_doc_id writer/reader goes through
+    * here so the guard cannot be forgotten at a new call site. */
+  def maxDocId(df: DataFrame, default: Long): Long = {
+    val mx = df.agg(max(col("doc_id"))).head()
+    if (mx.isNullAt(0)) default else mx.getLong(0)
+  }
+
   /** Highest epoch folded into the base by a compaction (−1 if never). */
   def lastCompactEpoch(io: TableIO): Long =
     io.committedSteps().collect {

@@ -145,12 +145,21 @@ object PostingsBuilder {
       reporter.foreach(spark.sparkContext.addSparkListener)
       try {
         // setJobGroup is thread-local, so each concurrent sub-build tags
-        // only its own jobs (stepsPar bodies run on their own threads)
-        spark.sparkContext.setJobGroup(gid, "graft doc_terms stage",
-          interruptOnCancel = false)
+        // only its own jobs (stepsPar bodies run on their own threads).
+        // The caller's own group (e.g. a host app's cancellation group) is
+        // saved and restored, not clobbered.
+        val sc = spark.sparkContext
+        val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+        val prevDesc = sc.getLocalProperty("spark.job.description")
+        val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+        sc.setJobGroup(gid, "graft doc_terms stage", interruptOnCancel = false)
         try docTermFn(docs)
           .write.mode("overwrite").parquet(io.tablePath("doc_terms"))
-        finally spark.sparkContext.clearJobGroup()
+        finally {
+          sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+          sc.setLocalProperty("spark.job.description", prevDesc)
+          sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+        }
         reporter.foreach { r =>
           org.apache.spark.sql.graftbridge.Bridge
             .drainListenerBus(spark.sparkContext)
@@ -174,9 +183,8 @@ object PostingsBuilder {
       // corpus). Computed from doc_terms (which has EVERY doc, including
       // zero-token ones that never reach postings/lineage); the agg is one
       // column-pruned scan folded into the build.
-      val mx = docTerms.agg(max(col("doc_id"))).head()
-      val maxId = if (mx.isNullAt(0)) -1L else mx.getLong(0)
-      io.commitStep("stats", Map("max_doc_id" -> maxId.toString))
+      io.commitStep("stats", Map("max_doc_id" ->
+        IndexTables.maxDocId(docTerms, default = -1L).toString))
     }
     // na.fill: an EMPTY corpus (legal for a fielded build whose field has
     // no values anywhere) aggregates avg/sum to null — decode as zeros

@@ -188,16 +188,9 @@ object Searcher {
         .iterator.map { case (d, s) => (0, d, s) }
     }
 
-    val ranked = merged.getOrElse(0, Array.empty[(Long, Long)])
-    val rows = new java.util.ArrayList[Row]()
-    ranked.zipWithIndex.foreach { case ((x6, d), i) =>
-      rows.add(Row((i + 1).toLong, d, x6))
-    }
-    val schema = StructType(Seq(
-      StructField("rnk", LongType, nullable = false),
-      StructField("doc_id", LongType, nullable = false),
-      StructField("score_x6", LongType, nullable = false)))
-    mh.spark.createDataFrame(rows, schema).orderBy("rnk")
+    // single bool query ⇒ one qid (0); the shared frame builder keeps the
+    // deterministic-ordering contract in ONE place
+    topKFrame(mh.spark, merged).drop("qid")
   }
 
   private val BlockCols = Seq("doc_shard", "term", "block_id", "n",
@@ -269,7 +262,7 @@ object Searcher {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None
     val totalBytes = fs.getContentSummary(dir).getLength
-    // Split sizing must go through the SESSION conf: Spark 4's
+    // Split sizing must go through a SESSION conf: Spark 4's
     // FilePartition.maxSplitBytes reads spark.sql.files.* from the session
     // only — the equivalent-looking datasource read options are silently
     // ignored (verified in the shipped spark-sql jar), and riding on
@@ -279,33 +272,29 @@ object Searcher {
     // cut a file (shards would split with it), so the split size is the
     // pack target total/width — any single file is far smaller than that by
     // construction (files ≈ total/invertParts, invertParts ≫ width); the
-    // guard below catches pathological layouts. The conf flip is scoped +
-    // locked: partition planning happens at `.rdd` below, and concurrent
-    // opens on one session would otherwise race the restore.
+    // guard below catches pathological layouts. The flip happens on a
+    // CLONED session (own SQLConf, shared SparkContext/cache), so
+    // concurrent jobs planning reads on the caller's session are never
+    // planned with the open's split sizes — no lock, no blast radius.
     val packBytes = math.max(totalBytes / math.max(width, 1) + (1L << 20),
       1L << 22)
-    val shards = splitConfLock.synchronized {
-      val conf = spark.conf
-      val prevMax = conf.get("spark.sql.files.maxPartitionBytes")
-      val prevOpen = conf.get("spark.sql.files.openCostInBytes")
-      conf.set("spark.sql.files.maxPartitionBytes", packBytes.toString)
-      conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
-      try {
-        val blocks = spark.read
-          .parquet(io.tablePath("postings"))
-          .where(col("group") < graft.index.IndexTables.GroupBase)
-          .select(BlockCols.head, BlockCols.tail: _*)
-          .as[PostingBlock]
-        // `.rdd` materializes the physical plan — file partitions (and so
-        // the pack layout) are fixed HERE, under the scoped conf
-        blocks.rdd
-          .mapPartitions(buildShardIndexes, preservesPartitioning = true)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      } finally {
-        conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-        conf.set("spark.sql.files.openCostInBytes", prevOpen)
-      }
-    }
+    val openSession = spark.newSession()
+    openSession.conf.set("spark.sql.files.maxPartitionBytes",
+      packBytes.toString)
+    openSession.conf.set("spark.sql.files.openCostInBytes",
+      (1L << 20).toString)
+    val blocks = openSession.read
+      .parquet(io.tablePath("postings"))
+      .where(col("group") < graft.index.IndexTables.GroupBase)
+      .select(BlockCols.head, BlockCols.tail: _*)
+      .as[PostingBlock]
+    // `.rdd` materializes the physical plan — file partitions (and so the
+    // pack layout) are fixed HERE, under the clone's conf; the resulting
+    // RDD belongs to the shared SparkContext, so caching and queries on
+    // the caller's session are unaffected
+    val shards = blocks.rdd
+      .mapPartitions(buildShardIndexes, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // guard: every shard must be whole within one partition (format
     // property; violation ⇒ a doc's postings would split across serving
     // indexes and scores would be partial). Shard-count-sized, tiny.
@@ -323,9 +312,6 @@ object Searcher {
       shards.unpersist(blocking = false); None
     }
   }
-
-  /** Serializes the session-conf flip inside [[openUnshuffled]]. */
-  private val splitConfLock = new Object
 
   /** Stored block-max bounds are avgdl-tight unless streamed appends shifted
     * avgdl after encode; a compaction re-encodes everything at the current

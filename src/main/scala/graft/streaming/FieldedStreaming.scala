@@ -49,8 +49,10 @@ object FieldedStreaming {
     val io = new TableIO(indexDir)
     val step = s"stream_g$batchId"
     if (io.committedSteps().contains(step)) return // replay past commit
-    require(io.isComplete(FieldedIndex.FinalStep),
-      s"fielded ingest requires a complete fielded index at $indexDir")
+    // format-aware (see IncrementalIndexer): a pre-positions base must
+    // rebuild rather than accept mixed-format segments
+    require(FieldedIndex.isComplete(indexDir),
+      s"fielded ingest requires a complete current-format fielded index at $indexDir")
     val present = fields.filter(f => batch.columns.contains(f.field))
 
     // next free doc id from the manifest property (one tiny metadata read;
@@ -60,10 +62,9 @@ object FieldedStreaming {
     // back to the doc_map scan once; the null guard covers a
     // complete-but-EMPTY base (legal build output), whose max() aggregate
     // is null.
-    val nextId = io.prop("max_doc_id").map(_.toLong + 1).getOrElse {
-      val mx = FieldedIndex.docMap(spark, indexDir).agg(max("doc_id")).head()
-      if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1
-    }
+    val nextId = io.prop("max_doc_id").map(_.toLong + 1).getOrElse(
+      IndexTables.maxDocId(FieldedIndex.docMap(spark, indexDir),
+        default = -1L) + 1)
 
     // stage (idempotent overwrite), resolve ids from the persisted _mid,
     // within-batch LWW by key on arrival order — same semantics as build
@@ -97,9 +98,8 @@ object FieldedStreaming {
     // searchable at the next compaction (the rebuild creates its
     // sub-index from the folded corpus) — static-mapping evolution via
     // compaction, never a mid-stream half-index
-    val appendable = present.filter(f => new TableIO(
-      FieldedIndex.fieldDir(indexDir, f.field))
-      .isComplete(PostingsBuilder.FinalStep))
+    val appendable = present.filter(f =>
+      PostingsBuilder.isComplete(FieldedIndex.fieldDir(indexDir, f.field)))
     val failures =
       new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
     val threads = appendable.map { f =>
@@ -123,8 +123,7 @@ object FieldedStreaming {
     // new top of the id space (batch-sized agg on the cached relation; an
     // empty batch keeps the old max) — committed ATOMICALLY with the batch
     // step below, so replay before the commit still reads the old value
-    val mxRow = withIds.agg(max("doc_id")).head()
-    val newMax = if (mxRow.isNullAt(0)) nextId - 1 else mxRow.getLong(0)
+    val newMax = IndexTables.maxDocId(withIds, default = nextId - 1)
     withIds.unpersist()
     if (!failures.isEmpty) {
       val k = failures.keys().nextElement()

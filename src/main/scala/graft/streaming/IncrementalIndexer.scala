@@ -42,18 +42,19 @@ object IncrementalIndexer {
     val io = new TableIO(indexDir)
     val step = s"stream_g$batchId"
     if (io.committedSteps().contains(step)) return // replay past commit → no-op
-    require(io.isComplete(PostingsBuilder.FinalStep),
-      s"incremental ingest requires a complete base index at $indexDir")
+    // format-aware completeness: appending a current-format segment to an
+    // older-format base would leave a mixed-schema postings table no
+    // reader can open — an old base must rebuild, not accept segments
+    require(PostingsBuilder.isComplete(indexDir),
+      s"incremental ingest requires a complete current-format base index at $indexDir")
 
     // next free doc id from the manifest property (one tiny metadata read,
     // not an O(corpus) doc_lens scan per micro-batch; advanced atomically
     // with this batch's commit below so replay recomputes the same ids).
     // Fallback scan for pre-property indexes; null guard for a
     // complete-but-empty base whose max() aggregate is null.
-    val nextId = io.prop("max_doc_id").map(_.toLong + 1).getOrElse {
-      val mx = IndexTables.docLens(spark, io).agg(max("doc_id")).head()
-      if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1
-    }
+    val nextId = io.prop("max_doc_id").map(_.toLong + 1).getOrElse(
+      IndexTables.maxDocId(IndexTables.docLens(spark, io), default = -1L) + 1)
 
     // extract + within-batch LWW dedup (the same row_number-window dedup as
     // the batch build), then dense ids continuing the id space — DocIds
@@ -76,8 +77,7 @@ object IncrementalIndexer {
       docMapKeys = Some(withIds.select(col("doc_id"), col("url"))))
     // new top of the id space from the cached batch-sized relation (empty
     // batch keeps the old max), committed atomically with the batch step
-    val mxRow = docTerms.agg(max("doc_id")).head()
-    val newMax = if (mxRow.isNullAt(0)) nextId - 1 else mxRow.getLong(0)
+    val newMax = IndexTables.maxDocId(docTerms, default = nextId - 1)
     docTerms.unpersist()
     // the single visibility point (atomic RMW of step + max_doc_id)
     io.commitStep(step, Map("max_doc_id" -> newMax.toString))
