@@ -73,6 +73,17 @@ object MultiMatchProbe {
       System.err.println(
         f"[ab r$r] multiMatch naive=$a%.3fs kernel=$b%.3fs | filtered naive=$c%.3fs kernel=$d%.3fs")
     }
+    // phrase latency at the same scale (positions tier; title field):
+    // a mass-tie phrase and a discriminative one
+    val title = spec("title")
+    val phrases = Seq(1 -> "second title", 2 -> "title 123456")
+    FieldedIndex.phraseMatch(spark, dir, title, phrases, 10).count() // warm
+    var ph = Double.MaxValue
+    for (_ <- 1 to 3)
+      ph = math.min(ph,
+        time(FieldedIndex.phraseMatch(spark, dir, title, phrases, 10).count()))
+    System.err.println(f"[ab phrase] docs=$n 2-phrase batch min=$ph%.3fs")
+
     // sanity: identical results
     val kr = FieldedIndex.multiMatch(spark, dir, legs, 10).collect().toSeq
     val nr = FieldedIndex.multiMatchNaive(spark, dir, legs, 10).collect().toSeq

@@ -182,6 +182,30 @@ class FieldedSpec extends AnyFunSuite {
     assert(h("d4") !== h("d2")) // different dl AND different pf
   }
 
+  test("phrase against a positionless index fails loudly, not wrongly") {
+    // the webtext-style body index stores index_options docs/freqs (no
+    // positions) — a phrase query must surface the configuration error
+    // instead of silently matching nothing or everything
+    import spark.implicits._
+    val dir = s"${sys.props("user.dir")}/target/test-idx/phrase-nopos"
+    new TableIO(dir).deleteAll()
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "beta alpha"))
+      .toDF("doc_id", "text")
+    graft.index.PostingsBuilder.build(spark, docs, dir,
+      graft.index.PostingsBuilder.Config(shardSize = 16))
+    val h = Searcher.open(spark, dir)
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        Searcher.phraseSearch(h, Seq(1 -> "alpha beta"), 10,
+          graft.analysis.Analyzer.analyzeChainPos(
+            graft.analysis.Analyzer.TextStop, _)).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("stores no positions")))
+    } finally h.close()
+  }
+
   test("kernel bool paths are rank-identical to their naive decode twins") {
     val legs = FieldedQueries.MultiLegs.map { case (f, t) => (spec(f), t) }
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
