@@ -40,4 +40,15 @@ object Bridge {
     * namespace precisely for such seams). */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Register a SQL function on an ALREADY-RUNNING session (sessionState
+    * is private[sql]) — the runtime twin of
+    * `SparkSessionExtensions.injectFunction`, which only applies at
+    * session build time. Both routes register the same builders
+    * ([[graft.spark.GraftExtensions]]). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
 }
