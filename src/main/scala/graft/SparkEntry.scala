@@ -55,6 +55,7 @@ object SparkEntry {
     "q_bm25_title" -> FieldedQueries.bm25Title _,
     "q_field_multi" -> FieldedQueries.fieldMulti _,
     "q_field_msm" -> FieldedQueries.fieldMsm _,
+    "q_field_dismax" -> FieldedQueries.fieldDisMax _,
     "q_field_phrase" -> FieldedQueries.fieldPhrase _,
     "q_field_filtered" -> FieldedQueries.fieldFiltered _,
   )
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_bm25_title" -> FieldedQueries.bm25TitleSql,
     "q_field_multi" -> FieldedQueries.fieldMultiSql,
     "q_field_msm" -> FieldedQueries.fieldMsmSql,
+    "q_field_dismax" -> FieldedQueries.fieldDisMaxSql,
     "q_field_phrase" -> FieldedQueries.fieldPhraseSql,
     "q_field_filtered" -> FieldedQueries.fieldFilteredSql,
   )

@@ -154,6 +154,17 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** ES dis_max / multi_match best_fields over the same citation legs:
+    * rank by max(leg) + tie_breaker·Σ(others). */
+  def fieldDisMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val legs = MultiLegs.map { case (f, text) => (spec(f), text) }
+    FieldedIndex.disMax(spark, dir, legs, K, DisMaxTieBreaker)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   /** ES match_phrase on the title field: positions-exact adjacency with
     * multi-value gap semantics, scored by phrase frequency. */
   def fieldPhrase(spark: SparkSession, sfDir: String): DataFrame = {
@@ -223,7 +234,15 @@ object FieldedQueries {
     * matched legs). */
   def fieldMsmSql: String = multiSql(MsmLegs, 2)
 
-  private def multiSql(legsIn: Seq[(String, String)], minLegs: Int): String = {
+  /** dis_max replay: same legs, combined max(leg) + tb·(Σ − max) — the
+    * parenthesization mirrors the engine's fold exactly. */
+  def fieldDisMaxSql: String = multiSql(MultiLegs, 1,
+    s"max(c) + $DisMaxTieBreaker * (sum(c) - max(c))")
+
+  val DisMaxTieBreaker = 0.3
+
+  private def multiSql(legsIn: Seq[(String, String)], minLegs: Int,
+                       scoreExpr: String = "sum(c)"): String = {
     val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
     def weights(chain: String, text: String): Seq[(String, Int)] = {
       import scala.jdk.CollectionConverters._
@@ -274,7 +293,7 @@ object FieldedQueries {
        |allc AS (SELECT doi, c FROM b_leg UNION ALL
        |         SELECT doi, c FROM y_leg UNION ALL
        |         SELECT doi, c FROM v_leg),
-       |scored AS (SELECT doi, sum(c) AS score FROM allc GROUP BY doi${
+       |scored AS (SELECT doi, $scoreExpr AS score FROM allc GROUP BY doi${
       if (minLegs > 1) s" HAVING count(*) >= $minLegs" else ""}),
        |ranked AS (SELECT doi,
        |    CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,

@@ -359,6 +359,49 @@ object FieldedIndex {
     Searcher.multiSearch(mh, mlegs, k, minShouldMatch)
   }
 
+  /** ES dis_max / multi_match best_fields — the OTHER bool-family shape
+    * citation clients post: per-leg BM25 under each field's own stats,
+    * ranked by max(leg) + tie_breaker · Σ(other legs) (tie_breaker 0 = pure
+    * best_fields, 1 ≡ bool/should). Served by the same combined-bound WAND
+    * walk — for tie_breaker ≤ 1 the combined score is ≤ the leg sum, so the
+    * sum-based θ bounds stay valid. Returns (rnk, doc_id, score_x6). */
+  def disMax(spark: SparkSession, indexDir: String,
+             legs: Seq[(FieldSpec, String)], k: Int,
+             tieBreaker: Double): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      "dis_max tie_breaker must be in [0, 1]")
+    val mlegs = legs.map { case (spec, text) =>
+      Searcher.MultiLeg(spec.field, termWeights(spec, text))
+    }
+    val mh = multiHandleFor(spark, indexDir, legs.map(_._1.field))
+    Searcher.multiSearch(mh, mlegs, k, disMaxTieBreaker = tieBreaker)
+  }
+
+  /** The declarative twin of [[disMax]] (full per-leg decode + Catalyst
+    * max/sum) — rank-identity reference for the kernel path. */
+  def disMaxNaive(spark: SparkSession, indexDir: String,
+                  legs: Seq[(FieldSpec, String)], k: Int,
+                  tieBreaker: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perLeg = legs.map { case (spec, text) =>
+      Searcher.contribs(handleFor(spark, indexDir, spec.field),
+        termWeights(spec, text))
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("leg_score"))
+    }
+    perLeg.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg((max(col("leg_score")) +
+        lit(tieBreaker) * (sum(col("leg_score")) - max(col("leg_score"))))
+        .as("score"))
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x6").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** The declarative twin of [[multiMatch]] (per-leg full score lists +
     * Catalyst hash-agg sum) — rank-identity reference for the kernel path;
     * exact but unpruned (a sum-ranked doc can win from middling per-field

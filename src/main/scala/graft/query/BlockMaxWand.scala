@@ -191,19 +191,37 @@ object BlockMaxWand {
     */
   def scoreCursors(cursors: Seq[Cursor], filters: Seq[IndexedSeq[PostingBlock]],
                    k: Int, minShouldMatch: Int = 1,
-                   shared: AtomicLong = null): Array[(Long, Double)] = {
+                   shared: AtomicLong = null,
+                   disMaxTieBreaker: Double = -1.0): Array[(Long, Double)] = {
     require(cursors.forall(c => c.leg >= 0 && c.leg < 64),
       "leg ids must fit the minimum_should_match bitmask (0..63)")
+    require(disMaxTieBreaker <= 1.0,
+      "dis_max tie_breaker must be ≤ 1 (θ pruning bounds by the leg SUM)")
     val iters = cursors.map(c =>
       new TermIter(c.blocks, c.idf, c.weight, c.avgdl, c.tightBounds, c.leg))
       .toArray
     val fits = filters.map(b => new TermIter(b, 0.0, 0, 1.0, true)).toArray
-    run(iters, fits, k, minShouldMatch, shared)
+    run(iters, fits, k, minShouldMatch, shared, disMaxTieBreaker)
   }
 
   private def run(iters: Array[TermIter], filters: Array[TermIter], k: Int,
-                  msm: Int, shared: AtomicLong): Array[(Long, Double)] = {
+                  msm: Int, shared: AtomicLong,
+                  disMaxTb: Double = -1.0): Array[(Long, Double)] = {
     if (iters.isEmpty) return Array.empty
+    // dis_max (ES best_fields): score = max(leg) + tb·Σ(others). The pivot
+    // walk and θ pruning are UNCHANGED: every prefix/block bound sums
+    // cursor UBs, and for tb ≤ 1 the dis_max combination is ≤ the sum, so
+    // the sum-based bounds stay valid upper bounds of the combined score.
+    val disMax = disMaxTb >= 0.0
+    var maxLeg = 0
+    if (disMax) {
+      var i = 0
+      while (i < iters.length) {
+        if (iters(i).leg > maxLeg) maxLeg = iters(i).leg
+        i += 1
+      }
+    }
+    val legSums = if (disMax) new Array[Double](maxLeg + 1) else null
 
     // heap of (score_x6, doc_id, exactScore); head = weakest under the final
     // ordering (lowest x6; ties: highest doc_id)
@@ -330,11 +348,30 @@ object BlockMaxWand {
           // kernel's FP sum is deterministic across runs.
           var s = 0.0
           var legMask = 0L
+          if (disMax) java.util.Arrays.fill(legSums, 0.0)
           var m = 0
           while (m < n) {
             val it = iters(sorted(m))
-            if (it.curDoc == pivot) { s += it.score; legMask |= 1L << it.leg; it.next() }
+            if (it.curDoc == pivot) {
+              val c = it.score
+              if (disMax) legSums(it.leg) += c else s += c
+              legMask |= 1L << it.leg
+              it.next()
+            }
             m += 1
+          }
+          if (disMax) {
+            // max + tb·(total − max), folded in leg order (deterministic)
+            var mx = 0.0
+            var tot = 0.0
+            var li = 0
+            while (li < legSums.length) {
+              val v = legSums(li)
+              tot += v
+              if (v > mx) mx = v
+              li += 1
+            }
+            s = mx + disMaxTb * (tot - mx)
           }
           if (java.lang.Long.bitCount(legMask) >= msm) offer(pivot, s)
         }

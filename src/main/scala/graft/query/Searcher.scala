@@ -145,7 +145,8 @@ object Searcher {
     * deterministic ordering. */
   def multiSearch(mh: MultiHandle, legs: Seq[MultiLeg], k: Int,
                   minShouldMatch: Int = 1,
-                  filter: Option[(String, Seq[String])] = None): DataFrame = {
+                  filter: Option[(String, Seq[String])] = None,
+                  disMaxTieBreaker: Double = -1.0): DataFrame = {
     val filterKeys: Array[String] = filter.toArray.flatMap { case (f, vs) =>
       vs.map(v => f + FieldSep + v)
     }
@@ -166,6 +167,7 @@ object Searcher {
     val hasFilter = filter.isDefined
     val kk = k
     val msm = minShouldMatch
+    val tb = disMaxTieBreaker
     val shareTheta = sys.env.getOrElse("GRAFT_SHARED_THETA", "1") != "0"
     val runId = java.util.UUID.randomUUID().toString
 
@@ -184,7 +186,8 @@ object Searcher {
       if (cursors.isEmpty || (hasFilter && fblocks.isEmpty)) Iterator.empty
       else BlockMaxWand.scoreCursors(ArraySeq.unsafeWrapArray(cursors),
         ArraySeq.unsafeWrapArray(fblocks), kk, msm,
-        if (shareTheta) BlockMaxWand.ThetaBoards.boardFor(runId) else null)
+        if (shareTheta) BlockMaxWand.ThetaBoards.boardFor(runId) else null,
+        tb)
         .iterator.map { case (d, s) => (0, d, s) }
     }
 

@@ -219,6 +219,9 @@ class FieldedSpec extends AnyFunSuite {
       rows(FieldedIndex.filteredMatchNaive(spark, idx,
         spec("title"), FieldedQueries.FilteredMatchText,
         spec("year"), Seq(FieldedQueries.FilteredYear), 10)))
+    for (tb <- Seq(0.0, 0.3, 1.0))
+      assert(rows(FieldedIndex.disMax(spark, idx, legs, 10, tb)) ===
+        rows(FieldedIndex.disMaxNaive(spark, idx, legs, 10, tb)), s"tb=$tb")
   }
 
   test("minimum_should_match=2 excludes single-leg matches however well they score") {

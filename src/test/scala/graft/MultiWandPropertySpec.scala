@@ -97,7 +97,7 @@ class MultiWandPropertySpec extends AnyFunSuite {
 
   private def brute(corpus: Corpus, legs: List[(String, List[String])],
       filter: Option[(String, List[String])], msm: Int, k: Int,
-      stats: Map[String, FStats]): Seq[(Long, Long)] = {
+      stats: Map[String, FStats], disMaxTb: Double): Seq[(Long, Long)] = {
     corpus.zipWithIndex.flatMap { case (doc, id) =>
       val passesFilter = filter.forall { case (ff, vs) =>
         doc.get(ff).exists(tm => vs.exists(tm.contains))
@@ -116,7 +116,12 @@ class MultiWandPropertySpec extends AnyFunSuite {
       val matched = legs.zip(legScores).count { case ((f, terms), _) =>
         doc.get(f).exists(tm => terms.exists(t => tm.contains(t) && stats(f).df(t) > 0))
       }
-      val s = legScores.sum
+      val s =
+        if (disMaxTb < 0) legScores.sum
+        else {
+          val mx = legScores.max
+          mx + disMaxTb * (legScores.sum - mx)
+        }
       if (passesFilter && matched >= msm && matched >= 1 && s > 0.0)
         Some((id.toLong, math.round(s * 1e6)))
       else None
@@ -126,7 +131,7 @@ class MultiWandPropertySpec extends AnyFunSuite {
   private def kernel(corpus: Corpus, legs: List[(String, List[String])],
       filter: Option[(String, List[String])], msm: Int, k: Int,
       shardSize: Int, blockSize: Int, stats: Map[String, FStats],
-      shared: Boolean): Seq[(Long, Long)] = {
+      shared: Boolean, disMaxTb: Double): Seq[(Long, Long)] = {
     // merged per-shard block maps across all fields (the multi-field open)
     val perField = fields.map(f =>
       encodeField(corpus, f, stats(f), shardSize, blockSize))
@@ -154,21 +159,24 @@ class MultiWandPropertySpec extends AnyFunSuite {
       }
       val fblocks = filterKeys.flatMap(blocks.get)
       if (cursors.isEmpty || (filter.isDefined && fblocks.isEmpty)) Nil
-      else BlockMaxWand.scoreCursors(cursors, fblocks, k, msm, board)
+      else BlockMaxWand.scoreCursors(cursors, fblocks, k, msm, board, disMaxTb)
         .map { case (d, sc) => (d, math.round(sc * 1e6)) }.toSeq
     }.sortBy { case (id, x6) => (-x6, id) }.take(k)
   }
 
   test("multi-leg WAND == brute-force summed BM25 (filters, msm, boards, geometries)") {
+    // disMaxTb −1 = bool/should sum; 0/0.3/1 = dis_max tie_breakers
     val p = Prop.forAll(corpusGen, legsGen, filterGen, Gen.oneOf(1, 2),
-      Gen.oneOf(1, 3, 10), Gen.oneOf(3, 8, 64), Gen.oneOf(2, 4)) {
-      (corpus, legs, filter, msm, k, shardSize, blockSize) =>
+      Gen.oneOf(1, 3, 10), Gen.oneOf(3, 8, 64),
+      Gen.zip(Gen.oneOf(2, 4), Gen.oneOf(-1.0, 0.0, 0.3, 1.0))) {
+      (corpus, legs, filter, msm, k, shardSize, bsTb) =>
+        val (blockSize, tb) = bsTb
         val stats = fields.map(f => f -> fieldStats(corpus, f)).toMap
-        val expected = brute(corpus, legs, filter, msm, k, stats)
+        val expected = brute(corpus, legs, filter, msm, k, stats, tb)
         val plain = kernel(corpus, legs, filter, msm, k, shardSize,
-          blockSize, stats, shared = false)
+          blockSize, stats, shared = false, tb)
         val withBoard = kernel(corpus, legs, filter, msm, k, shardSize,
-          blockSize, stats, shared = true)
+          blockSize, stats, shared = true, tb)
         plain == expected && withBoard == expected
     }
     check("multi-wand-exactness", p)
