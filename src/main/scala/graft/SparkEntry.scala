@@ -37,6 +37,7 @@ object SparkEntry {
     "q_dedup_minhash" -> PipelineQueries.dedupMinhash _,
     "q_dedup_simhash" -> PipelineQueries.dedupSimhash _,
     "q_dedup_simhash_pairs" -> PipelineQueries.dedupSimhashPairs _,
+    "q_dedup_cluster" -> PipelineQueries.dedupCluster _,
     "q_ann_topk" -> PipelineQueries.annTopK _,
     "q_ann_pairs" -> PipelineQueries.annPairs _,
     "q_ann_lsh" -> PipelineQueries.annLsh _,
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_dedup_minhash" -> PipelineQueries.dedupMinhashSql,
     "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "q_dedup_simhash_pairs" -> PipelineQueries.dedupSimhashPairsSql,
+    "q_dedup_cluster" -> PipelineQueries.dedupClusterSql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_pairs" -> PipelineQueries.annPairsSql,
     "q_ann_lsh" -> PipelineQueries.annLshSql,

@@ -182,6 +182,106 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Duplicate-CLUSTER extraction on top of the pair generators: connected
+    * components of the undirected near-dup graph, labeled by the minimum
+    * member doc_id — the operation a dedup pipeline actually keys its
+    * keep-one-representative step on (cluster_id == the representative).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING (the
+    * hash-to-min family, Rastogi et al. 2013 — public): each round (a)
+    * relaxes every node's label against its neighbors' labels (one shuffle
+    * join against the symmetrized edge list) and (b) follows each label to
+    * ITS current label (one self-join), which doubles the effective
+    * propagation distance — convergence in O(log diameter) rounds instead
+    * of O(diameter). That matters even on near-dup graphs: banded-LSH
+    * pairs CHAIN gradually-mutating copies (a→a′→a″…), so components can
+    * be long paths, not cliques (a pure relax loop measured minutes on the
+    * sf0.01 fixture's drift chains; relax+jump converges in a handful of
+    * rounds). No driver-side graph state — only the per-round changed
+    * counter; labels only ever decrease, so termination is monotone.
+    *
+    * Returns (doc_id, cluster_id = min doc_id in the component) for every
+    * doc incident to an edge, ordered by doc_id. */
+  /** Edge count at or below which components are solved by union-find on
+    * the driver: near-dup pair sets are SPARSE relative to the corpus
+    * (that is the point of near-dup detection), so even a 10^12-doc run
+    * usually yields a driver-sized edge list — and the distributed loop's
+    * per-round scheduling overhead (≈5 s/round on tiny graphs) would
+    * swamp it. Above the threshold the O(log diameter) relax+jump loop
+    * runs with no driver-side graph state. Test seam (spec forces the
+    * distributed path by lowering it). */
+  @volatile private[graft] var ccDriverMaxEdges = 4000000L
+
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    val nEdges = sym.count()
+
+    if (nEdges <= ccDriverMaxEdges) {
+      // driver union-find with path compression; cluster id = min member
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+        var y = x0 // path compression
+        while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+        x
+      }
+      sym.select(col("src"), col("dst")).collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) parent.put(math.max(a, b), math.min(a, b))
+      }
+      // unions always link larger root → smaller, so every root IS the
+      // component's min member: cluster_id = find(id)
+      val ids = new java.util.TreeSet[java.lang.Long]()
+      sym.select(col("src")).distinct().collect()
+        .foreach(r => ids.add(r.getLong(0)))
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
+      ids.forEach(id => out += ((id.longValue(), find(id))))
+      sym.unpersist()
+      return out.toSeq.toDF("doc_id", "cluster_id").orderBy("doc_id")
+    }
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    labels.count()
+    var changed = 1L
+    while (changed > 0) {
+      // (a) relax: lbl(id) ← min(lbl(id), min over neighbors' lbl)
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dlbl")).as("nmin"))
+      val relaxed = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // (b) pointer jump: lbl(id) ← lbl(lbl(id)) — labels are node ids, so
+      // the label's own row carries a (≤) label one hop closer to the root
+      val next = relaxed.as("a")
+        .join(relaxed.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("b"),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .cache()
+      // ONE action per round: materializes next's cache AND counts the
+      // changed labels (a separate count + join-count pair doubled the
+      // per-round job overhead, which dominates at small graph sizes)
+      val r = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .agg(sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)))
+        .head()
+      changed = if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty graph
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** 32-bit SimHash fingerprint per doc over unigram term frequencies:
     * bit_j = [ Σ_t tf(t) · (2·((a_j·tid + b_j) mod p mod 2) − 1) > 0 ] with
     * tid = polyHash(term). Each token occurrence contributes ±1 per hash, so

@@ -79,6 +79,28 @@ object PipelineQueries {
        |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= ${Dedup.SimHamMax}
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Duplicate clusters over the SimHash pair graph: (doc_id, cluster_id =
+    * min member) for every doc in a near-dup pair — the keep-one-
+    * representative key of a dedup pipeline. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.simHashPairs(docs(spark, dir)))
+
+  /** Recursive-CTE replay: transitive closure of min labels over the same
+    * symmetrized pair graph (UNION dedups, so the recursion reaches a
+    * fixed point), then min per node. */
+  lazy val dedupClusterSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($dedupSimhashPairsSql)),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val CleanMinTokens = 20
   val CleanMinUniqX6 = 400000L
 

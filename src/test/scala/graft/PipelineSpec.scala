@@ -143,4 +143,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
     }
   }
+
+  test("connected components: chains merge, clusters label by min member (both paths)") {
+    import spark.implicits._
+    // 1-2-3-7 is a 3-hop chain; 10-11 an independent pair; plus a longer
+    // drift chain 20..29 (exercises >1 relax+jump round on the
+    // distributed path)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)) ++
+      (20L until 29L).map(i => (i + 1, i))).toDF("a_id", "b_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L) ++ (20L to 29L).map(_ -> 20L).toMap
+    // driver union-find path (default threshold)
+    val ccDriver = graft.dedup.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDriver === expected)
+    // distributed relax+jump path (the 100-TB shape), forced via the seam
+    val prev = graft.dedup.Dedup.ccDriverMaxEdges
+    try {
+      graft.dedup.Dedup.ccDriverMaxEdges = 0L
+      val ccDist = graft.dedup.Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ccDist === expected)
+    } finally graft.dedup.Dedup.ccDriverMaxEdges = prev
+  }
 }
