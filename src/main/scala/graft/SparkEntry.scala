@@ -38,6 +38,8 @@ object SparkEntry {
     "q_dedup_simhash" -> PipelineQueries.dedupSimhash _,
     "q_dedup_simhash_pairs" -> PipelineQueries.dedupSimhashPairs _,
     "q_dedup_cluster" -> PipelineQueries.dedupCluster _,
+    "q_sample_stratified" -> PipelineQueries.sampleStratified _,
+    "q_pack_budget" -> PipelineQueries.packBudget _,
     "q_ann_topk" -> PipelineQueries.annTopK _,
     "q_ann_pairs" -> PipelineQueries.annPairs _,
     "q_ann_lsh" -> PipelineQueries.annLsh _,
@@ -57,6 +59,7 @@ object SparkEntry {
     "q_field_multi" -> FieldedQueries.fieldMulti _,
     "q_field_msm" -> FieldedQueries.fieldMsm _,
     "q_field_dismax" -> FieldedQueries.fieldDisMax _,
+    "q_field_match_and" -> FieldedQueries.fieldMatchAnd _,
     "q_field_phrase" -> FieldedQueries.fieldPhrase _,
     "q_field_filtered" -> FieldedQueries.fieldFiltered _,
   )
@@ -85,6 +88,8 @@ object SparkEntry {
     "q_dedup_simhash" -> PipelineQueries.dedupSimhashSql,
     "q_dedup_simhash_pairs" -> PipelineQueries.dedupSimhashPairsSql,
     "q_dedup_cluster" -> PipelineQueries.dedupClusterSql,
+    "q_sample_stratified" -> PipelineQueries.sampleStratifiedSql,
+    "q_pack_budget" -> PipelineQueries.packBudgetSql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_pairs" -> PipelineQueries.annPairsSql,
     "q_ann_lsh" -> PipelineQueries.annLshSql,
@@ -104,6 +109,7 @@ object SparkEntry {
     "q_field_multi" -> FieldedQueries.fieldMultiSql,
     "q_field_msm" -> FieldedQueries.fieldMsmSql,
     "q_field_dismax" -> FieldedQueries.fieldDisMaxSql,
+    "q_field_match_and" -> FieldedQueries.fieldMatchAndSql,
     "q_field_phrase" -> FieldedQueries.fieldPhraseSql,
     "q_field_filtered" -> FieldedQueries.fieldFilteredSql,
   )

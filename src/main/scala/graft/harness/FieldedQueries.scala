@@ -154,6 +154,56 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** match operator=and query: all three terms required — the OR form
+    * matches every doc (second/title are universal), AND matches doc 42
+    * only. */
+  val MatchAndQuery = "second title 42"
+
+  def fieldMatchAnd(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.matchAnd(spark, dir, spec("title"), MatchAndQuery, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
+  /** operator=and replay: the bm25Title CTE structure with a HAVING over
+    * the DISTINCT matched query terms. */
+  def fieldMatchAndSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val ws = Analyzer.analyzeStop(MatchAndQuery)
+      .groupBy(identity).view.mapValues(_.length).toSeq.sortBy(_._1)
+    val qvals = ws.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi
+       |  HAVING count(DISTINCT q.term) = ${ws.size}),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                       doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
   /** ES dis_max / multi_match best_fields over the same citation legs:
     * rank by max(leg) + tie_breaker·Σ(others). */
   def fieldDisMax(spark: SparkSession, sfDir: String): DataFrame = {

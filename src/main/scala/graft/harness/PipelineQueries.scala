@@ -79,6 +79,72 @@ object PipelineQueries {
        |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= ${Dedup.SimHamMax}
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Per-language keep rates (micro-units) for the deterministic stratified
+    * sampler — the training-data MIXING op (downweight the head language,
+    * keep the tails): keep iff polyHash(text) mod 10^6 < rate(lang). The
+    * decision is a pure function of the text bytes, so the sample is
+    * reproducible across runs, engines, and partitionings — no RNG state,
+    * no seed plumbing, no sampleBy approximation. */
+  val SampleRatesX6: Seq[(String, Long)] = Seq(
+    "en" -> 300000L, "de" -> 800000L, "es" -> 800000L,
+    "fr" -> 800000L, "zh" -> 1000000L)
+
+  /** Deterministic stratified sampling by language: row-local hash gate
+    * (codegen), no shuffle at all — the 100-TB shape is a filter fused
+    * into the scan. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRatesX6.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .filter(pmod(graft.text.HashExpressions.polyHash(col("text")),
+        lit(1000000L)) < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  lazy val sampleStratifiedSql: String = {
+    val rateCase = SampleRatesX6.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${ph("text")} % 1000000 < (CASE $rateCase ELSE 0 END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token budget per training pack (see [[packBudget]]). */
+  val PackBudgetTokens = 1000L
+
+  /** Greedy token-budget packing: assign docs (in doc_id order, per
+    * language) to training shards so each pack holds ~budget tokens —
+    * pack_id = floor(running-token-sum-before / budget). The running sum
+    * is a per-language window (hash-partitioned by lang, sorted within);
+    * at 100 TB this is the classic two-pass prefix sum a range-partitioned
+    * window performs — no collect, no global sort across languages. */
+  def packBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"),
+        // integer `div`, not `/`: the double divide can land 1 ulp low and
+        // truncate into the wrong pack (the DuckDB side floor-divides)
+        expr(s"before div $PackBudgetTokens").as("pack_id"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  lazy val packBudgetSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+       |  FROM t)
+       |SELECT doc_id, lang, before // $PackBudgetTokens AS pack_id, n_tokens
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Duplicate clusters over the SimHash pair graph: (doc_id, cluster_id =
     * min member) for every doc in a near-dup pair — the keep-one-
     * representative key of a dedup pipeline. */

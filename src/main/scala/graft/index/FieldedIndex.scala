@@ -359,6 +359,26 @@ object FieldedIndex {
     Searcher.multiSearch(mh, mlegs, k, minShouldMatch)
   }
 
+  /** ES match query with `operator: and` — every analyzed term must match
+    * (the default `or` is [[searchField]]). Expressed through the bool
+    * kernel: each term is its own should-leg of the SAME field and
+    * minimum_should_match = the term count, so the conjunction rides the
+    * combined-bound pivot walk (scores are the ordinary BM25 sum — the leg
+    * split changes only the match requirement, not the score). Returns
+    * (rnk, doc_id, score_x6). */
+  def matchAnd(spark: SparkSession, indexDir: String, spec: FieldSpec,
+               text: String, k: Int): DataFrame = {
+    val terms = Analyzer.analyzeChain(spec.chain, text)
+      .groupBy(identity).view.mapValues(_.length).toSeq.sortBy(_._1)
+    require(terms.size <= 64,
+      "operator=and supports up to 64 distinct terms (msm leg bitmask)")
+    val legs = terms.map { case (t, w) =>
+      Searcher.MultiLeg(spec.field, Map(t -> w))
+    }
+    val mh = multiHandleFor(spark, indexDir, Seq(spec.field))
+    Searcher.multiSearch(mh, legs, k, minShouldMatch = legs.length)
+  }
+
   /** ES dis_max / multi_match best_fields — the OTHER bool-family shape
     * citation clients post: per-leg BM25 under each field's own stats,
     * ranked by max(leg) + tie_breaker · Σ(other legs) (tie_breaker 0 = pure

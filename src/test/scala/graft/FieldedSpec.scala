@@ -224,6 +224,23 @@ class FieldedSpec extends AnyFunSuite {
         rows(FieldedIndex.disMaxNaive(spark, idx, legs, 10, tb)), s"tb=$tb")
   }
 
+  test("match operator=and: all terms required, score is the ordinary BM25 sum") {
+    // "second title 42": OR-match hits every doc; AND-match only doc 42
+    val and = FieldedIndex.matchAnd(spark, idx, spec("title"),
+      FieldedQueries.MatchAndQuery, 10)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id").collect()
+    assert(and.length === 1)
+    assert(and.head.getAs[String]("doi") === "10.1/nd.42")
+    // identical score to the OR-path for the same doc (the leg split
+    // changes only the match requirement)
+    val orScore = FieldedIndex.searchField(spark, idx, spec("title"),
+      Seq(1 -> FieldedQueries.MatchAndQuery), 10)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id")
+      .collect().find(_.getAs[String]("doi") == "10.1/nd.42").get
+      .getAs[Long]("score_x6")
+    assert(and.head.getAs[Long]("score_x6") === orScore)
+  }
+
   test("minimum_should_match=2 excludes single-leg matches however well they score") {
     val msm = FieldedQueries.fieldMsm(spark, "").collect()
     // exactly the pairwise intersections of the three selective legs:
