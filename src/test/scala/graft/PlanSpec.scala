@@ -130,4 +130,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema") && !p.contains("tfs"),
       s"docLens scan reads the fat tfs column:\n$p")
   }
+
+  test("stratified sampler is a zero-shuffle scan-fused gate") {
+    // the whole query is a row-local hash gate over the scan: presentation
+    // sort aside, NO exchange may exist (the sample must never shuffle)
+    val inner = graft.harness.PipelineQueries.sampleStratified(spark, sf)
+    assert(countExchanges(inner) <= 1, // the orderBy itself
+      s"sampler plan shuffles beyond the presentation sort:\n${planString(inner)}")
+    val p = planString(inner)
+    assert(p.contains("graft_poly_hash") || p.contains("polyHash") ||
+      p.contains("PolyHash") || !p.contains("ScalaUDF"),
+      s"sampler gate left codegen:\n$p")
+  }
+
+  test("pack assignment is one window exchange per language partitioning") {
+    val df = graft.harness.PipelineQueries.packBudget(spark, sf)
+    // one hash exchange for the lang window + the presentation sort — no
+    // third shuffle may appear
+    assert(countExchanges(df) <= 2,
+      s"pack plan has extra shuffles:\n${planString(df)}")
+    assert(planString(df).contains("Window"),
+      s"pack plan lost the window:\n${planString(df)}")
+  }
 }
