@@ -246,19 +246,30 @@ object Dedup {
       return out.toSeq.toDF("doc_id", "cluster_id").orderBy("doc_id")
     }
 
+    // LINEAGE CUT each round (localCheckpoint): caching truncates physical
+    // re-execution but NOT analysis — each round's plan references the
+    // previous round's full logical plan ~4× (relaxed twice, labels twice),
+    // so without truncation Catalyst analysis time grows EXPONENTIALLY with
+    // rounds (measured: 50 s/round by round 4 on a 1k-edge graph; constant
+    // sub-second rounds with the checkpoint).
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
-    labels.count()
-    var changed = 1L
-    while (changed > 0) {
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    // convergence by the MONOTONE label sum: labels only ever decrease, so
+    // the (exact, decimal) sum strictly decreases until the fixed point —
+    // one narrow aggregate per round instead of a join-against-previous
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    while (!converged) {
       // (a) relax: lbl(id) ← min(lbl(id), min over neighbors' lbl)
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dlbl")).as("nmin"))
+      // checkpointed: the pointer jump below reads relaxed TWICE
       val relaxed = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
       // (b) pointer jump: lbl(id) ← lbl(lbl(id)) — labels are node ids, so
       // the label's own row carries a (≤) label one hop closer to the root
       val next = relaxed.as("a")
@@ -266,15 +277,16 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .cache()
-      // ONE action per round: materializes next's cache AND counts the
-      // changed labels (a separate count + join-count pair doubled the
-      // per-round job overhead, which dominates at small graph sizes)
-      val r = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .agg(sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)))
-        .head()
-      changed = if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty graph
-      labels.unpersist()
+        .localCheckpoint(true)
+      val r = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      val s = if (r.isNullAt(0)) java.math.BigDecimal.ZERO // empty graph
+              else r.getDecimal(0)
+      converged = prevSum != null && prevSum.compareTo(s) == 0
+      if (sys.env.contains("GRAFT_CC_LOG"))
+        System.err.println(s"[cc-round] sum=$s converged=$converged")
+      prevSum = s
+      relaxed.rdd.unpersist(false)
+      labels.rdd.unpersist(false)
       labels = next
     }
     sym.unpersist()
