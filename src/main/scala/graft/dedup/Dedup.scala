@@ -186,42 +186,43 @@ object Dedup {
     * components of the undirected near-dup graph, labeled by the minimum
     * member doc_id — the operation a dedup pipeline actually keys its
     * keep-one-representative step on (cluster_id == the representative).
-    *
-    * Algorithm: min-label propagation with POINTER JUMPING (the
-    * hash-to-min family, Rastogi et al. 2013 — public): each round (a)
-    * relaxes every node's label against its neighbors' labels (one shuffle
-    * join against the symmetrized edge list) and (b) follows each label to
-    * ITS current label (one self-join), which doubles the effective
-    * propagation distance — convergence in O(log diameter) rounds instead
-    * of O(diameter). That matters even on near-dup graphs: banded-LSH
-    * pairs CHAIN gradually-mutating copies (a→a′→a″…), so components can
-    * be long paths, not cliques (a pure relax loop measured minutes on the
-    * sf0.01 fixture's drift chains; relax+jump converges in a handful of
-    * rounds). No driver-side graph state — only the per-round changed
-    * counter; labels only ever decrease, so termination is monotone.
-    *
-    * Returns (doc_id, cluster_id = min doc_id in the component) for every
-    * doc incident to an edge, ordered by doc_id. */
-  /** Edge count at or below which components are solved by union-find on
-    * the driver: near-dup pair sets are SPARSE relative to the corpus
-    * (that is the point of near-dup detection), so even a 10^12-doc run
-    * usually yields a driver-sized edge list — and the distributed loop's
-    * per-round scheduling overhead (≈5 s/round on tiny graphs) would
-    * swamp it. Above the threshold the O(log diameter) relax+jump loop
-    * runs with no driver-side graph state. Test seam (spec forces the
+    * See [[connectedComponents]] for the adaptive execution design. */
+
+  /** PAIR count at or below which components are solved by union-find on
+    * the driver (compared against the symmetrized edge count / 2):
+    * near-dup pair sets are SPARSE relative to the corpus — that is the
+    * point of near-dup detection — so even a 10^12-doc run usually yields
+    * a driver-sized pair list, and the distributed loop's per-round
+    * scheduling overhead would swamp it. Test seam (spec forces the
     * distributed path by lowering it). */
   @volatile private[graft] var ccDriverMaxEdges = 4000000L
 
+  /** Connected components of the undirected near-dup graph (see the
+    * class-level note above): returns (doc_id, cluster_id = min doc_id in
+    * the component) for every doc incident to an edge, ordered by doc_id.
+    * Adaptive: union-find on the driver at or below [[ccDriverMaxEdges]]
+    * pairs; above it, a distributed min-label relax + POINTER-JUMP loop
+    * (hash-to-min family, Rastogi et al. 2013 — O(log diameter) rounds,
+    * which matters because banded-LSH pairs CHAIN gradually-mutating
+    * copies into long paths, not cliques). The distributed loop runs at
+    * the RDD level with one fixed HashPartitioner: per-round state is
+    * explicitly persisted/freed (Dataset-level caching cannot be — and a
+    * DataFrame formulation additionally re-ANALYZES a plan that grows
+    * exponentially with rounds), labels only ever decrease, and
+    * convergence is a monotone exact label-sum comparison. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
     val nEdges = sym.count()
 
-    if (nEdges <= ccDriverMaxEdges) {
-      // driver union-find with path compression; cluster id = min member
-      import spark.implicits._
+    if (nEdges / 2 <= ccDriverMaxEdges) {
+      // driver union-find with path compression; unions always link the
+      // larger root to the smaller, so every root IS the component's min
+      // member and cluster_id = find(id). Node ids fold out of the one
+      // collected edge array — no second job.
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -231,67 +232,62 @@ object Dedup {
         while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
         x
       }
+      val ids = new java.util.TreeSet[java.lang.Long]()
       sym.select(col("src"), col("dst")).collect().foreach { r =>
-        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        val (sId, dId) = (r.getLong(0), r.getLong(1))
+        ids.add(sId) // dst appears as src of the mirrored edge
+        val (a, b) = (find(sId), find(dId))
         if (a != b) parent.put(math.max(a, b), math.min(a, b))
       }
-      // unions always link larger root → smaller, so every root IS the
-      // component's min member: cluster_id = find(id)
-      val ids = new java.util.TreeSet[java.lang.Long]()
-      sym.select(col("src")).distinct().collect()
-        .foreach(r => ids.add(r.getLong(0)))
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
       ids.forEach(id => out += ((id.longValue(), find(id))))
       sym.unpersist()
       return out.toSeq.toDF("doc_id", "cluster_id").orderBy("doc_id")
     }
 
-    // LINEAGE CUT each round (localCheckpoint): caching truncates physical
-    // re-execution but NOT analysis — each round's plan references the
-    // previous round's full logical plan ~4× (relaxed twice, labels twice),
-    // so without truncation Catalyst analysis time grows EXPONENTIALLY with
-    // rounds (measured: 50 s/round by round 4 on a 1k-edge graph; constant
-    // sub-second rounds with the checkpoint).
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
-    // convergence by the MONOTONE label sum: labels only ever decrease, so
-    // the (exact, decimal) sum strictly decreases until the fixed point —
-    // one narrow aggregate per round instead of a join-against-previous
-    var prevSum: java.math.BigDecimal = null
+    // ---- distributed relax + pointer-jump loop (RDD level) --------------
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(sc.defaultParallelism, 1))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (dst, src): keyed by dst so one join brings each node's label to
+    // every neighbor
+    val edgesByDst = sym.select(col("dst"), col("src")).as[(Long, Long)]
+      .rdd.partitionBy(part).persist(lvl)
+    var labels = sym.select(col("src")).distinct().as[Long]
+      .rdd.map(id => (id, id)).partitionBy(part).persist(lvl)
+    labels.count()
+    var prevSum: BigInt = null
     var converged = false
     while (!converged) {
-      // (a) relax: lbl(id) ← min(lbl(id), min over neighbors' lbl)
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dlbl")).as("nmin"))
-      // checkpointed: the pointer jump below reads relaxed TWICE
-      val relaxed = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      // (b) pointer jump: lbl(id) ← lbl(lbl(id)) — labels are node ids, so
-      // the label's own row carries a (≤) label one hop closer to the root
-      val next = relaxed.as("a")
-        .join(relaxed.select(col("id").as("lbl"), col("lbl").as("lbl2")).as("b"),
-          Seq("lbl"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      val r = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-      val s = if (r.isNullAt(0)) java.math.BigDecimal.ZERO // empty graph
-              else r.getDecimal(0)
-      converged = prevSum != null && prevSum.compareTo(s) == 0
+      // (a) relax: lbl(id) <- min(lbl(id), min over neighbors' lbl)
+      val nbrMin = edgesByDst.join(labels)
+        .map { case (_, (src, dlbl)) => (src, dlbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val relaxed = labels.leftOuterJoin(nbrMin, part)
+        .mapValues { case (l, o) => math.min(l, o.getOrElse(l)) }
+        .persist(lvl)
+      // (b) pointer jump: lbl(id) <- lbl(lbl(id)) — labels are node ids,
+      // so the label's own row carries a (<=) label one hop closer to the
+      // root; repeated jumping doubles the propagation distance per round
+      val next = relaxed.map { case (id, l) => (l, id) }
+        .leftOuterJoin(relaxed, part)
+        .map { case (l, (id, l2)) => (id, math.min(l, l2.getOrElse(l))) }
+        .partitionBy(part)
+        .persist(lvl)
+      // one action: materializes next and the exact monotone label sum
+      val s = next.aggregate(BigInt(0))((a, kv) => a + kv._2, _ + _)
+      converged = prevSum != null && prevSum == s
       if (sys.env.contains("GRAFT_CC_LOG"))
         System.err.println(s"[cc-round] sum=$s converged=$converged")
       prevSum = s
-      relaxed.rdd.unpersist(false)
-      labels.rdd.unpersist(false)
+      relaxed.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
       labels = next
     }
+    edgesByDst.unpersist(blocking = false)
     sym.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    labels.toDF("doc_id", "cluster_id").orderBy("doc_id")
   }
 
   /** 32-bit SimHash fingerprint per doc over unigram term frequencies:

@@ -114,19 +114,40 @@ object PipelineQueries {
   /** Token budget per training pack (see [[packBudget]]). */
   val PackBudgetTokens = 1000L
 
+  /** Docs per prefix-sum bucket (see [[packBudget]]). */
+  val PackBucketDocs = 100000L
+
   /** Greedy token-budget packing: assign docs (in doc_id order, per
     * language) to training shards so each pack holds ~budget tokens —
-    * pack_id = floor(running-token-sum-before / budget). The running sum
-    * is a per-language window (hash-partitioned by lang, sorted within);
-    * at 100 TB this is the classic two-pass prefix sum a range-partitioned
-    * window performs — no collect, no global sort across languages. */
+    * pack_id = floor(running-token-sum-before / budget).
+    *
+    * The running sum is an EXPLICIT two-pass prefix sum, not a naive
+    * `Window.partitionBy(lang)` (which routes each language's ENTIRE
+    * corpus through one task — the head language serializes the job at
+    * scale): pass 1 computes within-bucket running sums under
+    * (lang, doc_id div bucket) — parallelism = languages × buckets — and
+    * bucket totals; pass 2 runs the running sum over BUCKET TOTALS per
+    * language (rows = buckets, driver-tiny) and joins the offsets back
+    * (AQE broadcasts the tiny side). Bucket index is monotone in doc_id,
+    * so the decomposition reproduces the single-window result exactly —
+    * the DuckDB oracle replays the naive one-window formulation. */
   def packBudget(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs(spark, dir)
+    val W = org.apache.spark.sql.expressions.Window
+    val withBucket = docs(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
-      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bucket", expr(s"doc_id div $PackBucketDocs"))
+    val wIn = W.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val within = withBucket
+      .withColumn("w_before", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wOff = W.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = withBucket.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("b_off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("lang"), col("bucket"), col("b_off"))
+    within.join(offsets, Seq("lang", "bucket"))
+      .withColumn("before", col("w_before") + col("b_off"))
       .select(col("doc_id"), col("lang"),
         // integer `div`, not `/`: the double divide can land 1 ulp low and
         // truncate into the wrong pack (the DuckDB side floor-divides)

@@ -368,8 +368,7 @@ object FieldedIndex {
     * (rnk, doc_id, score_x6). */
   def matchAnd(spark: SparkSession, indexDir: String, spec: FieldSpec,
                text: String, k: Int): DataFrame = {
-    val terms = Analyzer.analyzeChain(spec.chain, text)
-      .groupBy(identity).view.mapValues(_.length).toSeq.sortBy(_._1)
+    val terms = termWeights(spec, text).toSeq.sortBy(_._1)
     require(terms.size <= 64,
       "operator=and supports up to 64 distinct terms (msm leg bitmask)")
     val legs = terms.map { case (t, w) =>

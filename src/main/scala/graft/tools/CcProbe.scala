@@ -18,6 +18,7 @@ object CcProbe {
   def main(args: Array[String]): Unit = {
     val nComps = if (args.nonEmpty) args(0).toLong else 100000L
     val chainLen = if (args.length > 1) args(1).toLong else 10000L
+    require(chainLen >= 2, "chainLen must be >= 2 (a chain needs an edge)")
     val cores = if (args.length > 2) args(2).toInt else 32
     val spark = SparkSession.builder().master(s"local[$cores]")
       .appName("cc-probe")

@@ -52,6 +52,9 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("graft_field_tf takes a literal chain and carries positions") {
+    import spark.implicits._
+    // own fixture view: this test must not depend on a sibling test's view
+    Seq(("x", 1L)).toDF("text", "id").createOrReplaceTempView("t")
     val row = spark.sql(
       """SELECT graft_field_tf(array('united of states', 'b'), 'text_stop') AS at"""
     ).head().getStruct(0)

@@ -143,13 +143,14 @@ class PlanSpec extends AnyFunSuite {
       s"sampler gate left codegen:\n$p")
   }
 
-  test("pack assignment is one window exchange per language partitioning") {
+  test("pack assignment uses the two-pass prefix sum, never one task per language") {
     val df = graft.harness.PipelineQueries.packBudget(spark, sf)
-    // one hash exchange for the lang window + the presentation sort — no
-    // third shuffle may appear
-    assert(countExchanges(df) <= 2,
-      s"pack plan has extra shuffles:\n${planString(df)}")
-    assert(planString(df).contains("Window"),
-      s"pack plan lost the window:\n${planString(df)}")
+    val p = planString(df)
+    // two windows: within-bucket (lang, bucket) + bucket offsets (lang over
+    // bucket totals); the (lang)-only window must never see ROW-level data
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"pack plan lost the two-pass structure:\n$p")
+    assert(countExchanges(df) <= 5,
+      s"pack plan has runaway shuffles:\n$p")
   }
 }
