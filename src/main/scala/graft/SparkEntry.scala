@@ -62,6 +62,9 @@ object SparkEntry {
     "q_field_match_and" -> FieldedQueries.fieldMatchAnd _,
     "q_field_phrase" -> FieldedQueries.fieldPhrase _,
     "q_field_filtered" -> FieldedQueries.fieldFiltered _,
+    "q_quality_rep" -> PipelineQueries.qualityRepetition _,
+    "q_dedup_chunk" -> PipelineQueries.dedupChunk _,
+    "q_decontaminate" -> PipelineQueries.decontaminate _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +115,8 @@ object SparkEntry {
     "q_field_match_and" -> FieldedQueries.fieldMatchAndSql,
     "q_field_phrase" -> FieldedQueries.fieldPhraseSql,
     "q_field_filtered" -> FieldedQueries.fieldFilteredSql,
+    "q_quality_rep" -> PipelineQueries.qualityRepetitionSql,
+    "q_dedup_chunk" -> PipelineQueries.dedupChunkSql,
+    "q_decontaminate" -> PipelineQueries.decontaminateSql,
   )
 }

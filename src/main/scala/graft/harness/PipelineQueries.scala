@@ -1,6 +1,6 @@
 package graft.harness
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
@@ -187,6 +187,149 @@ object PipelineQueries {
        |)
        |SELECT id AS doc_id, min(lbl)::BIGINT AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Non-overlapping chunk width (tokens) for sub-document exact dedup. */
+  val ChunkTokens = 16
+
+  /** Sub-document exact dedup at fixed 16-token chunk granularity — the
+    * hash-keyed variant of paragraph/boilerplate dedup (Lee et al. 2021 run
+    * suffix arrays; production pipelines hash paragraph units — this corpus
+    * has no newlines, so the deterministic unit is the fixed-width token
+    * chunk). Chunk hashes come from one row-local codegen pass
+    * ([[graft.text.HashKernels.gramHashes]], stride = width, trailing
+    * partial kept), so the ONLY shuffle is the winner window over
+    * `(cid, doc_id, k)` rows — ~24 bytes per chunk at 10^12 docs, never the
+    * text itself. Output: every dropped occurrence (global keep-first by
+    * (doc_id, chunk_idx)). */
+  def dedupChunk(spark: SparkSession, dir: String): DataFrame =
+    dedupChunkDf(docs(spark, dir))
+
+  def dedupChunkDf(d: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val chunks = d.select(col("doc_id"),
+      posexplode(graft.text.HashExpressions.gramHashes(
+        col("text"), ChunkTokens, ChunkTokens, partial = true)).as(Seq("k", "cid")))
+    chunks
+      .withColumn("rn",
+        row_number().over(W.partitionBy(col("cid")).orderBy(col("doc_id"), col("k"))))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("k").cast("long").as("k"), col("cid"))
+      .orderBy("doc_id", "k")
+  }
+
+  lazy val dedupChunkSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, CAST(i AS BIGINT) AS k,
+       |        array_to_string(toks[CAST(i*$ChunkTokens+1 AS INT):CAST(LEAST(len(toks), i*$ChunkTokens+$ChunkTokens) AS INT)], ' ') AS chunk
+       |      FROM t, unnest(range(0, (len(toks)-1)//$ChunkTokens + 1)) AS r(i)),
+       |h AS (SELECT doc_id, k, ${ph("chunk")} AS cid FROM c),
+       |rn AS (SELECT doc_id, k, cid,
+       |         row_number() OVER (PARTITION BY cid ORDER BY doc_id, k) AS rn FROM h)
+       |SELECT doc_id, k, cid FROM rn WHERE rn > 1 ORDER BY doc_id, k""".stripMargin
+
+  /** Eval-set membership modulus and overlap-gram width for decontamination. */
+  val DecontEvalMod = 97
+  val DecontGramN = 5
+
+  /** Benchmark decontamination: flag training docs sharing any word 5-gram
+    * with the held-out eval subset (doc_id ≡ 0 mod 97 stands in for the
+    * benchmark corpus — in production the eval grams come from a separate
+    * small table). The 100-TB shape: eval n-gram sets are tiny (benchmarks
+    * are MBs), so the overlap test is an explicitly-broadcast semi-join
+    * against the training side's row-local distinct-gram hashes — the
+    * training corpus is scanned once, nothing corpus-sized shuffles. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateDf(docs(spark, dir))
+
+  def decontaminateDf(d: DataFrame): DataFrame = {
+    val g = d.select(col("doc_id"),
+      explode(array_distinct(graft.text.HashExpressions.gramHashes(
+        col("text"), DecontGramN, 1, partial = false))).as("gid"))
+    val evalGrams = g.filter(col("doc_id") % DecontEvalMod === 0)
+      .select("gid").distinct()
+    g.filter(col("doc_id") % DecontEvalMod =!= 0)
+      .join(broadcast(evalGrams), "gid")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  lazy val decontaminateSql: String = {
+    val terms = (0 until DecontGramN)
+      .map(j => s"toks[CAST(i+$j AS INT)]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g0 AS (SELECT doc_id, $terms AS gram
+       |       FROM t, unnest(range(1, len(toks)-${DecontGramN - 2})) AS r(i)
+       |       WHERE len(toks) >= $DecontGramN),
+       |g AS (SELECT DISTINCT doc_id, ${ph("gram")} AS gid FROM g0),
+       |e AS (SELECT DISTINCT gid FROM g WHERE doc_id % $DecontEvalMod = 0)
+       |SELECT doc_id, count(*)::BIGINT AS n_overlap
+       |FROM g WHERE doc_id % $DecontEvalMod <> 0 AND gid IN (SELECT gid FROM e)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val RepKeyBase = 1099511627776L // 2^40 — mass rides the low bits
+
+  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1 rule
+    * family): per doc, the character-mass fraction of the most-repeated
+    * word 1/2/3-gram and the total mass of duplicated 3-grams — the
+    * filters that kill boilerplate/template pages at scale. One row-local
+    * codegen kernel pass ([[graft.text.HashKernels.repStats]]): zero
+    * shuffles up to presentation; fractions are micro-unit longs. */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    qualityRepetitionDf(docs(spark, dir))
+
+  def qualityRepetitionDf(d: DataFrame): DataFrame = {
+    def frac(mass: Column): Column =
+      when(col("n_chars") === 0L, lit(0L)).otherwise(
+        round(mass.cast("double") * 1e6 / col("n_chars")).cast("long"))
+    d
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        graft.text.HashExpressions.repStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        frac(element_at(col("st"), 1) % RepKeyBase).as("top1_frac_x6"),
+        frac(element_at(col("st"), 2) % RepKeyBase).as("top2_frac_x6"),
+        frac(element_at(col("st"), 3) % RepKeyBase).as("top3_frac_x6"),
+        frac(element_at(col("st"), 4)).as("dup3_frac_x6"))
+      .orderBy("doc_id")
+  }
+
+  lazy val qualityRepetitionSql: String = {
+    def gramCte(n: Int): String = {
+      val terms = (0 until n).map(j => s"toks[CAST(i+$j AS INT)]").mkString(" || ' ' || ")
+      s"""g$n AS (SELECT doc_id, $terms AS gram
+         |       FROM t, unnest(range(1, len(toks) - (${n - 2}))) AS r(i)
+         |       WHERE len(toks) >= $n)""".stripMargin
+    }
+    def hCte(n: Int): String =
+      s"""h$n AS (SELECT doc_id, ${ph("gram")} AS hid, count(*)::BIGINT AS c,
+         |         sum(length(gram))::BIGINT AS m FROM g$n GROUP BY 1, 2)""".stripMargin
+    def kCte(n: Int): String =
+      s"k$n AS (SELECT doc_id, max(c * $RepKeyBase + m) AS key FROM h$n GROUP BY doc_id)"
+    def frac(v: String): String =
+      s"CASE WHEN n_chars = 0 OR $v IS NULL THEN 0 ELSE CAST(round($v * 1000000.0 / n_chars) AS BIGINT) END"
+    s"""WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+       |            string_split(text, ' ') AS toks FROM documents),
+       |${gramCte(1)},
+       |${gramCte(2)},
+       |${gramCte(3)},
+       |${hCte(1)},
+       |${hCte(2)},
+       |${hCte(3)},
+       |${kCte(1)},
+       |${kCte(2)},
+       |${kCte(3)},
+       |d3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN m ELSE 0 END)::BIGINT AS m
+       |       FROM h3 GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  ${frac(s"(k1.key % $RepKeyBase)")} AS top1_frac_x6,
+       |  ${frac(s"(k2.key % $RepKeyBase)")} AS top2_frac_x6,
+       |  ${frac(s"(k3.key % $RepKeyBase)")} AS top3_frac_x6,
+       |  ${frac("d3.m")} AS dup3_frac_x6
+       |FROM t JOIN k1 USING (doc_id) LEFT JOIN k2 USING (doc_id)
+       |  LEFT JOIN k3 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val CleanMinTokens = 20
   val CleanMinUniqX6 = 400000L

@@ -32,8 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `graft_poly_hash(text)` / `graft_sim_hash(text)` /
   *    `graft_fingerprint(text)` → bigint; `graft_minhash_sig(text)` →
   *    array<bigint> ([[graft.text.HashKernels]] kernels)
-  *  - `graft_shingles(text)` → array<bigint>
+  *  - `graft_shingles(text)` → array<string>
   *    ([[graft.dedup.ShinglesExpr]])
+  *  - `graft_rep_stats(text)` → array<bigint>[4]; `graft_gram_hashes(text,
+  *    n, stride, partial)` → array<bigint> (n/stride/partial must be
+  *    literals) ([[graft.text.HashKernels]] kernels)
   *  - `graft_lsh_buckets(vec)` → array<int>
   *    ([[graft.sim.LshBucketsExpr]])
   *  - `graft_dot(vec, vec)` → double ([[graft.sim.DotExpr]])
@@ -76,6 +79,20 @@ object GraftExtensions {
     fn("graft_sim_hash", 1)(a => graft.text.SimHashExpr(a.head)),
     fn("graft_fingerprint", 1)(a => graft.text.FingerprintExpr(a.head)),
     fn("graft_shingles", 1)(a => graft.dedup.ShinglesExpr(a.head)),
+    fn("graft_rep_stats", 1)(a => graft.text.RepStatsExpr(a.head)),
+    fn("graft_gram_hashes", 4) { a =>
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_gram_hashes $what must be an integer literal, got $other")
+      }
+      val partial = a(3) match {
+        case Literal(v: Boolean, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_gram_hashes partial must be a boolean literal, got $other")
+      }
+      graft.text.GramHashesExpr(a.head, intLit(a(1), "n"), intLit(a(2), "stride"), partial)
+    },
     fn("graft_lsh_buckets", 1)(a => graft.sim.LshBucketsExpr(a.head)),
     fn("graft_dot", 2)(a => graft.sim.DotExpr(a(0), a(1))))
 

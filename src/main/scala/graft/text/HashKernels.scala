@@ -148,6 +148,89 @@ object HashKernels {
     out
   }
 
+  /** Codepoints in the byte range — the unit DuckDB's `length()` counts,
+    * so gram "mass" agrees across engines on any valid UTF-8. */
+  private def cpLen(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var n = 0L
+    var i = from
+    while (i < until) { if ((bytes(i) & 0xc0) != 0x80) n += 1; i += 1 }
+    n
+  }
+
+  /** polyHash of each space-joined `n`-token gram at token offsets 0,
+    * stride, 2·stride, … — one row-local pass, zero allocation per gram
+    * (a gram is an exact byte range of the text, see [[polyHashRange]]).
+    * `partial = true` keeps a trailing gram of fewer than `n` tokens
+    * (non-overlapping CHUNKS keep their tail); `partial = false` drops it
+    * (overlapping SHINGLES never emit short grams). */
+  def gramHashes(text: UTF8String, n: Int, stride: Int, partial: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes)
+    val nToks = starts.length - 1
+    val count =
+      if (partial) (nToks + stride - 1) / stride
+      else if (nToks < n) 0
+      else (nToks - n) / stride + 1
+    val out = new Array[Any](count)
+    var k = 0
+    while (k < count) {
+      val i = k * stride
+      val e = math.min(i + n, nToks)
+      out(k) = Long.box(polyHashRange(bytes, starts(i), starts(e) - 1))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val RepKeyBase = 1L << 40 // key = count·2^40 + mass; mass < 2^40
+
+  /** Gopher-style repetition statistics in one row-local pass:
+    * `[key1, key2, key3, dup3mass]` where keyN = max over the doc's word
+    * N-gram hash-groups of `count·2^40 + Σ length(gram)` (the most-repeated
+    * gram, mass-tie-broken — `key mod 2^40` recovers its character mass)
+    * and dup3mass = Σ over 3-gram groups occurring ≥ 2 times of their
+    * summed character mass. Groups are keyed by polyHash of the gram bytes
+    * and masses are summed PER OCCURRENCE, so a (vanishingly rare) hash
+    * collision folds identically in the DuckDB oracle, which groups by the
+    * same hash and sums the same lengths. Missing gram sizes (docs shorter
+    * than N tokens) yield key 0. Rae et al. 2021 (Gopher) §A1.1 defines the
+    * rule family; N and the dup size are parameters — 1/2/3 + dup-3 are
+    * the registered query's choices. */
+  def repStats(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val starts = tokenStarts(bytes)
+    val nToks = starts.length - 1
+    val out = new Array[Any](4)
+    var slot = 0
+    var dup3 = 0L
+    Array(1, 2, 3).foreach { n =>
+      var key = 0L
+      if (nToks >= n) {
+        val m = new java.util.HashMap[Long, Array[Long]]()
+        var i = 0
+        while (i + n <= nToks) {
+          val from = starts(i); val until = starts(i + n) - 1
+          val h = polyHashRange(bytes, from, until)
+          val cm = m.get(h)
+          if (cm == null) m.put(h, Array(1L, cpLen(bytes, from, until)))
+          else { cm(0) += 1; cm(1) += cpLen(bytes, from, until) }
+          i += 1
+        }
+        val it = m.values().iterator()
+        while (it.hasNext) {
+          val cm = it.next()
+          val k = cm(0) * RepKeyBase + cm(1)
+          if (k > key) key = k
+          if (n == 3 && cm(0) >= 2) dup3 += cm(1)
+        }
+      }
+      out(slot) = Long.box(key)
+      slot += 1
+    }
+    out(3) = Long.box(dup3)
+    new GenericArrayData(out)
+  }
+
   /** Order-sensitive rolling fingerprint: h ← (31·h + polyHash(token)) mod
     * (10^9+7) over tokens in document order. */
   def fingerprint(text: UTF8String): Long = {
@@ -233,9 +316,51 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** gram_hashes(text, n, stride, partial) → array<long> of space-joined
+  * n-token-gram hashes; see [[HashKernels.gramHashes]]. */
+case class GramHashesExpr(child: Expression, n: Int, stride: Int, partial: Boolean)
+    extends UnaryExpression {
+  require(n > 0 && stride > 0, s"graft_gram_hashes needs n > 0, stride > 0 (got $n, $stride)")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes requires a string argument, got $dt")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.gramHashes(input.asInstanceOf[UTF8String], n, stride, partial)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.text.HashKernels.gramHashes($c, $n, $stride, $partial)")
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+}
+
+/** rep_stats(text) → array<long>[4]: [key1, key2, key3, dup3mass]; see
+  * [[HashKernels.repStats]]. */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_rep_stats requires a string argument, got $dt")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rep_stats"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.repStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HashKernels.repStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepStatsExpr =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def polyHash(c: Column): Column = Bridge.column(PolyHashExpr(Bridge.expression(c)))
   def minHashSig(c: Column): Column = Bridge.column(MinHashSigExpr(Bridge.expression(c)))
   def simHash(c: Column): Column = Bridge.column(SimHashExpr(Bridge.expression(c)))
   def fingerprint(c: Column): Column = Bridge.column(FingerprintExpr(Bridge.expression(c)))
+  def gramHashes(c: Column, n: Int, stride: Int, partial: Boolean): Column =
+    Bridge.column(GramHashesExpr(Bridge.expression(c), n, stride, partial))
+  def repStats(c: Column): Column = Bridge.column(RepStatsExpr(Bridge.expression(c)))
 }

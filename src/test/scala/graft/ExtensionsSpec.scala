@@ -51,6 +51,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("dl") === Analyzer.analyzeStop(text).length)
   }
 
+  test("graft_rep_stats / graft_gram_hashes SQL routes match the kernels") {
+    import spark.implicits._
+    Seq(("a b a b c", 1L)).toDF("text", "id").createOrReplaceTempView("t_rep")
+    val row = spark.sql(
+      """SELECT graft_rep_stats(text) AS rs,
+        |       graft_gram_hashes(text, 2, 2, true) AS ch,
+        |       graft_gram_hashes(text, 3, 1, false) AS sh
+        |FROM t_rep""".stripMargin).head()
+    val u8 = UTF8String.fromString("a b a b c")
+    assert(row.getAs[Seq[Long]]("rs").toArray ===
+      HashKernels.repStats(u8).toLongArray())
+    assert(row.getAs[Seq[Long]]("ch").toArray ===
+      HashKernels.gramHashes(u8, 2, 2, partial = true).toLongArray())
+    assert(row.getAs[Seq[Long]]("sh").toArray ===
+      HashKernels.gramHashes(u8, 3, 1, partial = false).toLongArray())
+    // non-literal geometry args are rejected, not silently misread
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_gram_hashes(text, id + 1, 1, true) FROM t_rep").head()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("graft_field_tf takes a literal chain and carries positions") {
     import spark.implicits._
     // own fixture view: this test must not depend on a sibling test's view

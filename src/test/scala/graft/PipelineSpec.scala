@@ -144,6 +144,92 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  private def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  private def phs(s: String): Long = graft.text.HashKernels.polyHash(u8(s))
+
+  test("gram-hash kernel: shingle/chunk geometry, partial tails, non-ASCII") {
+    def gh(s: String, n: Int, stride: Int, partial: Boolean): Seq[Long] =
+      graft.text.HashKernels.gramHashes(u8(s), n, stride, partial)
+        .toLongArray().toSeq
+    // overlapping shingles (stride 1, no partial): exactly len-n+1 grams
+    assert(gh("a b c d", 3, 1, partial = false) === Seq(phs("a b c"), phs("b c d")))
+    assert(gh("a b", 3, 1, partial = false) === Seq.empty)
+    // non-overlapping chunks keep the ragged tail
+    assert(gh("a b c d e", 2, 2, partial = true) ===
+      Seq(phs("a b"), phs("c d"), phs("e")))
+    // exact multiple: no extra tail chunk
+    assert(gh("a b c d", 2, 2, partial = true) === Seq(phs("a b"), phs("c d")))
+    // empty text is one empty token (split(" ", -1) semantics)
+    assert(gh("", 2, 2, partial = true) === Seq(phs("")))
+    // multi-byte text: gram hash == polyHash of the space-joined gram string
+    assert(gh("héllo wörld 日本", 2, 1, partial = false) ===
+      Seq(phs("héllo wörld"), phs("wörld 日本")))
+  }
+
+  test("repStats kernel matches a brute-force String reference") {
+    def ref(s: String): Seq[Long] = {
+      val toks = s.split(" ", -1)
+      def cp(g: String): Long = g.codePointCount(0, g.length).toLong
+      def groups(n: Int): Map[Long, (Long, Long)] =
+        (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+          .groupBy(phs).map { case (h, gs) =>
+            h -> (gs.size.toLong, gs.map(cp).sum)
+          }
+      def key(n: Int): Long =
+        if (toks.length < n) 0L
+        else groups(n).values.map { case (c, m) => c * (1L << 40) + m }.max
+      val dup3 =
+        if (toks.length < 3) 0L
+        else groups(3).values.collect { case (c, m) if c >= 2 => m }.sum
+      Seq(key(1), key(2), key(3), dup3)
+    }
+    val fixtures = Seq(
+      "a a a b", "x", "", "aa bb aa bb aa",
+      "p q r p q r p q r s",        // repeated 3-grams → dup3 > 0
+      "é ü é ü é",                   // non-ASCII mass counts codepoints
+      "one two three four five six")
+    fixtures.foreach { s =>
+      val got = graft.text.HashKernels.repStats(u8(s)).toLongArray().toSeq
+      assert(got === ref(s), s"repStats mismatch on '$s'")
+    }
+    // sanity: the all-repeats doc has top1 count 3 ("a" × 3)
+    val aKey = graft.text.HashKernels.repStats(u8("a a a b")).getLong(0)
+    assert(aKey >> 40 === 3L)
+  }
+
+  test("chunk dedup drops later exact chunk occurrences, global keep-first") {
+    import spark.implicits._
+    val W = PipelineQueries.ChunkTokens
+    def chunk(tag: String) = (1 to W).map(i => s"$tag$i").mkString(" ")
+    val (c1, c2, c3, c4) = (chunk("a"), chunk("b"), chunk("c"), chunk("d"))
+    val d = Seq(
+      (0L, s"$c1 $c2"),        // chunks: c1@0, c2@1
+      (1L, s"$c3 $c1"),        // c1 repeats cross-doc → (1,1) dropped
+      (2L, s"$c4 $c4")         // within-doc repeat → (2,1) dropped
+    ).toDF("doc_id", "text")
+    val dropped = PipelineQueries.dedupChunkDf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped === Set((1L, 1L), (2L, 1L)))
+  }
+
+  test("decontamination flags exactly the train docs sharing an eval gram") {
+    import spark.implicits._
+    val m = PipelineQueries.DecontEvalMod
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),       // eval (0 mod m)
+      (1L, "x1 alpha beta gamma delta epsilon x2"),      // shares 2 5-grams
+      (2L, "p q r s t u v"),                             // disjoint
+      (m.toLong, "p q r s t u v w")                      // eval too → doc 2 overlaps
+    ).toDF("doc_id", "text")
+    val got = PipelineQueries.decontaminateDf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc1: grams "alpha..epsilon" and "beta..zeta"? only the first is in doc0's
+    // gram set plus "alpha beta gamma delta epsilon" — count the shared ids
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === 1L)  // exactly one shared 5-gram with doc 0
+    assert(got(2L) === 3L)  // docs 2's three 5-grams all appear in doc m
+  }
+
   test("connected components: chains merge, clusters label by min member (both paths)") {
     import spark.implicits._
     // 1-2-3-7 is a 3-hop chain; 10-11 an independent pair; plus a longer

@@ -143,6 +143,23 @@ class PlanSpec extends AnyFunSuite {
       s"sampler gate left codegen:\n$p")
   }
 
+  test("repetition metrics are a zero-shuffle kernel pass up to presentation") {
+    val df = graft.harness.PipelineQueries.qualityRepetition(spark, sf)
+    assert(countExchanges(df) <= 1, // the orderBy itself
+      s"repetition plan shuffles beyond the presentation sort:\n${planString(df)}")
+    val p = planString(df)
+    assert(p.contains("graft_rep_stats") && !p.contains("ScalaUDF"),
+      s"repStats kernel left codegen:\n$p")
+  }
+
+  test("decontamination joins the eval grams by broadcast, never sort-merge") {
+    val p = planString(graft.harness.PipelineQueries.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval gram set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"decontamination fell back to a corpus-shuffling join:\n$p")
+  }
+
   test("pack assignment uses the two-pass prefix sum, never one task per language") {
     val df = graft.harness.PipelineQueries.packBudget(spark, sf)
     val p = planString(df)
