@@ -60,11 +60,61 @@ object WebQueries {
       .orderBy("term")
   }
 
+  /** Host regex shared verbatim by both engines (no parse_url in DuckDB —
+    * a common literal regex keeps the derivation identical). */
+  val HostRegex = "^https?://([^/]+)"
+
+  /** Host-level curation stats — the domain-granularity aggregation a web
+    * pipeline uses for blocklists / per-domain sampling decisions (C4-style
+    * curation operates per host): LWW-dedup per url, extract(html), count
+    * tokens, aggregate per host. The Spark side derives tokens from the
+    * EXTRACTED html; the oracle from the generator's ground-truth `text` —
+    * so the gate proves extraction byte-identity at host granularity too.
+    *
+    * 100-TB shape: the url window and the per-url crawl count share ONE
+    * hash exchange on url; the host rollup is a sum/count hash aggregation
+    * with map-side partials, so Zipf-skewed hosts (the web's shape) cost
+    * one combiner each per task, never a hot reducer of raw rows. */
+  def webHost(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
+    val wUrl = Window.partitionBy(col("url"))
+    webdocs(spark)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("url_crawls", count(lit(1)).over(wUrl))
+      .filter(col("_rn") === 1)
+      .withColumn("extracted", HtmlExtract.extractCol(col("html")))
+      .withColumn("n_tokens",
+        size(graft.index.TextIndex.analyzeStopUdf(col("extracted"))).cast("long"))
+      .select(regexp_extract(col("url"), HostRegex, 1).as("host"),
+        col("url_crawls"), col("n_tokens"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("url_crawls")).as("n_crawls"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("n_tokens")).cast("double") * 1e6 / count(lit(1)))
+          .cast("long").as("avg_tokens_x6"))
+      .orderBy("host")
+  }
+
   private val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
 
   def webLwwSql: String =
     s"""SELECT url, max(warc_ts) AS kept_ts, count(*)::BIGINT AS n_crawls
        |FROM read_parquet('$fixturePath/*.parquet') GROUP BY url ORDER BY url""".stripMargin
+
+  def webHostSql: String =
+    s"""WITH r AS (SELECT url, text,
+       |    row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn,
+       |    count(*) OVER (PARTITION BY url) AS url_crawls
+       |  FROM read_parquet('$fixturePath/*.parquet')),
+       |d AS (SELECT regexp_extract(url, '$HostRegex', 1) AS host, url_crawls,
+       |    len(list_filter(regexp_extract_all(text, '[a-z0-9]+'),
+       |        t -> t NOT IN ($stopIn)))::BIGINT AS n_tokens
+       |  FROM r WHERE rn = 1)
+       |SELECT host, count(*)::BIGINT AS n_urls, sum(url_crawls)::BIGINT AS n_crawls,
+       |  sum(n_tokens)::BIGINT AS sum_tokens,
+       |  CAST(round(sum(n_tokens) * 1000000.0 / count(*)) AS BIGINT) AS avg_tokens_x6
+       |FROM d GROUP BY host ORDER BY host""".stripMargin
 
   def webDfSql: String =
     s"""WITH d AS (

@@ -160,6 +160,17 @@ class PlanSpec extends AnyFunSuite {
       s"decontamination fell back to a corpus-shuffling join:\n$p")
   }
 
+  test("host rollup shares one url exchange and hash-aggregates with partials") {
+    val df = graft.harness.WebQueries.webHost(spark, sf)
+    // url windows (LWW rank + crawl count) share one exchange; host agg
+    // adds one; presentation sort one — anything more is a regression
+    assert(countExchanges(df) <= 3,
+      s"host rollup gained shuffles:\n${planString(df)}")
+    val p = planString(df)
+    assert(p.contains("HashAggregate"),
+      s"host rollup lost map-side partial aggregation:\n$p")
+  }
+
   test("pack assignment uses the two-pass prefix sum, never one task per language") {
     val df = graft.harness.PipelineQueries.packBudget(spark, sf)
     val p = planString(df)
