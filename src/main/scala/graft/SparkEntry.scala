@@ -61,6 +61,7 @@ object SparkEntry {
     "q_field_dismax" -> FieldedQueries.fieldDisMax _,
     "q_field_match_and" -> FieldedQueries.fieldMatchAnd _,
     "q_field_phrase" -> FieldedQueries.fieldPhrase _,
+    "q_field_bool_phrase" -> FieldedQueries.fieldBoolPhrase _,
     "q_field_filtered" -> FieldedQueries.fieldFiltered _,
     "q_web_host" -> WebQueries.webHost _,
     "q_quality_rep" -> PipelineQueries.qualityRepetition _,
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_field_dismax" -> FieldedQueries.fieldDisMaxSql,
     "q_field_match_and" -> FieldedQueries.fieldMatchAndSql,
     "q_field_phrase" -> FieldedQueries.fieldPhraseSql,
+    "q_field_bool_phrase" -> FieldedQueries.fieldBoolPhraseSql,
     "q_field_filtered" -> FieldedQueries.fieldFilteredSql,
     "q_web_host" -> WebQueries.webHostSql,
     "q_quality_rep" -> PipelineQueries.qualityRepetitionSql,

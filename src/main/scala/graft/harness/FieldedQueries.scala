@@ -225,6 +225,31 @@ object FieldedQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Bool-with-phrase clauses (Lucene bool-over-phrase): qid 1 sums the
+    * citation match leg with a MASS phrase clause ("second title" — every
+    * doc, pf=1, scores split only by dl — a hard tie-break exercise); qid 2
+    * pairs the same leg with the SELECTIVE phrase "title 42" under
+    * minimum_should_match=2, so only the doc matching BOTH clauses
+    * survives (msm must count position-CONFIRMED phrases, not term
+    * conjunctions). */
+  val BoolPhraseMass = "second title"
+  val BoolPhraseSelective = "title 42"
+
+  def fieldBoolPhrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val bib = Seq((spec("bibliographic"), MultiLegs(0)._2))
+    val q1 = FieldedIndex.boolQuery(spark, dir, bib,
+      Seq((spec("title"), BoolPhraseMass)), K)
+      .withColumn("qid", lit(1L))
+    val q2 = FieldedIndex.boolQuery(spark, dir, bib,
+      Seq((spec("title"), BoolPhraseSelective)), K, minShouldMatch = 2)
+      .withColumn("qid", lit(2L))
+    q1.unionByName(q2)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Filter-context + query-context bool: title match restricted to the
     * year-1997 cohort. */
   def fieldFiltered(spark: SparkSession, sfDir: String): DataFrame = {
@@ -448,6 +473,105 @@ object FieldedQueries {
        |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
        |${blocks.mkString(",\n")},
        |scored AS ($unionScored),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Bool-with-phrase replay: the bibliographic leg CTE block (field stats
+    * over the bib sub-corpus, [[fieldMultiSql]]'s shape) UNION'd with
+    * phrase-clause scores from the positional title machinery
+    * ([[fieldPhraseSql]]'s shape); qid 1 = plain sum, qid 2 = HAVING
+    * count(*) >= 2 (minimum_should_match over clause rows — each clause
+    * CTE emits ≤1 row per doi, phrase rows only at pf > 0). */
+  def fieldBoolPhraseSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val gap = Analyzer.PositionIncrementGap
+    val bibW = {
+      import scala.jdk.CollectionConverters._
+      val (_, counts) = Analyzer.chainCounts(Analyzer.TextStop,
+        Iterator(MultiLegs(0)._2))
+      counts.entrySet().asScala.map(e =>
+        e.getKey -> e.getValue.intValue()).toSeq.sortBy(_._1)
+    }
+    val bqvals = bibW.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    def phraseBlock(pid: Int, text: String): String = {
+      val occs = Analyzer.analyzeChainPos(Analyzer.TextStop, text)
+      require(occs.nonEmpty, s"phrase $pid analyzed to nothing")
+      val base = occs(0)._2
+      val joins = occs.zipWithIndex.drop(1).map { case ((t, p), j) =>
+        s"  JOIN tok t$j ON t$j.doi = t0.doi AND t$j.pos = t0.pos + ${p - base} AND t$j.term = '$t'"
+      }.mkString("\n")
+      val qterms = occs.map { case (t, _) => s"('$t')" }.mkString(", ")
+      s"""p${pid}_t(term) AS (VALUES $qterms),
+         |p${pid}_sidf AS (
+         |  SELECT sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS sidf
+         |  FROM p${pid}_t q JOIN dft ON dft.term = q.term CROSS JOIN stats s),
+         |p${pid}_occ AS (SELECT t0.doi, t0.pos FROM tok t0
+         |$joins
+         |  WHERE t0.term = '${occs(0)._1}'),
+         |p${pid}_pf AS (SELECT doi, count(*)::BIGINT AS pf FROM p${pid}_occ GROUP BY doi),
+         |p${pid}_leg AS (SELECT pf.doi,
+         |    si.sidf * (pf.pf / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS c
+         |  FROM p${pid}_pf pf
+         |  JOIN dl ON dl.doi = pf.doi
+         |  CROSS JOIN stats s CROSS JOIN p${pid}_sidf si)""".stripMargin
+    }
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'author':'STRUCT(given VARCHAR, family VARCHAR, sequence VARCHAR)[]',
+       |    'container-title':'VARCHAR[]','short-container-title':'VARCHAR[]',
+       |    'volume':'VARCHAR','issue':'VARCHAR','page':'VARCHAR'$dateCols})),
+       |base AS (SELECT DOI AS doi, ${Oracle.bibliographicExpr} AS bib, title FROM src),
+       |b_tok AS (SELECT doi, t AS term FROM
+       |            (SELECT doi, unnest(string_split(lower(bib), ' ')) AS t FROM base)
+       |          WHERE t <> '' AND t NOT IN ($stopIn)),
+       |b_tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM b_tok GROUP BY 1, 2),
+       |b_dft AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY term),
+       |b_dl AS (SELECT doi, count(*)::BIGINT AS dl FROM b_tok GROUP BY doi),
+       |b_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM b_dl),
+       |b_q(term, w) AS (VALUES $bqvals),
+       |b_leg AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS c
+       |  FROM b_q q
+       |  JOIN b_tf tf ON tf.term = q.term
+       |  JOIN b_dft dft ON dft.term = q.term
+       |  JOIN b_dl dl ON dl.doi = tf.doi
+       |  CROSS JOIN b_stats s
+       |  GROUP BY tf.doi),
+       |tsrc AS (SELECT doi, title FROM base
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |vals AS (SELECT doi, v, string_split(lower(el), ' ') AS toks FROM
+       |          (SELECT doi, unnest(title) AS el,
+       |                  unnest(range(len(title))) AS v FROM tsrc) u),
+       |offs AS (SELECT doi, v, toks,
+       |    coalesce(sum(len(toks) + $gap) OVER (PARTITION BY doi ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM vals),
+       |tok0 AS (SELECT doi, off + unnest(range(len(toks))) AS pos,
+       |                unnest(toks) AS term FROM offs),
+       |tok AS (SELECT doi, pos, term FROM tok0
+       |        WHERE term <> '' AND term NOT IN ($stopIn)),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM tsrc s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |${phraseBlock(1, BoolPhraseMass)},
+       |${phraseBlock(2, BoolPhraseSelective)},
+       |q1s AS (SELECT doi, sum(c) AS score FROM
+       |          (SELECT doi, c FROM b_leg UNION ALL
+       |           SELECT doi, c FROM p1_leg) u GROUP BY doi),
+       |q2s AS (SELECT doi, sum(c) AS score FROM
+       |          (SELECT doi, c FROM b_leg UNION ALL
+       |           SELECT doi, c FROM p2_leg) u GROUP BY doi
+       |        HAVING count(*) >= 2),
+       |scored AS (SELECT 1 AS qid, doi, score FROM q1s UNION ALL
+       |           SELECT 2 AS qid, doi, score FROM q2s),
        |ranked AS (
        |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
        |         row_number() OVER (PARTITION BY qid

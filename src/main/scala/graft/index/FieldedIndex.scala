@@ -359,6 +359,62 @@ object FieldedIndex {
     Searcher.multiSearch(mh, mlegs, k, minShouldMatch)
   }
 
+  /** ES bool query mixing match should-legs and match_phrase clauses —
+    * Lucene's bool-over-phrase: a PhraseQuery is a clause scorer like any
+    * other, so phrase clauses ride the SAME combined-bound WAND pivot walk
+    * as the match legs (their approximation is the term conjunction,
+    * positions confirm lazily — the TwoPhaseIterator model), θ = kth-best
+    * sum over ALL clauses. Each clause analyzes with its field's chain and
+    * scores under that field's stats; `minShouldMatch` counts phrase
+    * clauses too. Returns (rnk, doc_id, score_x6). */
+  def boolQuery(spark: SparkSession, indexDir: String,
+                legs: Seq[(FieldSpec, String)],
+                phraseLegs: Seq[(FieldSpec, String)], k: Int,
+                minShouldMatch: Int = 1): DataFrame = {
+    val mlegs = legs.map { case (spec, text) =>
+      Searcher.MultiLeg(spec.field, termWeights(spec, text))
+    }
+    val plegs = phraseLegs.map { case (spec, text) =>
+      Searcher.PhraseLeg(spec.field, Analyzer.analyzeChainPos(spec.chain, text))
+    }
+    val mh = multiHandleFor(spark, indexDir,
+      (legs.map(_._1.field) ++ phraseLegs.map(_._1.field)).distinct)
+    Searcher.multiSearch(mh, mlegs, k, minShouldMatch, phraseLegs = plegs)
+  }
+
+  /** The declarative twin of [[boolQuery]] (full per-clause score lists —
+    * match legs via [[Searcher.contribs]], phrase clauses via
+    * [[Searcher.phraseContribs]] — Catalyst hash-agg sum with a
+    * matched-clause count for minimum_should_match) — the rank-identity
+    * reference for the kernel path; exact but unpruned. */
+  def boolQueryNaive(spark: SparkSession, indexDir: String,
+                     legs: Seq[(FieldSpec, String)],
+                     phraseLegs: Seq[(FieldSpec, String)], k: Int,
+                     minShouldMatch: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val matchC = legs.zipWithIndex.map { case ((spec, text), li) =>
+      Searcher.contribs(handleFor(spark, indexDir, spec.field),
+        termWeights(spec, text)).withColumn("leg", lit(li))
+    }
+    val phraseC = phraseLegs.zipWithIndex.map { case ((spec, text), pi) =>
+      Searcher.phraseContribs(handleFor(spark, indexDir, spec.field),
+        Analyzer.analyzeChainPos(spec.chain, text))
+        .withColumn("leg", lit(legs.size + pi))
+    }
+    (matchC ++ phraseC).reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"),
+        countDistinct(col("leg")).as("nlegs"))
+      .where(col("nlegs") >= minShouldMatch)
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x6").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** ES match query with `operator: and` — every analyzed term must match
     * (the default `or` is [[searchField]]). Expressed through the bool
     * kernel: each term is its own should-leg of the SAME field and

@@ -57,13 +57,44 @@ object BlockMaxWand {
   final case class Cursor(blocks: IndexedSeq[PostingBlock], idf: Double,
       weight: Int, avgdl: Double, tightBounds: Boolean, leg: Int = 0)
 
+  /** A match_phrase clause inside a bool query: per unique phrase term its
+    * blocks within the current shard, the occurrence list as (unique-term
+    * index, relative tokenizer offset), and the phrase's summed idf. The
+    * kernel walks it as ONE composite cursor (Lucene's bool-over-phrase:
+    * the PhraseQuery is a clause scorer like any other). */
+  final case class PhraseCursor(termBlocks: IndexedSeq[IndexedSeq[PostingBlock]],
+      occTerm: Array[Int], occOff: Array[Int], sumIdf: Double,
+      avgdl: Double, tightBounds: Boolean, leg: Int = 0)
+
   private final val Slack = 0.6e-6 // half a micro-unit + FP headroom
+
+  /** One scoring cursor of the pivot walk — a term's postings or a
+    * composite (phrase) clause. The walk needs exactly this surface; every
+    * bound method must upper-bound the cursor's exact contribution. */
+  private sealed abstract class ScoreIter(val leg: Int) {
+    /** Global upper bound of this cursor's contribution to any doc. */
+    def ub: Double
+    def curDoc: Long
+    /** Upper bound for docs >= d from block-max metadata. */
+    def blockUbAt(d: Long): Double
+    /** First doc beyond the block containing/following d (skip target). */
+    def blockBoundary(d: Long): Long
+    /** Exact contribution at curDoc (only called when matches). */
+    def score: Double
+    /** Two-phase confirm (Lucene TwoPhaseIterator): curDoc may sit on an
+      * APPROXIMATION superset (a phrase's term conjunction); matches runs
+      * the exact check (position alignment). Term cursors always match. */
+    def matches: Boolean
+    def next(): Unit
+    def advanceTo(d: Long): Unit
+  }
 
   /** Cursor over one term's blocks; skips whole blocks via last_doc_id
     * without decoding (the block-max skip). */
   private final class TermIter(blocks: IndexedSeq[PostingBlock],
                                val idf: Double, val weight: Int, avgdl: Double,
-                               tightBounds: Boolean, val leg: Int = 0) {
+                               tightBounds: Boolean, leg0: Int = 0)
+      extends ScoreIter(leg0) {
     // When the index contains streamed appends, global avgdl has shifted
     // since blocks were encoded, so the stored (avgdl-dependent) max_tf_norm
     // may no longer upper-bound true scores. The fallback bound
@@ -77,7 +108,9 @@ object BlockMaxWand {
     private var ids: Array[Long] = _
     private var tfs: Array[Int] = _
     private var dls: Array[Int] = _
+    private var poss: Array[Array[Int]] = _
     private var decodedBi = -1
+    private var decodedPosBi = -1
 
     val ub: Double = { // global term upper bound
       var m = 0.0; var i = 0
@@ -124,6 +157,23 @@ object BlockMaxWand {
       weight * idf * Bm25.tfNorm(tfs(pi).toDouble, dls(pi).toDouble, avgdl)
     }
 
+    def matches: Boolean = true
+
+    /** Doc length of the current posting (phrase composite scoring). */
+    def dl: Int = { decode(); dls(pi) }
+
+    /** Positions of the current posting; requires a positioned build. */
+    def positions: Array[Int] = {
+      decode()
+      if (decodedPosBi != bi) {
+        poss = Codec.decodePositions(blocks(bi).pos, tfs)
+        decodedPosBi = bi
+      }
+      require(poss != null,
+        "index stores no positions (index_options docs/freqs) — phrase clauses need a positioned build")
+      poss(pi)
+    }
+
     def next(): Unit = {
       decode()
       pi += 1
@@ -146,6 +196,129 @@ object BlockMaxWand {
     }
   }
 
+  /** Composite two-phase cursor for a match_phrase clause — Lucene's
+    * PhraseScorer as a WANDScorer clause (bool-over-phrase). The
+    * APPROXIMATION is the leapfrog conjunction of the phrase's unique terms
+    * (curDoc = next doc containing all of them, candidates bounded by the
+    * rarest term); [[matches]] confirms position alignment lazily and
+    * caches the phrase frequency (Lucene TwoPhaseIterator). Every bound is
+    * sumIdf · min over terms of the term's RAW block bound — valid because
+    * phraseFreq ≤ tf of every phrase term and tfNorm is monotone in tf, so
+    * sumIdf·tfNorm(pf, dl) ≤ sumIdf·tfNorm(tf_i, dl) ≤ sumIdf·bound_i for
+    * each i. Boundaries take the min over terms, so the shallow-check
+    * contract ("bound valid through blockBoundary") is inherited from the
+    * per-term cursors. */
+  private final class PhraseIter(pc: PhraseCursor) extends ScoreIter(pc.leg) {
+    // inner cursors with idf=1, weight=1: their ub/blockUbAt are RAW tfNorm
+    // bounds, scaled by the phrase's summed idf here
+    private val inner: Array[TermIter] =
+      pc.termBlocks.iterator.map(bs =>
+        new TermIter(bs, 1.0, 1, pc.avgdl, pc.tightBounds)).toArray
+    private var alignedDoc = Long.MaxValue
+    private var pf = -1
+    realign()
+
+    val ub: Double = {
+      var m = Double.MaxValue
+      var i = 0
+      while (i < inner.length) { if (inner(i).ub < m) m = inner(i).ub; i += 1 }
+      pc.sumIdf * m
+    }
+
+    /** Leapfrog the conjunction to the next doc all terms share. */
+    private def realign(): Unit = {
+      pf = -1
+      var d = 0L
+      var i = 0
+      while (i < inner.length) {
+        val c = inner(i).curDoc
+        if (c > d) d = c
+        i += 1
+      }
+      while (d != Long.MaxValue) {
+        var m = d
+        i = 0
+        while (i < inner.length) {
+          inner(i).advanceTo(d)
+          val c = inner(i).curDoc
+          if (c > m) m = c
+          i += 1
+        }
+        if (m == d) { alignedDoc = d; return }
+        d = m
+      }
+      alignedDoc = Long.MaxValue
+    }
+
+    def curDoc: Long = alignedDoc
+
+    def blockUbAt(d: Long): Double = {
+      var m = Double.MaxValue
+      var i = 0
+      while (i < inner.length) {
+        val b = inner(i).blockUbAt(d)
+        if (b < m) m = b
+        i += 1
+      }
+      pc.sumIdf * m
+    }
+
+    def blockBoundary(d: Long): Long = {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < inner.length) {
+        val b = inner(i).blockBoundary(d)
+        if (b < m) m = b
+        i += 1
+      }
+      m
+    }
+
+    /** Position confirm at the aligned doc: count starts s in the lead
+      * occurrence's positions where every other occurrence has its term at
+      * s + relative offset (the exact PhraseScorer alignment — stopword
+      * gaps and the multi-value increment gap are baked into the offsets
+      * and the stored positions). */
+    def matches: Boolean = {
+      if (pf < 0) {
+        val lead = inner(pc.occTerm(0)).positions
+        var c = 0
+        var i = 0
+        while (i < lead.length) {
+          val s = lead(i)
+          var ok = true
+          var j = 1
+          while (ok && j < pc.occTerm.length) {
+            ok = java.util.Arrays.binarySearch(
+              inner(pc.occTerm(j)).positions, s + pc.occOff(j)) >= 0
+            j += 1
+          }
+          if (ok) c += 1
+          i += 1
+        }
+        pf = c
+      }
+      pf > 0
+    }
+
+    def score: Double =
+      pc.sumIdf * Bm25.tfNorm(pf.toDouble, inner(0).dl.toDouble, pc.avgdl)
+
+    def next(): Unit = {
+      val t = alignedDoc + 1
+      var i = 0
+      while (i < inner.length) { inner(i).advanceTo(t); i += 1 }
+      realign()
+    }
+
+    def advanceTo(d: Long): Unit = {
+      if (alignedDoc >= d) return
+      var i = 0
+      while (i < inner.length) { inner(i).advanceTo(d); i += 1 }
+      realign()
+    }
+  }
+
   /** Run one query against one shard's blocks. Returns up to k
     * (doc_id, exact score) hits — unordered; the caller applies the global
     * deterministic ordering.
@@ -165,9 +338,9 @@ object BlockMaxWand {
   def scoreShard(q: WandQuery, blocksByTerm: Map[String, IndexedSeq[PostingBlock]],
                  avgdl: Double, k: Int, tightBounds: Boolean = true,
                  shared: AtomicLong = null): Array[(Long, Double)] = {
-    val iters: Array[TermIter] = q.terms.flatMap { t =>
+    val iters: Array[ScoreIter] = q.terms.flatMap { t =>
       blocksByTerm.get(t.term).map(bs =>
-        new TermIter(bs, t.idf, t.weight, avgdl, tightBounds))
+        new TermIter(bs, t.idf, t.weight, avgdl, tightBounds): ScoreIter)
     }
     run(iters, Array.empty, k, 1, shared)
   }
@@ -192,19 +365,28 @@ object BlockMaxWand {
   def scoreCursors(cursors: Seq[Cursor], filters: Seq[IndexedSeq[PostingBlock]],
                    k: Int, minShouldMatch: Int = 1,
                    shared: AtomicLong = null,
-                   disMaxTieBreaker: Double = -1.0): Array[(Long, Double)] = {
-    require(cursors.forall(c => c.leg >= 0 && c.leg < 64),
+                   disMaxTieBreaker: Double = -1.0,
+                   phrases: Seq[PhraseCursor] = Seq.empty): Array[(Long, Double)] = {
+    require(cursors.forall(c => c.leg >= 0 && c.leg < 64) &&
+      phrases.forall(p => p.leg >= 0 && p.leg < 64),
       "leg ids must fit the minimum_should_match bitmask (0..63)")
     require(disMaxTieBreaker <= 1.0,
       "dis_max tie_breaker must be ≤ 1 (θ pruning bounds by the leg SUM)")
-    val iters = cursors.map(c =>
-      new TermIter(c.blocks, c.idf, c.weight, c.avgdl, c.tightBounds, c.leg))
-      .toArray
+    require(phrases.forall(p => p.occTerm.nonEmpty && p.termBlocks.nonEmpty),
+      "phrase clauses need ≥1 occurrence and the blocks of every unique term")
+    // cursor order = (term cursors in caller order, then phrase cursors):
+    // the kernel's FP sum order — and so the exact emitted doubles — is
+    // deterministic across runs
+    val iters: Array[ScoreIter] =
+      (cursors.iterator.map(c =>
+        new TermIter(c.blocks, c.idf, c.weight, c.avgdl, c.tightBounds,
+          c.leg): ScoreIter) ++
+       phrases.iterator.map(p => new PhraseIter(p): ScoreIter)).toArray
     val fits = filters.map(b => new TermIter(b, 0.0, 0, 1.0, true)).toArray
     run(iters, fits, k, minShouldMatch, shared, disMaxTieBreaker)
   }
 
-  private def run(iters: Array[TermIter], filters: Array[TermIter], k: Int,
+  private def run(iters: Array[ScoreIter], filters: Array[TermIter], k: Int,
                   msm: Int, shared: AtomicLong,
                   disMaxTb: Double = -1.0): Array[(Long, Double)] = {
     if (iters.isEmpty) return Array.empty
@@ -353,9 +535,14 @@ object BlockMaxWand {
           while (m < n) {
             val it = iters(sorted(m))
             if (it.curDoc == pivot) {
-              val c = it.score
-              if (disMax) legSums(it.leg) += c else s += c
-              legMask |= 1L << it.leg
+              // two-phase confirm: a phrase cursor's curDoc is its term
+              // CONJUNCTION (approximation); only a position-confirmed
+              // match scores and counts toward minimum_should_match
+              if (it.matches) {
+                val c = it.score
+                if (disMax) legSums(it.leg) += c else s += c
+                legMask |= 1L << it.leg
+              }
               it.next()
             }
             m += 1

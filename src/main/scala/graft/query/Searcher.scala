@@ -102,9 +102,22 @@ object Searcher {
   /** One bool/should leg: a field plus its analyzed term→weight bag. */
   final case class MultiLeg(field: String, termWeights: Map[String, Int])
 
+  /** One match_phrase clause of a bool query: a field plus the phrase's
+    * analyzed occurrence list (term, tokenizer position) — the
+    * [[graft.analysis.Analyzer.analyzeChainPos]] output, stopword gaps
+    * preserved. */
+  final case class PhraseLeg(field: String, occs: Array[(String, Int)])
+
   /** Serializable per-cursor spec shipped to the scoring fan-out. */
   private final case class CursorSpec(key: String, idf: Double, weight: Int,
       avgdl: Double, tight: Boolean, leg: Int)
+
+  /** Serializable phrase-clause spec: field-qualified keys of the phrase's
+    * UNIQUE terms, the occurrence list as (unique-term index, offset
+    * relative to the first occurrence), and the clause's scoring stats. */
+  private final case class PhraseSpec(keys: Array[String], occTerm: Array[Int],
+      occOff: Array[Int], sumIdf: Double, avgdl: Double, tight: Boolean,
+      leg: Int)
 
   /** Open a multi-field handle over per-field sub-index directories
     * (field → dir). Includes committed streamed segments per field; each
@@ -146,13 +159,16 @@ object Searcher {
   def multiSearch(mh: MultiHandle, legs: Seq[MultiLeg], k: Int,
                   minShouldMatch: Int = 1,
                   filter: Option[(String, Seq[String])] = None,
-                  disMaxTieBreaker: Double = -1.0): DataFrame = {
+                  disMaxTieBreaker: Double = -1.0,
+                  phraseLegs: Seq[PhraseLeg] = Seq.empty): DataFrame = {
     val filterKeys: Array[String] = filter.toArray.flatMap { case (f, vs) =>
       vs.map(v => f + FieldSep + v)
     }
     val legKeys = legs.flatMap(l => l.termWeights.keys.map(l.field + FieldSep + _))
+    val phraseKeys = phraseLegs.flatMap(p =>
+      p.occs.map(o => p.field + FieldSep + o._1))
     val dfByKey = resolveDfs(mh.shards, mh.dfCache,
-      (legKeys ++ filterKeys).distinct.toArray)
+      (legKeys ++ phraseKeys ++ filterKeys).distinct.toArray)
     // cursor order fixed as (leg, term): the kernel's FP sum order — and so
     // the exact emitted doubles — is deterministic across runs
     val specs: Array[CursorSpec] = legs.zipWithIndex.flatMap { case (l, li) =>
@@ -163,6 +179,22 @@ object Searcher {
             Bm25.idf(st.n_docs, dfByKey(l.field + FieldSep + t)), w,
             st.avgdl, mh.fieldTight(l.field), li)
       }
+    }.toArray
+    // phrase clauses number their legs AFTER the should-legs; a clause with
+    // any corpus-absent term matches nothing (conjunction) and is dropped
+    val phraseSpecs: Array[PhraseSpec] = phraseLegs.zipWithIndex.flatMap {
+      case (pl, pi) if pl.occs.nonEmpty &&
+          pl.occs.forall(o => dfByKey.contains(pl.field + FieldSep + o._1)) =>
+        val st = mh.fieldStats(pl.field)
+        val uniq = pl.occs.map(_._1).distinct
+        val tIdx = uniq.zipWithIndex.toMap
+        val base = pl.occs(0)._2
+        Some(PhraseSpec(uniq.map(pl.field + FieldSep + _),
+          pl.occs.map(o => tIdx(o._1)), pl.occs.map(_._2 - base),
+          pl.occs.iterator.map(o =>
+            Bm25.idf(st.n_docs, dfByKey(pl.field + FieldSep + o._1))).sum,
+          st.avgdl, mh.fieldTight(pl.field), legs.length + pi))
+      case _ => None
     }.toArray
     val hasFilter = filter.isDefined
     val kk = k
@@ -183,11 +215,22 @@ object Searcher {
         if (tp == null) None
         else Some(ArraySeq.unsafeWrapArray(tp.blocks): IndexedSeq[PostingBlock])
       }
-      if (cursors.isEmpty || (hasFilter && fblocks.isEmpty)) Iterator.empty
+      // a phrase clause needs EVERY unique term present in this shard
+      // (conjunction); otherwise it matches nothing here
+      val phraseCursors = phraseSpecs.flatMap { ps =>
+        val tbs = ps.keys.map(si.terms.get)
+        if (tbs.exists(_ == null)) None
+        else Some(BlockMaxWand.PhraseCursor(
+          ArraySeq.unsafeWrapArray(tbs.map(tp =>
+            ArraySeq.unsafeWrapArray(tp.blocks): IndexedSeq[PostingBlock])),
+          ps.occTerm, ps.occOff, ps.sumIdf, ps.avgdl, ps.tight, ps.leg))
+      }
+      if ((cursors.isEmpty && phraseCursors.isEmpty) ||
+          (hasFilter && fblocks.isEmpty)) Iterator.empty
       else BlockMaxWand.scoreCursors(ArraySeq.unsafeWrapArray(cursors),
         ArraySeq.unsafeWrapArray(fblocks), kk, msm,
         if (shareTheta) BlockMaxWand.ThetaBoards.boardFor(runId) else null,
-        tb)
+        tb, ArraySeq.unsafeWrapArray(phraseCursors))
         .iterator.map { case (d, s) => (0, d, s) }
     }
 
@@ -579,6 +622,30 @@ object Searcher {
             (ids(i), iw * Bm25.tfNorm(tfs(i).toDouble, dls(i).toDouble, avgdl)))
         }
       }
+    }.toDF("doc_id", "contrib")
+  }
+
+  /** Full per-doc phrase score list against this handle's index — the
+    * naive twin of a phrase CLAUSE: every conjunction doc is position-
+    * confirmed and scored (exact but unpruned; the production path is the
+    * PhraseIter clause inside the combined-bound WAND). Emits (doc_id,
+    * contrib) for pf > 0 docs only, so a downstream leg count sees phrase
+    * clauses exactly like match legs. Distributed end to end. */
+  def phraseContribs(h: Handle, occs: Array[(String, Int)]): DataFrame = {
+    import h.spark.implicits._
+    val empty = h.spark.emptyDataset[(Long, Double)].toDF("doc_id", "contrib")
+    if (occs.isEmpty) return empty
+    val dfByTerm = resolveDfs(h, occs.map(_._1).distinct)
+    if (!occs.forall(o => dfByTerm.contains(o._1))) return empty
+    val nDocs = h.stats.n_docs
+    val avgdl = h.stats.avgdl
+    val sumIdf = occs.iterator.map(o => Bm25.idf(nDocs, dfByTerm(o._1))).sum
+    h.shards.flatMap { si =>
+      val lookup: String => Array[PostingBlock] = t => {
+        val tp = si.terms.get(t)
+        if (tp == null) null else tp.blocks
+      }
+      Phrase.scoreShard(lookup, occs, sumIdf, avgdl, Int.MaxValue).iterator
     }.toDF("doc_id", "contrib")
   }
 

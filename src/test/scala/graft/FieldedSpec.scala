@@ -224,6 +224,29 @@ class FieldedSpec extends AnyFunSuite {
         rows(FieldedIndex.disMaxNaive(spark, idx, legs, 10, tb)), s"tb=$tb")
   }
 
+  test("bool-with-phrase: kernel == naive twin; msm counts confirmed phrases only") {
+    val mlegs = FieldedQueries.MultiLegs.take(1).map { case (f, t) => (spec(f), t) }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_x6"))).toSeq.sorted
+    // mass phrase (every doc, pf=1) and selective phrase, both msm values
+    for (phrase <- Seq(FieldedQueries.BoolPhraseMass,
+                       FieldedQueries.BoolPhraseSelective); msm <- Seq(1, 2)) {
+      val plegs = Seq((spec("title"), phrase))
+      assert(rows(FieldedIndex.boolQuery(spark, idx, mlegs, plegs, 10, msm)) ===
+        rows(FieldedIndex.boolQueryNaive(spark, idx, mlegs, plegs, 10, msm)),
+        s"phrase='$phrase' msm=$msm")
+    }
+    // cross-value phrase ("title second" is only adjacent across the value
+    // boundary): the clause term-CONJUNCTION holds everywhere but positions
+    // never confirm — msm=2 must yield nothing, msm=1 must degrade to the
+    // match leg alone
+    val crossVal = Seq((spec("title"), "title second"))
+    assert(FieldedIndex.boolQuery(spark, idx, mlegs, crossVal, 10, 2).count() === 0L)
+    assert(rows(FieldedIndex.boolQuery(spark, idx, mlegs, crossVal, 10, 1)) ===
+      rows(FieldedIndex.multiMatch(spark, idx, mlegs, 10)))
+  }
+
   test("match operator=and: all terms required, score is the ordinary BM25 sum") {
     // "second title 42": OR-match hits every doc; AND-match only doc 42
     val and = FieldedIndex.matchAnd(spark, idx, spec("title"),
