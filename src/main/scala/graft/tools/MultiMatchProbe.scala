@@ -84,10 +84,31 @@ object MultiMatchProbe {
         time(FieldedIndex.phraseMatch(spark, dir, title, phrases, 10).count()))
     System.err.println(f"[ab phrase] docs=$n 2-phrase batch min=$ph%.3fs")
 
+    // bool-with-phrase (phrase clause as a WAND cursor): citation leg +
+    // mass phrase ("second title" matches every doc, pf=1 — the hardest
+    // pruning shape) vs the naive full-decode twin
+    val bpLegs = Seq(spec("bibliographic") ->
+      "fam123456 Record 123456 title Journal 456")
+    val bpPhrase = Seq(title -> "second title")
+    FieldedIndex.boolQueryNaive(spark, dir, bpLegs, bpPhrase, 10).count() // warm
+    FieldedIndex.boolQuery(spark, dir, bpLegs, bpPhrase, 10).count()
+    var (bpN, bpK) = (Double.MaxValue, Double.MaxValue)
+    for (r <- 1 to 3) {
+      val a = time(FieldedIndex.boolQueryNaive(spark, dir, bpLegs, bpPhrase, 10).count())
+      val b = time(FieldedIndex.boolQuery(spark, dir, bpLegs, bpPhrase, 10).count())
+      bpN = math.min(bpN, a); bpK = math.min(bpK, b)
+      System.err.println(f"[ab r$r] boolPhrase naive=$a%.3fs kernel=$b%.3fs")
+    }
+    System.err.println(
+      f"[ab boolPhrase] docs=$n naive=$bpN%.3fs kernel=$bpK%.3fs (${bpN / bpK}%.2fx)")
+
     // sanity: identical results
     val kr = FieldedIndex.multiMatch(spark, dir, legs, 10).collect().toSeq
     val nr = FieldedIndex.multiMatchNaive(spark, dir, legs, 10).collect().toSeq
     require(kr == nr, s"rank mismatch:\n$kr\n$nr")
+    val bkr = FieldedIndex.boolQuery(spark, dir, bpLegs, bpPhrase, 10).collect().toSeq
+    val bnr = FieldedIndex.boolQueryNaive(spark, dir, bpLegs, bpPhrase, 10).collect().toSeq
+    require(bkr == bnr, s"boolPhrase rank mismatch:\n$bkr\n$bnr")
     System.err.println(
       f"[ab min] docs=$n multiMatch naive=$mmN%.3fs kernel=$mmK%.3fs (${mmN / mmK}%.2fx) | " +
       f"filtered naive=$flN%.3fs kernel=$flK%.3fs (${flN / flK}%.2fx)")
