@@ -250,6 +250,27 @@ object FieldedQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Full ES bool (all four clause contexts in one query): must =
+    * selective bibliographic match (docs 123/223/323 via three author
+    * family tokens), should = title match (adds a leg score where it
+    * matches), must_not = year 1993 (excludes doc 123 of the must cohort).
+    * Expected: docs 223 and 323, ranked by must + should sum. */
+  val BoolFullMust = "fam123 fam223 fam323"
+  val BoolFullShould = "title 42"
+  val BoolFullMustNotYear = "1993"
+
+  def fieldBoolFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.esBool(spark, dir,
+      must = Seq((spec("bibliographic"), BoolFullMust)),
+      should = Seq((spec("title"), BoolFullShould)),
+      mustNot = Some((spec("year"), Seq(BoolFullMustNotYear))),
+      k = K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   /** Filter-context + query-context bool: title match restricted to the
     * year-1997 cohort. */
   def fieldFiltered(spark: SparkSession, sfDir: String): DataFrame = {
@@ -579,6 +600,78 @@ object FieldedQueries {
        |  FROM scored)
        |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
        |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Full-ES-bool replay: the must leg (bibliographic, its own field
+    * stats) INNER-drives the result set; the should leg (title stats)
+    * LEFT-joins in (coalesce 0 — optional, unranked docs keep their must
+    * score); must_not is a NOT IN over the year cohort. Score =
+    * must + coalesce(should). */
+  def fieldBoolFullSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    def weights(text: String): Seq[(String, Int)] = {
+      import scala.jdk.CollectionConverters._
+      val (_, counts) = Analyzer.chainCounts(Analyzer.TextStop, Iterator(text))
+      counts.entrySet().asScala.map(e =>
+        e.getKey -> e.getValue.intValue()).toSeq.sortBy(_._1)
+    }
+    def qvals(ws: Seq[(String, Int)]): String =
+      ws.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val yt = Analyzer.analyzeKeywordFold(BoolFullMustNotYear)
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'author':'STRUCT(given VARCHAR, family VARCHAR, sequence VARCHAR)[]',
+       |    'container-title':'VARCHAR[]','short-container-title':'VARCHAR[]',
+       |    'volume':'VARCHAR','issue':'VARCHAR','page':'VARCHAR'$dateCols})),
+       |base AS (SELECT DOI AS doi, ${Oracle.bibliographicExpr} AS bib, title,
+       |  CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y FROM src),
+       |b_tok AS (SELECT doi, t AS term FROM
+       |            (SELECT doi, unnest(string_split(lower(bib), ' ')) AS t FROM base)
+       |          WHERE t <> '' AND t NOT IN ($stopIn)),
+       |b_tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM b_tok GROUP BY 1, 2),
+       |b_dft AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY term),
+       |b_dl AS (SELECT doi, count(*)::BIGINT AS dl FROM b_tok GROUP BY doi),
+       |b_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM b_dl),
+       |b_q(term, w) AS (VALUES ${qvals(weights(BoolFullMust))}),
+       |b_leg AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS c
+       |  FROM b_q q
+       |  JOIN b_tf tf ON tf.term = q.term
+       |  JOIN b_dft dft ON dft.term = q.term
+       |  JOIN b_dl dl ON dl.doi = tf.doi
+       |  CROSS JOIN b_stats s
+       |  GROUP BY tf.doi),
+       |tsrc AS (SELECT doi, title FROM base
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |t_el AS (SELECT doi, unnest(title) AS el FROM tsrc),
+       |t_tok AS (SELECT doi, t AS term FROM
+       |            (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM t_el)
+       |          WHERE t <> '' AND t NOT IN ($stopIn)),
+       |t_tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM t_tok GROUP BY 1, 2),
+       |t_dft AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY term),
+       |t_dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |         FROM tsrc s LEFT JOIN t_tok t USING (doi) GROUP BY s.doi),
+       |t_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM t_dl),
+       |t_q(term, w) AS (VALUES ${qvals(weights(BoolFullShould))}),
+       |t_leg AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS c
+       |  FROM t_q q
+       |  JOIN t_tf tf ON tf.term = q.term
+       |  JOIN t_dft dft ON dft.term = q.term
+       |  JOIN t_dl dl ON dl.doi = tf.doi
+       |  CROSS JOIN t_stats s
+       |  GROUP BY tf.doi),
+       |scored AS (
+       |  SELECT b.doi, b.c + coalesce(t.c, 0) AS score
+       |  FROM b_leg b LEFT JOIN t_leg t USING (doi)
+       |  WHERE b.doi NOT IN (SELECT doi FROM base WHERE y = '$yt')),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                       doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
 
   /** Per-field BM25 replay: tokens = lower(split(title elements)) minus the

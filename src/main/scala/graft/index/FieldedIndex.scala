@@ -415,6 +415,114 @@ object FieldedIndex {
       .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
   }
 
+  /** Full ES bool query — all four clause contexts over ONE combined-bound
+    * WAND walk: `must` (scored, every clause required; match or
+    * match_phrase), `should`/`shouldPhrases` (scored, optional;
+    * `minShouldMatch` counts SHOULD clauses only, ES semantics — default −1
+    * resolves to ES's default: 0 when must-clauses exist, else 1), `filter`
+    * (unscored, required — top-k OF the filtered set), `mustNot` (unscored
+    * exclusion; lists decode only around candidate pivots). Scores are the
+    * clause sum (must + matching should), each clause under its own field's
+    * stats. Required legs gate at scoring (Lucene runs must clauses as a
+    * conjunction driver; the θ-sum pruning here subsumes the asymptotic
+    * win — a non-qualifying doc is never offered, and bound sums shrink as
+    * cursors exhaust). Returns (rnk, doc_id, score_x6). */
+  def esBool(spark: SparkSession, indexDir: String,
+             must: Seq[(FieldSpec, String)] = Nil,
+             should: Seq[(FieldSpec, String)] = Nil,
+             mustPhrases: Seq[(FieldSpec, String)] = Nil,
+             shouldPhrases: Seq[(FieldSpec, String)] = Nil,
+             filter: Option[(FieldSpec, Seq[String])] = None,
+             mustNot: Option[(FieldSpec, Seq[String])] = None,
+             k: Int = 10, minShouldMatch: Int = -1): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty || mustPhrases.nonEmpty ||
+      shouldPhrases.nonEmpty, "ES bool needs ≥1 scored clause " +
+      "(filter/must_not-only bools are constant-score — use termQuery)")
+    val msmEff =
+      if (minShouldMatch >= 0) minShouldMatch
+      else if (must.nonEmpty || mustPhrases.nonEmpty) 0
+      else 1
+    val mlegs = (must ++ should).map { case (spec, text) =>
+      Searcher.MultiLeg(spec.field, termWeights(spec, text))
+    }
+    val plegs = (mustPhrases ++ shouldPhrases).map { case (spec, text) =>
+      Searcher.PhraseLeg(spec.field, Analyzer.analyzeChainPos(spec.chain, text))
+    }
+    val requiredLegs = must.indices ++
+      mustPhrases.indices.map(mlegs.length + _)
+    def analyzedVals(fs: FieldSpec, vs: Seq[String]): Seq[String] =
+      vs.flatMap(v => Analyzer.analyzeChain(fs.chain, v))
+    val fields = ((must ++ should ++ mustPhrases ++ shouldPhrases)
+      .map(_._1.field) ++ filter.map(_._1.field) ++ mustNot.map(_._1.field))
+      .distinct
+    val mh = multiHandleFor(spark, indexDir, fields)
+    Searcher.multiSearch(mh, mlegs, k, msmEff,
+      filter.map { case (fs, vs) => (fs.field, analyzedVals(fs, vs)) },
+      phraseLegs = plegs,
+      mustNot = mustNot.map { case (fs, vs) => (fs.field, analyzedVals(fs, vs)) },
+      requiredLegs = requiredLegs)
+  }
+
+  /** The declarative twin of [[esBool]] (full per-clause score lists +
+    * Catalyst gates: required-leg count, should-count HAVING, filter
+    * semi-join, must_not anti-join) — rank-identity reference for the
+    * kernel path; exact but unpruned. */
+  def esBoolNaive(spark: SparkSession, indexDir: String,
+                  must: Seq[(FieldSpec, String)] = Nil,
+                  should: Seq[(FieldSpec, String)] = Nil,
+                  mustPhrases: Seq[(FieldSpec, String)] = Nil,
+                  shouldPhrases: Seq[(FieldSpec, String)] = Nil,
+                  filter: Option[(FieldSpec, Seq[String])] = None,
+                  mustNot: Option[(FieldSpec, Seq[String])] = None,
+                  k: Int = 10, minShouldMatch: Int = -1): DataFrame = {
+    // bind before the functions._ import: `filter` would otherwise be
+    // ambiguous with org.apache.spark.sql.functions.filter
+    val filterOpt = filter
+    val mustNotOpt = mustNot
+    import org.apache.spark.sql.functions._
+    val msmEff =
+      if (minShouldMatch >= 0) minShouldMatch
+      else if (must.nonEmpty || mustPhrases.nonEmpty) 0
+      else 1
+    val nMatch = must.size + should.size
+    val matchC = (must ++ should).zipWithIndex.map { case ((spec, text), li) =>
+      Searcher.contribs(handleFor(spark, indexDir, spec.field),
+        termWeights(spec, text)).withColumn("leg", lit(li))
+    }
+    val phraseC = (mustPhrases ++ shouldPhrases).zipWithIndex.map {
+      case ((spec, text), pi) =>
+        Searcher.phraseContribs(handleFor(spark, indexDir, spec.field),
+          Analyzer.analyzeChainPos(spec.chain, text))
+          .withColumn("leg", lit(nMatch + pi))
+    }
+    val reqSet: Seq[Int] =
+      must.indices ++ mustPhrases.indices.map(nMatch + _)
+    val isReq =
+      if (reqSet.isEmpty) lit(false) else col("leg").isInCollection(reqSet)
+    var scored = (matchC ++ phraseC).reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"),
+        countDistinct(when(isReq, col("leg"))).as("nreq"),
+        countDistinct(when(!isReq, col("leg"))).as("nshould"))
+      .where(col("nreq") === reqSet.size && col("nshould") >= msmEff)
+    for ((fs, vs) <- filterOpt)
+      scored = scored.join(
+        termQuery(spark, indexDir, fs, vs).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    for ((fs, vs) <- mustNotOpt)
+      scored = scored.join(
+        termQuery(spark, indexDir, fs, vs).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    scored
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x6").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** ES match query with `operator: and` — every analyzed term must match
     * (the default `or` is [[searchField]]). Expressed through the bool
     * kernel: each term is its own should-leg of the SAME field and

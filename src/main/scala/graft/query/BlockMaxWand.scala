@@ -366,7 +366,9 @@ object BlockMaxWand {
                    k: Int, minShouldMatch: Int = 1,
                    shared: AtomicLong = null,
                    disMaxTieBreaker: Double = -1.0,
-                   phrases: Seq[PhraseCursor] = Seq.empty): Array[(Long, Double)] = {
+                   phrases: Seq[PhraseCursor] = Seq.empty,
+                   mustNot: Seq[IndexedSeq[PostingBlock]] = Seq.empty,
+                   requiredMask: Long = 0L): Array[(Long, Double)] = {
     require(cursors.forall(c => c.leg >= 0 && c.leg < 64) &&
       phrases.forall(p => p.leg >= 0 && p.leg < 64),
       "leg ids must fit the minimum_should_match bitmask (0..63)")
@@ -383,12 +385,16 @@ object BlockMaxWand {
           c.leg): ScoreIter) ++
        phrases.iterator.map(p => new PhraseIter(p): ScoreIter)).toArray
     val fits = filters.map(b => new TermIter(b, 0.0, 0, 1.0, true)).toArray
-    run(iters, fits, k, minShouldMatch, shared, disMaxTieBreaker)
+    val negs = mustNot.map(b => new TermIter(b, 0.0, 0, 1.0, true)).toArray
+    run(iters, fits, k, minShouldMatch, shared, disMaxTieBreaker, negs,
+      requiredMask)
   }
 
   private def run(iters: Array[ScoreIter], filters: Array[TermIter], k: Int,
                   msm: Int, shared: AtomicLong,
-                  disMaxTb: Double = -1.0): Array[(Long, Double)] = {
+                  disMaxTb: Double = -1.0,
+                  mustNot: Array[TermIter] = Array.empty,
+                  requiredMask: Long = 0L): Array[(Long, Double)] = {
     if (iters.isEmpty) return Array.empty
     // dis_max (ES best_fields): score = max(leg) + tb·Σ(others). The pivot
     // walk and θ pruning are UNCHANGED: every prefix/block bound sums
@@ -525,6 +531,25 @@ object BlockMaxWand {
             m += 1
           }
         } else {
+          // must_not (ES exclusion context, unscored): a pivot present in
+          // any exclusion posting list is skipped without scoring.
+          // Exclusion lists decode only around candidate pivots, and
+          // skipping docs only SHRINKS the qualifying set, so θ (the kth
+          // best of heap entries, all qualifying) stays a valid bound.
+          var excluded = false
+          var xi = 0
+          while (!excluded && xi < mustNot.length) {
+            mustNot(xi).advanceTo(pivot)
+            excluded = mustNot(xi).curDoc == pivot
+            xi += 1
+          }
+          if (excluded) {
+            var m = 0
+            while (m < n) {
+              if (iters(sorted(m)).curDoc == pivot) iters(sorted(m)).next()
+              m += 1
+            }
+          } else {
           // all cursors up to the pivot are aligned — score it fully.
           // Sum order = (leg, term) cursor order (sortBy is stable), so the
           // kernel's FP sum is deterministic across runs.
@@ -560,7 +585,17 @@ object BlockMaxWand {
             }
             s = mx + disMaxTb * (tot - mx)
           }
-          if (java.lang.Long.bitCount(legMask) >= msm) offer(pivot, s)
+          // ES bool contexts: ≥1 scored clause CONFIRMED (a doc whose only
+          // pivot presence is a failed phrase approximation is not a hit,
+          // even at msm=0), every REQUIRED (must) leg present, and
+          // minimum_should_match counted over the NON-required (should)
+          // legs only — ES's minimum_should_match semantics. With no
+          // required legs this is the plain distinct-leg count.
+          if (legMask != 0L &&
+              (legMask & requiredMask) == requiredMask &&
+              java.lang.Long.bitCount(legMask & ~requiredMask) >= msm)
+            offer(pivot, s)
+          }
         }
       } else {
         // advance the highest-impact cursor below the pivot up to the pivot

@@ -160,15 +160,22 @@ object Searcher {
                   minShouldMatch: Int = 1,
                   filter: Option[(String, Seq[String])] = None,
                   disMaxTieBreaker: Double = -1.0,
-                  phraseLegs: Seq[PhraseLeg] = Seq.empty): DataFrame = {
+                  phraseLegs: Seq[PhraseLeg] = Seq.empty,
+                  mustNot: Option[(String, Seq[String])] = None,
+                  requiredLegs: Seq[Int] = Seq.empty): DataFrame = {
+    require(requiredLegs.forall(l => l >= 0 && l < 64),
+      "required leg ids must fit the bool-context bitmask (0..63)")
     val filterKeys: Array[String] = filter.toArray.flatMap { case (f, vs) =>
+      vs.map(v => f + FieldSep + v)
+    }
+    val mustNotKeys: Array[String] = mustNot.toArray.flatMap { case (f, vs) =>
       vs.map(v => f + FieldSep + v)
     }
     val legKeys = legs.flatMap(l => l.termWeights.keys.map(l.field + FieldSep + _))
     val phraseKeys = phraseLegs.flatMap(p =>
       p.occs.map(o => p.field + FieldSep + o._1))
     val dfByKey = resolveDfs(mh.shards, mh.dfCache,
-      (legKeys ++ phraseKeys ++ filterKeys).distinct.toArray)
+      (legKeys ++ phraseKeys ++ filterKeys ++ mustNotKeys).distinct.toArray)
     // cursor order fixed as (leg, term): the kernel's FP sum order — and so
     // the exact emitted doubles — is deterministic across runs
     val specs: Array[CursorSpec] = legs.zipWithIndex.flatMap { case (l, li) =>
@@ -200,6 +207,7 @@ object Searcher {
     val kk = k
     val msm = minShouldMatch
     val tb = disMaxTieBreaker
+    val reqMask = requiredLegs.foldLeft(0L)((m, l) => m | (1L << l))
     val shareTheta = sys.env.getOrElse("GRAFT_SHARED_THETA", "1") != "0"
     val runId = java.util.UUID.randomUUID().toString
 
@@ -225,12 +233,20 @@ object Searcher {
             ArraySeq.unsafeWrapArray(tp.blocks): IndexedSeq[PostingBlock])),
           ps.occTerm, ps.occOff, ps.sumIdf, ps.avgdl, ps.tight, ps.leg))
       }
+      // must_not exclusion lists: absence in a shard just means nothing to
+      // exclude there (unlike filter, whose absence empties the shard)
+      val nblocks: Array[IndexedSeq[PostingBlock]] = mustNotKeys.flatMap { nk =>
+        val tp = si.terms.get(nk)
+        if (tp == null) None
+        else Some(ArraySeq.unsafeWrapArray(tp.blocks): IndexedSeq[PostingBlock])
+      }
       if ((cursors.isEmpty && phraseCursors.isEmpty) ||
           (hasFilter && fblocks.isEmpty)) Iterator.empty
       else BlockMaxWand.scoreCursors(ArraySeq.unsafeWrapArray(cursors),
         ArraySeq.unsafeWrapArray(fblocks), kk, msm,
         if (shareTheta) BlockMaxWand.ThetaBoards.boardFor(runId) else null,
-        tb, ArraySeq.unsafeWrapArray(phraseCursors))
+        tb, ArraySeq.unsafeWrapArray(phraseCursors),
+        ArraySeq.unsafeWrapArray(nblocks), reqMask)
         .iterator.map { case (d, s) => (0, d, s) }
     }
 

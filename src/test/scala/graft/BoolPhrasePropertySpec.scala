@@ -99,16 +99,18 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
     * filter = OR over fb values in filter context; msm over clauses that
     * actually matched. */
   private def brute(pr: Prepared, matchLegs: List[List[String]],
-      phrases: List[String], filter: Option[List[String]], msm: Int, k: Int,
+      phrases: List[String], filter: Option[List[String]],
+      mustNotF: Option[List[String]], required: Set[Int], msm: Int, k: Int,
       disMaxTb: Double): Seq[(Long, Long)] = {
     val pOccs = phrases.map(p => Analyzer.analyzeChainPos(Analyzer.TextStop, p))
     pr.fb.indices.flatMap { id =>
       val (faDl, faTerms) = pr.fa(id)
       val fbTm = pr.fb(id)
       val passesFilter = filter.forall(vs => vs.exists(fbTm.contains))
+      val passesMustNot = mustNotF.forall(vs => !vs.exists(fbTm.contains))
       val legScores = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var matched = 0
-      matchLegs.foreach { terms =>
+      val matchedSet = scala.collection.mutable.Set.empty[Int]
+      matchLegs.zipWithIndex.foreach { case (terms, li) =>
         val w = terms.groupBy(identity).view.mapValues(_.length)
         val legHit = terms.exists(t => fbTm.contains(t) && pr.fbDf(t) > 0)
         val c = if (fbTm.isEmpty) 0.0 else w.toSeq.collect {
@@ -117,9 +119,9 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
               Bm25.tfNorm(fbTm(t).toDouble, pr.fbDl(id).toDouble, pr.fbAvgdl)
         }.sum
         legScores += c
-        if (legHit) matched += 1
+        if (legHit) matchedSet += li
       }
-      pOccs.foreach { occs =>
+      pOccs.zipWithIndex.foreach { case (occs, pi) =>
         val viable = occs.nonEmpty && occs.forall(o => pr.faDf(o._1) > 0) &&
           occs.forall(o => faTerms.contains(o._1))
         var c = 0.0
@@ -132,7 +134,7 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
           if (pf > 0) {
             val sumIdf = occs.iterator.map(o => Bm25.idf(pr.faN, pr.faDf(o._1))).sum
             c = sumIdf * Bm25.tfNorm(pf.toDouble, faDl.toDouble, pr.faAvgdl)
-            matched += 1
+            matchedSet += matchLegs.length + pi
           }
         }
         legScores += c
@@ -143,7 +145,9 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
           val mx = legScores.max
           mx + disMaxTb * (legScores.sum - mx)
         }
-      if (passesFilter && matched >= msm && matched >= 1 && s > 0.0)
+      if (passesFilter && passesMustNot && matchedSet.nonEmpty &&
+          required.subsetOf(matchedSet) &&
+          (matchedSet -- required).size >= msm)
         Some((id.toLong, math.round(s * 1e6)))
       else None
     }.sortBy { case (id, x6) => (-x6, id) }.take(k)
@@ -154,7 +158,8 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
     * multiSearch does, run scoreCursors. */
   private def kernel(corpus: Seq[Doc], pr: Prepared,
       matchLegs: List[List[String]], phrases: List[String],
-      filter: Option[List[String]], msm: Int, k: Int,
+      filter: Option[List[String]], mustNotF: Option[List[String]],
+      required: Set[Int], msm: Int, k: Int,
       shardSize: Int, blockSize: Int, shared: Boolean,
       disMaxTb: Double): Seq[(Long, Long)] = {
     val faRows = pr.fa.zipWithIndex.flatMap { case ((dl, terms), id) =>
@@ -206,6 +211,8 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
       }
     }
     val filterKeys = filter.toList.flatMap(_.distinct.map("fb" + Sep + _))
+    val mustNotKeys = mustNotF.toList.flatMap(_.distinct.map("fb" + Sep + _))
+    val reqMask = required.foldLeft(0L)((m, l) => m | (1L << l))
     val board = if (shared) new AtomicLong(Long.MinValue) else null
     byShard.keys.toSeq.sorted.flatMap { sh =>
       val blocks = byShard(sh)
@@ -220,15 +227,16 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
           occT, occO, sumIdf, pr.faAvgdl, true, leg))
       }
       val fblocks = filterKeys.flatMap(blocks.get)
+      val nblocks = mustNotKeys.flatMap(blocks.get)
       if ((cursors.isEmpty && pcs.isEmpty) ||
           (filter.isDefined && fblocks.isEmpty)) Nil
       else BlockMaxWand.scoreCursors(cursors, fblocks, k, msm, board,
-        disMaxTb, phrases = pcs)
+        disMaxTb, phrases = pcs, mustNot = nblocks, requiredMask = reqMask)
         .map { case (d, sc) => (d, math.round(sc * 1e6)) }.toSeq
     }.sortBy { case (id, x6) => (-x6, id) }.take(k)
   }
 
-  test("bool-with-phrase WAND == brute-force (msm, filters, dis_max, boards, geometries)") {
+  test("bool-with-phrase WAND == brute-force (msm, must, filters, must_not, dis_max, boards, geometries)") {
     val queryGen: Gen[(List[List[String]], List[String])] = for {
       nm <- Gen.chooseNum(0, 2)
       ml <- Gen.listOfN(nm, matchLegGen)
@@ -237,19 +245,27 @@ class BoolPhrasePropertySpec extends AnyFunSuite {
     } yield (ml, ps)
     val filterGen: Gen[Option[List[String]]] =
       Gen.option(Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(2)))
-    // disMaxTb −1 = bool/should sum; 0/0.3/1 = dis_max tie_breakers
-    val p = Prop.forAll(corpusGen, queryGen, filterGen, Gen.oneOf(1, 2),
+    // required clause subset (ES must): drawn as a bitset over clause
+    // indices, reduced mod the actual clause count inside the property
+    val reqGen: Gen[List[Int]] = Gen.listOf(Gen.chooseNum(0, 3)).map(_.take(2))
+    // disMaxTb −1 = bool/should sum; 0/0.3/1 = dis_max tie_breakers;
+    // msm 0 exercises the ES default under must-clauses
+    val p = Prop.forAll(corpusGen, queryGen,
+      Gen.zip(filterGen, filterGen, reqGen), Gen.oneOf(0, 1, 2),
       Gen.oneOf(1, 3, 10), Gen.oneOf(3, 8, 64),
       Gen.zip(Gen.oneOf(2, 4), Gen.oneOf(-1.0, 0.0, 0.3, 1.0))) {
-      (corpus, q, filter, msm, k, shardSize, bsTb) =>
+      (corpus, q, fmr, msm, k, shardSize, bsTb) =>
         val (ml, ps) = q
+        val (filter, mustNotF, reqRaw) = fmr
+        val nClauses = ml.length + ps.length
+        val required = reqRaw.map(_ % nClauses).toSet
         val (blockSize, tb) = bsTb
         val pr = prepare(corpus)
-        val expected = brute(pr, ml, ps, filter, msm, k, tb)
-        val plain = kernel(corpus, pr, ml, ps, filter, msm, k, shardSize,
-          blockSize, shared = false, tb)
-        val withBoard = kernel(corpus, pr, ml, ps, filter, msm, k, shardSize,
-          blockSize, shared = true, tb)
+        val expected = brute(pr, ml, ps, filter, mustNotF, required, msm, k, tb)
+        val plain = kernel(corpus, pr, ml, ps, filter, mustNotF, required,
+          msm, k, shardSize, blockSize, shared = false, tb)
+        val withBoard = kernel(corpus, pr, ml, ps, filter, mustNotF, required,
+          msm, k, shardSize, blockSize, shared = true, tb)
         plain == expected && withBoard == expected
     }
     check("bool-phrase-exactness", p)

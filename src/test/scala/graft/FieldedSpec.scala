@@ -247,6 +247,42 @@ class FieldedSpec extends AnyFunSuite {
       rows(FieldedIndex.multiMatch(spark, idx, mlegs, 10)))
   }
 
+  test("esBool: must/should/filter/must_not grid, kernel == naive twin") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_x6"))).toSeq.sorted
+    val bibSel = (spec("bibliographic"), "fam123 fam223 fam323")
+    val title42 = (spec("title"), "title 42")
+    val massPhrase = (spec("title"), "second title")
+    // must restricts to the 3 cited docs; should adds the title leg;
+    // must_not (year 1993) excludes doc 123 of them
+    for (mn <- Seq(None, Some((spec("year"), Seq("1993"))));
+         fl <- Seq(None, Some((spec("volume"), Seq("23"))))) {
+      val k = FieldedIndex.esBool(spark, idx, must = Seq(bibSel),
+        should = Seq(title42), filter = fl, mustNot = mn, k = 10)
+      val nv = FieldedIndex.esBoolNaive(spark, idx, must = Seq(bibSel),
+        should = Seq(title42), filter = fl, mustNot = mn, k = 10)
+      assert(rows(k) === rows(nv), s"mustNot=$mn filter=$fl")
+      assert(k.count() > 0, s"grid cell empty: mustNot=$mn filter=$fl")
+    }
+    // a must PHRASE clause: required position-confirmed match
+    val kp = FieldedIndex.esBool(spark, idx, must = Seq(bibSel),
+      mustPhrases = Seq(massPhrase), k = 10)
+    val np = FieldedIndex.esBoolNaive(spark, idx, must = Seq(bibSel),
+      mustPhrases = Seq(massPhrase), k = 10)
+    assert(rows(kp) === rows(np))
+    // must phrase that never confirms (cross-value): zero hits even though
+    // its term conjunction holds everywhere
+    assert(FieldedIndex.esBool(spark, idx, must = Seq(bibSel),
+      mustPhrases = Seq((spec("title"), "title second")), k = 10).count() === 0L)
+    // must_not excludes doc 123 (year 1993) from the must cohort
+    val excl = FieldedIndex.esBool(spark, idx, must = Seq(bibSel), k = 10,
+      mustNot = Some((spec("year"), Seq("1993"))))
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id")
+      .select("doi").collect().map(_.getString(0)).toSet
+    assert(!excl.exists(_.endsWith("nd.123")) && excl.size === 2)
+  }
+
   test("match operator=and: all terms required, score is the ordinary BM25 sum") {
     // "second title 42": OR-match hits every doc; AND-match only doc 42
     val and = FieldedIndex.matchAnd(spark, idx, spec("title"),
