@@ -63,6 +63,8 @@ object SparkEntry {
     "q_field_phrase" -> FieldedQueries.fieldPhrase _,
     "q_field_bool_phrase" -> FieldedQueries.fieldBoolPhrase _,
     "q_field_bool_full" -> FieldedQueries.fieldBoolFull _,
+    "q_field_terms_agg" -> FieldedQueries.fieldTermsAgg _,
+    "q_field_exists" -> FieldedQueries.fieldExists _,
     "q_field_filtered" -> FieldedQueries.fieldFiltered _,
     "q_web_host" -> WebQueries.webHost _,
     "q_quality_rep" -> PipelineQueries.qualityRepetition _,
@@ -119,6 +121,8 @@ object SparkEntry {
     "q_field_phrase" -> FieldedQueries.fieldPhraseSql,
     "q_field_bool_phrase" -> FieldedQueries.fieldBoolPhraseSql,
     "q_field_bool_full" -> FieldedQueries.fieldBoolFullSql,
+    "q_field_terms_agg" -> FieldedQueries.fieldTermsAggSql,
+    "q_field_exists" -> FieldedQueries.fieldExistsSql,
     "q_field_filtered" -> FieldedQueries.fieldFilteredSql,
     "q_web_host" -> WebQueries.webHostSql,
     "q_quality_rep" -> PipelineQueries.qualityRepetitionSql,

@@ -271,6 +271,29 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** ES terms aggregation on the year field: top-10 (term, df) — residues
+    * 0..9 of i%30 appear 34×, the rest 33×, so the result is exactly years
+    * 1990-1999 with the ES (doc_count desc, key asc) tie-break exercised
+    * on 34/34 ties. */
+  def fieldTermsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.termsAgg(spark, dir, spec("year"), 10)
+  }
+
+  /** ES exists query over a present-everywhere field (volume, 1000 docs)
+    * and an unpopulated mapping (abbreviated_journal — the reference maps
+    * `short-container-title`, the fixture never emits it → 0 docs). */
+  def fieldExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val vol = FieldedIndex.existsQuery(spark, dir, spec("volume"))
+      .withColumn("field", lit("volume"))
+    val abbr = FieldedIndex.existsQuery(spark, dir, spec("abbreviated_journal"))
+      .withColumn("field", lit("abbreviated_journal"))
+    vol.unionByName(abbr)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("field"), col("doi")).orderBy("field", "doi")
+  }
+
   /** Filter-context + query-context bool: title match restricted to the
     * year-1997 cohort. */
   def fieldFiltered(spark: SparkSession, sfDir: String): DataFrame = {
@@ -673,6 +696,30 @@ object FieldedQueries {
        |  FROM scored)
        |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
+
+  /** terms-agg replay: one year token per doc (keyword-fold on digits =
+    * identity), df = doc count, ES (doc_count desc, key asc) ordering. */
+  def fieldTermsAggSql: String =
+    s"""WITH src AS (${fixtureSrc(dateCols)}),
+       |y AS (SELECT CAST((${Oracle.yearCase("")}) AS VARCHAR) AS term FROM src),
+       |agg AS (SELECT term, count(*)::BIGINT AS df FROM y GROUP BY term)
+       |SELECT term, df FROM agg ORDER BY df DESC, term ASC LIMIT 10""".stripMargin
+
+  /** exists replay: a doc exists in a field iff it has ≥1 non-empty value
+    * under the mapping's source expression. */
+  def fieldExistsSql: String =
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR',
+       |    'volume':'VARCHAR','short-container-title':'VARCHAR[]'})),
+       |rows AS (
+       |  SELECT 'volume' AS field, DOI AS doi FROM src
+       |  WHERE coalesce(volume, '') <> ''
+       |  UNION ALL
+       |  SELECT 'abbreviated_journal' AS field, DOI AS doi FROM src
+       |  WHERE len(list_filter(coalesce("short-container-title", []),
+       |        t -> t IS NOT NULL AND t <> '')) > 0)
+       |SELECT field, doi FROM rows ORDER BY field, doi""".stripMargin
 
   /** Per-field BM25 replay: tokens = lower(split(title elements)) minus the
     * stop list (the fixture's titles are single-space ASCII, where this

@@ -415,6 +415,33 @@ object FieldedIndex {
       .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
   }
 
+  /** ES exists query (field presence, filter context): all docs with ≥1
+    * indexed token in the field — the doc set ES answers from its
+    * FieldNamesField. Served as a two-slim-column projection of the
+    * sub-index's doc_terms/doc_lens (column pruning reaches the parquet
+    * scan; postings are never touched). Stays a distributed frame —
+    * a field's presence set is corpus-sized at scale. */
+  def existsQuery(spark: SparkSession, indexDir: String,
+                  spec: FieldSpec): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    IndexTables.docLens(spark, new TableIO(fieldDir(indexDir, spec.field)))
+      .where(col("dl") > 0).select("doc_id")
+  }
+
+  /** ES terms aggregation over a field: top-`size` terms by doc_count
+    * (df desc, term asc — the ES tie-break), straight off the
+    * pre-aggregated term_stats table (exact df — the ES agg is
+    * shard-approximate by default; segment partials sum exactly here).
+    * The agg never touches postings: at 10^12 docs this is a vocab-sized
+    * scan + a size-bounded TakeOrdered, no corpus-sized work. */
+  def termsAgg(spark: SparkSession, indexDir: String, spec: FieldSpec,
+               size: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    IndexTables.termStats(spark, new TableIO(fieldDir(indexDir, spec.field)))
+      .select(col("term"), col("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(size)
+  }
+
   /** Full ES bool query — all four clause contexts over ONE combined-bound
     * WAND walk: `must` (scored, every clause required; match or
     * match_phrase), `should`/`shouldPhrases` (scored, optional;

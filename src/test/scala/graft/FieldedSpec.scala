@@ -247,6 +247,35 @@ class FieldedSpec extends AnyFunSuite {
       rows(FieldedIndex.multiMatch(spark, idx, mlegs, 10)))
   }
 
+  test("exists + terms agg: presence set and df ranking on a field-sparse corpus") {
+    import spark.implicits._
+    val dir = s"${sys.props("user.dir")}/target/test-idx/fielded-exists"
+    new TableIO(dir).deleteAll()
+    val docs = Seq(
+      ("k1", Seq("x", "y"), "body one"),
+      ("k2", Seq.empty[String], "body two"),   // tags ABSENT for k2
+      ("k3", Seq("y"), ""),                    // body absent for k3
+      ("k4", Seq(""), "the of")                // empty value + all-stopword body
+    ).toDF("k", "tags", "body")
+    val tagsSpec = FieldedIndex.FieldSpec("tags", Analyzer.Keyword)
+    val bodySpec = FieldedIndex.FieldSpec("body", Analyzer.TextStop)
+    FieldedIndex.build(spark, docs, dir, Seq(tagsSpec, bodySpec),
+      keyCol = "k", PostingsBuilder.Config(shardSize = 16))
+    val dm = spark.read.parquet(s"$dir/doc_map")
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.join(dm, "doc_id").select("k").collect().map(_.getString(0)).toSet
+    // exists = ≥1 indexed token: k4's empty tag value and all-stopword body
+    // index nothing
+    assert(keysOf(FieldedIndex.existsQuery(spark, dir, tagsSpec)) ===
+      Set("k1", "k3"))
+    assert(keysOf(FieldedIndex.existsQuery(spark, dir, bodySpec)) ===
+      Set("k1", "k2"))
+    // terms agg: df desc, term asc tie-break
+    val agg = FieldedIndex.termsAgg(spark, dir, tagsSpec, 10).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"))).toSeq
+    assert(agg === Seq(("y", 2L), ("x", 1L)))
+  }
+
   test("esBool: must/should/filter/must_not grid, kernel == naive twin") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
