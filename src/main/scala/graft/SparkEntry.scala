@@ -64,6 +64,7 @@ object SparkEntry {
     "q_field_bool_phrase" -> FieldedQueries.fieldBoolPhrase _,
     "q_field_bool_full" -> FieldedQueries.fieldBoolFull _,
     "q_field_terms_agg" -> FieldedQueries.fieldTermsAgg _,
+    "q_field_fuzzy" -> FieldedQueries.fieldFuzzy _,
     "q_field_exists" -> FieldedQueries.fieldExists _,
     "q_field_filtered" -> FieldedQueries.fieldFiltered _,
     "q_web_host" -> WebQueries.webHost _,
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_field_bool_phrase" -> FieldedQueries.fieldBoolPhraseSql,
     "q_field_bool_full" -> FieldedQueries.fieldBoolFullSql,
     "q_field_terms_agg" -> FieldedQueries.fieldTermsAggSql,
+    "q_field_fuzzy" -> FieldedQueries.fieldFuzzySql,
     "q_field_exists" -> FieldedQueries.fieldExistsSql,
     "q_field_filtered" -> FieldedQueries.fieldFilteredSql,
     "q_web_host" -> WebQueries.webHostSql,

@@ -294,6 +294,29 @@ object FieldedQueries {
       .select(col("field"), col("doi")).orderBy("field", "doi")
   }
 
+  /** ES fuzzy match: qid 1 = title "recrod 42" under AUTO (the typo'd
+    * 6-char term gets 2 edits and expands to "record" — a transposition,
+    * distance 1 under full Damerau; "42" at 2 chars gets 0 edits); qid 2 =
+    * bibliographic "fam12" at fuzziness 1 with max_expansions 10 — dozens
+    * of d=1 author tokens (fam1X, fam1Y2, fam21, …) tie on df=1, so the cap
+    * exercises the deterministic (distance, df desc, term asc) selection
+    * hard. */
+  val FuzzyTitleQuery = "recrod 42"
+  val FuzzyBibQuery = "fam12"
+  val FuzzyBibMaxExp = 10
+
+  def fieldFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val q1 = FieldedIndex.fuzzyMatch(spark, dir, spec("title"),
+      Seq(1 -> FuzzyTitleQuery), K)
+    val q2 = FieldedIndex.fuzzyMatch(spark, dir, spec("bibliographic"),
+      Seq(2 -> FuzzyBibQuery), K, fuzziness = 1, maxExpansions = FuzzyBibMaxExp)
+    q1.unionByName(q2)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Filter-context + query-context bool: title match restricted to the
     * year-1997 cohort. */
   def fieldFiltered(spark: SparkSession, sfDir: String): DataFrame = {
@@ -720,6 +743,83 @@ object FieldedQueries {
        |  WHERE len(list_filter(coalesce("short-container-title", []),
        |        t -> t IS NOT NULL AND t <> '')) > 0)
        |SELECT field, doi FROM rows ORDER BY field, doi""".stripMargin
+
+  /** Fuzzy replay: candidates via DuckDB's damerau_levenshtein (the same
+    * full-Damerau the engine computes), capped per query term by
+    * row_number() over (distance, df desc, term asc); each expansion
+    * contributes boost · idf · tfNorm with boost = 1 − d/min(len(q),
+    * len(t)) — the engine's FuzzyTermsEnum-shaped boost. */
+  def fieldFuzzySql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    // analyzed (term, weight, maxEdits) triples, embedded pre-analyzed
+    def qt(text: String, fz: Int): String =
+      Analyzer.analyzeStop(text).groupBy(identity).view.mapValues(_.length)
+        .toSeq.sortBy(_._1).map { case (t, w) =>
+          val maxE =
+            if (fz >= 0) math.min(fz, 2)
+            else graft.query.Fuzzy.autoEdits(t)
+          s"('$t', $w, $maxE)"
+        }.mkString(", ")
+    def fuzzyBlock(p: String, qvals: String, maxExp: Int): String =
+      s"""${p}_qt(qterm, w, maxe) AS (VALUES $qvals),
+         |${p}_cand0 AS (
+         |  SELECT q.qterm, q.w, d.term, d.df,
+         |         damerau_levenshtein(q.qterm, d.term) AS dist
+         |  FROM ${p}_qt q JOIN ${p}_dft d
+         |    ON damerau_levenshtein(q.qterm, d.term) <= q.maxe),
+         |${p}_cand AS (
+         |  SELECT qterm, w, term, df, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qterm
+         |      ORDER BY dist ASC, df DESC, term ASC) AS rn FROM ${p}_cand0)
+         |  WHERE rn <= $maxExp),
+         |${p}_scored AS (
+         |  SELECT tf.doi,
+         |    sum(q.w * (1.0 - q.dist * 1.0 / least(len(q.qterm), len(q.term)))
+         |        * ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         |        * (tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))) AS score
+         |  FROM ${p}_cand q
+         |  JOIN ${p}_tf tf ON tf.term = q.term
+         |  JOIN ${p}_dft dft ON dft.term = q.term
+         |  JOIN ${p}_dl dl ON dl.doi = tf.doi
+         |  CROSS JOIN ${p}_stats s
+         |  GROUP BY tf.doi)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'author':'STRUCT(given VARCHAR, family VARCHAR, sequence VARCHAR)[]',
+       |    'container-title':'VARCHAR[]','short-container-title':'VARCHAR[]',
+       |    'volume':'VARCHAR','issue':'VARCHAR','page':'VARCHAR'$dateCols})),
+       |base AS (SELECT DOI AS doi, ${Oracle.bibliographicExpr} AS bib, title FROM src),
+       |tsrc AS (SELECT doi, title FROM base
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |t_el AS (SELECT doi, unnest(title) AS el FROM tsrc),
+       |t_tok AS (SELECT doi, t AS term FROM
+       |            (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM t_el)
+       |          WHERE t <> '' AND t NOT IN ($stopIn)),
+       |t_tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM t_tok GROUP BY 1, 2),
+       |t_dft AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY term),
+       |t_dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |         FROM tsrc s LEFT JOIN t_tok t USING (doi) GROUP BY s.doi),
+       |t_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM t_dl),
+       |${fuzzyBlock("t", qt(FuzzyTitleQuery, -1), 50)},
+       |b_tok AS (SELECT doi, t AS term FROM
+       |            (SELECT doi, unnest(string_split(lower(bib), ' ')) AS t FROM base)
+       |          WHERE t <> '' AND t NOT IN ($stopIn)),
+       |b_tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM b_tok GROUP BY 1, 2),
+       |b_dft AS (SELECT term, count(*)::BIGINT AS df FROM b_tf GROUP BY term),
+       |b_dl AS (SELECT doi, count(*)::BIGINT AS dl FROM b_tok GROUP BY doi),
+       |b_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM b_dl),
+       |${fuzzyBlock("b", qt(FuzzyBibQuery, 1), FuzzyBibMaxExp)},
+       |scored AS (SELECT 1 AS qid, doi, score FROM t_scored UNION ALL
+       |           SELECT 2 AS qid, doi, score FROM b_scored),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
 
   /** Per-field BM25 replay: tokens = lower(split(title elements)) minus the
     * stop list (the fixture's titles are single-space ASCII, where this

@@ -415,6 +415,16 @@ object FieldedIndex {
       .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
   }
 
+  /** ES match with `fuzziness` against one field ([[Searcher.fuzzySearch]]
+    * semantics: AUTO or explicit edits, full Damerau-Levenshtein,
+    * max_expansions cap, boost-scaled per-expansion BM25 under the FIELD's
+    * stats). Returns (qid, rnk, doc_id, score_x6). */
+  def fuzzyMatch(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                 rawQueries: Seq[(Int, String)], k: Int,
+                 fuzziness: Int = -1, maxExpansions: Int = 50): DataFrame =
+    Searcher.fuzzySearch(handleFor(spark, indexDir, spec.field), rawQueries,
+      k, Analyzer.analyzeChain(spec.chain, _), fuzziness, maxExpansions)
+
   /** ES exists query (field presence, filter context): all docs with ≥1
     * indexed token in the field — the doc set ES answers from its
     * FieldNamesField. Served as a two-slim-column projection of the

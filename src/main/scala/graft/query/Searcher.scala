@@ -543,19 +543,23 @@ object Searcher {
           QueryTerm(t, Bm25.idf(nDocs, dfByTerm(t)), w)
       }.toArray)
     }.toArray
+    runWand(h, wandQueries, k)
+  }
+
+  /** WAND fan-out + tree merge over a handle's resident shards: each shard
+    * scores every query from its own hash index; partition-level top-k
+    * partials combine pairwise, so only O(queries × k) tuples ever reach
+    * the driver (treeTopK). Unique run id: shards sharing a JVM share one
+    * θ board per query (BlockMaxWand.ThetaBoards) — head-term pruning
+    * tightens as soon as ANY co-resident shard fills its heap.
+    * GRAFT_SHARED_THETA=0 disables (A/B benchmarking knob). */
+  private def runWand(h: Handle, wandQueries: Array[WandQuery],
+      k: Int): DataFrame = {
     val avgdl = h.stats.avgdl
     val tight = h.tightBounds
     val kk = k
-    // unique run id: shards sharing a JVM share one θ board per query
-    // (BlockMaxWand.ThetaBoards) — head-term pruning tightens as soon as
-    // ANY co-resident shard fills its heap. GRAFT_SHARED_THETA=0 disables
-    // (A/B benchmarking knob).
     val shareTheta = sys.env.getOrElse("GRAFT_SHARED_THETA", "1") != "0"
     val runId = java.util.UUID.randomUUID().toString
-
-    // job 2 — WAND fan-out + tree merge: each shard scores every query from
-    // its own hash index; partition-level top-k partials combine pairwise,
-    // so only O(queries × k) tuples ever reach the driver (treeTopK)
     val merged = treeTopK(h.shards, kk) { si =>
       wandQueries.iterator.flatMap { q =>
         val byTerm: Map[String, IndexedSeq[PostingBlock]] =
@@ -572,6 +576,70 @@ object Searcher {
       }
     }
     topKFrame(h.spark, merged)
+  }
+
+  /** ES match with `fuzziness` (the Lucene FuzzyQuery rewrite): each
+    * analyzed query term expands to the dictionary terms within its edit
+    * budget (AUTO = 0/1/2 by term length, or the explicit `fuzziness`,
+    * capped at 2), selected deterministically by (distance asc, df desc,
+    * term asc) up to `maxExpansions` (ES default 50); each expansion then
+    * scores as an ordinary WAND cursor whose idf is pre-multiplied by the
+    * fuzzy boost 1 − d/min(|q|,|t|) — the bool-of-expansions rewrite, so
+    * the block-max pruning, θ boards and tree merge all apply unchanged.
+    *
+    * Expansion is ONE distributed scan of the resident shard dictionaries
+    * (codepoint-length pre-filter + bounded Damerau DP per key). Lucene
+    * intersects an FST with a Levenshtein automaton instead; at 10^12 docs
+    * that automaton belongs NEXT TO each shard's hash index (the
+    * dictionaries stay sharded on executors either way — nothing
+    * vocabulary-sized reaches the driver; collected rows are
+    * query-terms × ≤maxExpansions × shard partials). */
+  def fuzzySearch(h: Handle, rawQueries: Seq[(Int, String)], k: Int,
+      chain: String => Array[String] = Analyzer.analyzeStop,
+      fuzziness: Int = -1, maxExpansions: Int = 50): DataFrame = {
+    val analyzed: Seq[(Int, Map[String, Int])] = rawQueries.map { case (qid, q) =>
+      qid -> chain(q).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val uniq: Array[(String, Int)] = analyzed.flatMap(_._2.keys).distinct.sorted
+      .map(t => t -> (if (fuzziness >= 0) math.min(fuzziness, 2)
+                      else Fuzzy.autoEdits(t))).toArray
+    // one distributed dictionary scan; exact (0-edit) terms use the hash
+    // lookup, fuzzy terms walk the shard's keys with the bounded DP
+    val rows: Array[(String, String, Long, Int)] = h.shards.flatMap { si =>
+      val out = mutable.ArrayBuffer.empty[(String, String, Long, Int)]
+      uniq.foreach { case (q, maxE) =>
+        if (maxE == 0) {
+          val tp = si.terms.get(q)
+          if (tp != null) out += ((q, q, tp.df, 0))
+        } else {
+          val it = si.terms.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val d = Fuzzy.damerau(q, e.getKey, maxE)
+            if (d <= maxE) out += ((q, e.getKey, e.getValue.df, d))
+          }
+        }
+      }
+      out.iterator
+    }.collect()
+    val cands: Map[String, Array[(String, Long, Int)]] =
+      rows.groupBy(_._1).map { case (q, rs) =>
+        val byTerm = rs.groupBy(_._2).map { case (t, xs) =>
+          (t, xs.map(_._3).sum, xs.head._4) // dfs add; distance is global
+        }.toArray
+        q -> byTerm.sortBy { case (t, df, d) => (d, -df, t) }
+          .take(maxExpansions)
+      }
+    val nDocs = h.stats.n_docs
+    // cursor order (query term, expansion term): deterministic FP sums
+    val wandQueries: Array[WandQuery] = analyzed.map { case (qid, tw) =>
+      WandQuery(qid, tw.toSeq.sortBy(_._1).flatMap { case (q, w) =>
+        cands.getOrElse(q, Array.empty).sortBy(_._1).map { case (t, df, dd) =>
+          QueryTerm(t, Fuzzy.boost(q, t, dd) * Bm25.idf(nDocs, df), w)
+        }
+      }.toArray)
+    }.toArray
+    runWand(h, wandQueries, k)
   }
 
   /** Cold-start variant: open a transient handle, search, release. */

@@ -276,6 +276,31 @@ class FieldedSpec extends AnyFunSuite {
     assert(agg === Seq(("y", 2L), ("x", 1L)))
   }
 
+  test("fuzzy match: typo expands via Damerau, exact-0 stays exact, cap is deterministic") {
+    // "recrod" (AUTO → 2 edits) reaches "record" (one transposition);
+    // "42" (2 chars → 0 edits) stays exact — doc 42 carries both, tops
+    val hits = FieldedIndex.fuzzyMatch(spark, idx, spec("title"),
+      Seq(1 -> "recrod 42"), 10)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id")
+      .orderBy("rnk").select("doi").collect().map(_.getString(0))
+    assert(hits.head === "10.1/nd.42")
+    assert(hits.length === 10) // every doc matches via record
+    // fuzziness=0 ≡ the plain match path, rank- and score-identical
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_x6"))).toSeq
+    assert(rows(FieldedIndex.fuzzyMatch(spark, idx, spec("title"),
+        FieldedQueries.TitleQueries, 10, fuzziness = 0)) ===
+      rows(FieldedIndex.searchField(spark, idx, spec("title"),
+        FieldedQueries.TitleQueries, 10)))
+    // expansion cap: maxExpansions=1 keeps only the closest term (the
+    // exact match when present) — "recrod" alone degrades to match "record"
+    assert(rows(FieldedIndex.fuzzyMatch(spark, idx, spec("title"),
+        Seq(7 -> "record"), 10, maxExpansions = 1)) ===
+      rows(FieldedIndex.fuzzyMatch(spark, idx, spec("title"),
+        Seq(7 -> "record"), 10, fuzziness = 0)))
+  }
+
   test("esBool: must/should/filter/must_not grid, kernel == naive twin") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
