@@ -328,6 +328,93 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** ES range query in a bool's filter context (the canonical client
+    * shape, `{"bool":{"must":[{"match":...}],"filter":[{"range":
+    * {"year":{"gte":...,"lte":...}}}]}}`): the bounds expand against the
+    * year sub-index dictionary (numeric comparison) and ride the kernel's
+    * filter walk. "record" masses everywhere; "93" is discriminative and
+    * doc 93 (year 1993) sits inside the cohort. */
+  val RangeMatchText = "record 93"
+  val RangeGte = 1993L
+  val RangeLte = 1995L
+
+  def fieldRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val terms = FieldedIndex.rangeTerms(spark, dir, spec("year"),
+      gte = Some(RangeGte), lte = Some(RangeLte))
+    FieldedIndex.esBool(spark, dir,
+      must = Seq((spec("title"), RangeMatchText)),
+      filter = Some((spec("year"), terms)), k = K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
+  /** ES prefix + wildcard queries on the keyword DOI field (constant-score
+    * multi-term rewrites off the sorted dictionary): a prefix matching 11
+    * dois and a `?` single-char pattern matching 10. */
+  val PrefixQuery = "10.1/ND.99" // analyzer lowercases; 99, 990..999
+  val WildcardPattern = "10.1/nd.1?3" // 103, 113, ..., 193
+
+  def fieldPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val pre = FieldedIndex.prefixQuery(spark, dir, spec("DOI"), PrefixQuery)
+      .withColumn("pattern", lit("prefix"))
+    val wild = FieldedIndex.wildcardQuery(spark, dir, spec("DOI"),
+      WildcardPattern).withColumn("pattern", lit("wildcard"))
+    pre.unionByName(wild)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("pattern"), col("doi")).orderBy("pattern", "doi")
+  }
+
+  /** match_phrase_prefix over the title field: qid 1 = single-expansion
+    * ("titl" → title: degenerates to the exact phrase, pinning that the
+    * union slot reproduces exact semantics), qid 2 = the 50-cap exercised
+    * hard ("4" expands to 111 dictionary terms, term order keeps the first
+    * 50 — the score's idf sum proves the exact expansion set), qid 3 =
+    * single-token phrase (no fixed slots; pf = union tf). */
+  val PhrasePrefixQueries: Seq[(Int, String)] = Seq(
+    1 -> "second titl",
+    2 -> "title 4",
+    3 -> "titl")
+  val PhrasePrefixMaxExp = 50
+
+  def fieldPhrasePrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.matchPhrasePrefix(spark, dir, spec("title"),
+      PhrasePrefixQueries, K, PhrasePrefixMaxExp)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** ES histogram aggregation on year, interval 7 (a non-divisor of the
+    * 30-year span, so bucket edges cut mid-cohort). */
+  val HistInterval = 7L
+
+  def fieldAggHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.histogramAgg(spark, dir, spec("year"), HistInterval)
+  }
+
+  /** ES stats aggregation on year (value_count/min/max/sum + micro-rounded
+    * avg — the double stays engine-internal). */
+  def fieldAggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.statsAgg(spark, dir, spec("year"))
+      .select(col("value_count"), col("min_value"), col("max_value"),
+        col("sum_value"),
+        round(col("avg_value") * 1e6).cast("long").as("avg_x6"))
+  }
+
+  /** ES terms agg + cardinality sub-agg: top-10 years by doc count,
+    * distinct volumes within each year bucket. */
+  def fieldAggCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.termsCardinalityAgg(spark, dir, spec("year"),
+      spec("volume"), 10)
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -859,4 +946,184 @@ object FieldedQueries {
        |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
        |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   }
+
+  /** Range-filter replay: [[fieldFilteredSql]]'s shape with the allowed
+    * cohort from a numeric BETWEEN on the year value (the range expansion
+    * is an engine-side mechanism; semantically the filter IS the numeric
+    * interval). */
+  def fieldRangeSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(RangeMatchText)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title,
+       |    CAST((${Oracle.yearCase("")}) AS BIGINT) AS y
+       |  FROM (${fixtureSrc(dateCols)})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |allowed AS (SELECT doi FROM src0 WHERE y BETWEEN $RangeGte AND $RangeLte),
+       |ranked AS (
+       |  SELECT s.doi, CAST(round(s.score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(s.score * 1000000.0) AS BIGINT) DESC,
+       |                       s.doi ASC) AS rnk
+       |  FROM scored s JOIN allowed USING (doi))
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** Prefix/wildcard replay: the keyword DOI term is lower(DOI); prefix =
+    * LIKE 'p%', `?` = LIKE's `_`. */
+  def fieldPrefixSql: String = {
+    val pre = Analyzer.analyzeKeyword(PrefixQuery)
+    val wild = Analyzer.analyzeKeyword(WildcardPattern).replace('?', '_')
+    s"""WITH src AS (${fixtureSrc()}),
+       |rows AS (
+       |  SELECT 'prefix' AS pattern, DOI AS doi FROM src
+       |  WHERE lower(DOI) LIKE '$pre%'
+       |  UNION ALL
+       |  SELECT 'wildcard' AS pattern, DOI AS doi FROM src
+       |  WHERE lower(DOI) LIKE '$wild')
+       |SELECT pattern, doi FROM rows ORDER BY pattern, doi""".stripMargin
+  }
+
+  /** match_phrase_prefix replay: the positional title machinery of
+    * [[fieldPhraseSql]] with the LAST slot as a term-order-capped LIKE
+    * expansion over the field dictionary (the MultiPhrasePrefixQuery
+    * rewrite); idf sums over fixed occurrences + every expansion
+    * (MultiPhraseWeight), pf counts starts where the last slot matches ANY
+    * expansion. */
+  def fieldPhrasePrefixSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val gap = Analyzer.PositionIncrementGap
+    val blocks = PhrasePrefixQueries.map { case (qid, q) =>
+      val occs = Analyzer.analyzeChainPos(Analyzer.TextStop, q)
+      require(occs.nonEmpty, s"phrase-prefix $qid analyzed to nothing")
+      val fixed = occs.dropRight(1)
+      val (lastTerm, lastPos) = occs.last
+      val base = occs(0)._2
+      val expCte =
+        s"""q${qid}_exp AS (SELECT term, df FROM (
+           |    SELECT term, df, row_number() OVER (ORDER BY term) AS rn
+           |    FROM dft WHERE term LIKE '$lastTerm%')
+           |  WHERE rn <= $PhrasePrefixMaxExp)""".stripMargin
+      val fixedIdf =
+        if (fixed.isEmpty) "0.0"
+        else {
+          val vals = fixed.map { case (t, _) => s"('$t')" }.mkString(", ")
+          s"""(SELECT coalesce(sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))), 0.0)
+             |     FROM (VALUES $vals) q(term) JOIN dft ON dft.term = q.term
+             |     CROSS JOIN stats s)""".stripMargin
+        }
+      val sidfCte =
+        s"""q${qid}_sidf AS (SELECT
+           |    $fixedIdf
+           |  + (SELECT coalesce(sum(ln(1.0 + (s.n_docs - e.df + 0.5) / (e.df + 0.5))), 0.0)
+           |     FROM q${qid}_exp e CROSS JOIN stats s) AS sidf)""".stripMargin
+      val occCte =
+        if (fixed.isEmpty)
+          s"""q${qid}_occ AS (
+             |  SELECT t.doi, t.pos FROM tok t
+             |  JOIN q${qid}_exp e ON e.term = t.term)""".stripMargin
+        else {
+          val joins = fixed.zipWithIndex.drop(1).map { case ((t, p), j) =>
+            s"  JOIN tok t$j ON t$j.doi = t0.doi AND t$j.pos = t0.pos + ${p - base} AND t$j.term = '$t'"
+          }.mkString("\n")
+          s"""q${qid}_occ AS (
+             |  SELECT t0.doi, t0.pos FROM tok t0
+             |${if (joins.nonEmpty) joins + "\n" else ""}  JOIN tok tl ON tl.doi = t0.doi AND tl.pos = t0.pos + ${lastPos - base}
+             |  JOIN q${qid}_exp e ON e.term = tl.term
+             |  WHERE t0.term = '${fixed(0)._1}')""".stripMargin
+        }
+      s"""$expCte,
+         |$sidfCte,
+         |$occCte,
+         |q${qid}_pf AS (SELECT doi, count(*)::BIGINT AS pf FROM q${qid}_occ GROUP BY doi),
+         |q${qid}_scored AS (SELECT $qid AS qid, pf.doi,
+         |    si.sidf * (pf.pf / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM q${qid}_pf pf
+         |  JOIN dl ON dl.doi = pf.doi
+         |  CROSS JOIN stats s CROSS JOIN q${qid}_sidf si)""".stripMargin
+    }
+    val unionScored = PhrasePrefixQueries.map { case (qid, _) =>
+      s"SELECT qid, doi, score FROM q${qid}_scored" }.mkString(" UNION ALL ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |vals AS (SELECT doi, v, string_split(lower(el), ' ') AS toks FROM
+       |          (SELECT doi, unnest(title) AS el,
+       |                  unnest(range(len(title))) AS v FROM src) u),
+       |offs AS (SELECT doi, v, toks,
+       |    coalesce(sum(len(toks) + $gap) OVER (PARTITION BY doi ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM vals),
+       |tok0 AS (SELECT doi, off + unnest(range(len(toks))) AS pos,
+       |                unnest(toks) AS term FROM offs),
+       |tok AS (SELECT doi, pos, term FROM tok0
+       |        WHERE term <> '' AND term NOT IN ($stopIn)),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |${blocks.mkString(",\n")},
+       |scored AS ($unionScored),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Histogram replay: floor-division buckets in integer arithmetic
+    * (x − Euclidean-mod, the engine's exact formulation — no doubles). */
+  def fieldAggHistSql: String =
+    s"""WITH src AS (${fixtureSrc(dateCols)}),
+       |y AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src)
+       |SELECT y - ((y % $HistInterval) + $HistInterval) % $HistInterval AS bucket,
+       |       count(*)::BIGINT AS doc_count
+       |FROM y GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Stats-agg replay: value-weighted aggregates over the year values;
+    * avg micro-rounded through the same double division. */
+  def fieldAggStatsSql: String =
+    s"""WITH src AS (${fixtureSrc(dateCols)}),
+       |y AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src)
+       |SELECT count(*)::BIGINT AS value_count,
+       |       min(y)::BIGINT AS min_value,
+       |       max(y)::BIGINT AS max_value,
+       |       sum(y)::BIGINT AS sum_value,
+       |       CAST(round((CAST(sum(y) AS DOUBLE) / count(*)) * 1000000.0) AS BIGINT) AS avg_x6
+       |FROM y""".stripMargin
+
+  /** terms+cardinality replay: per year term (keyword-fold of digits =
+    * identity), doc count + distinct volume values, ES tie-break. */
+  def fieldAggCardSql: String =
+    s"""WITH src AS (SELECT CAST((${Oracle.yearCase("")}) AS VARCHAR) AS term,
+       |    coalesce(volume, '') AS vol
+       |  FROM (SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'volume':'VARCHAR'$dateCols})))
+       |SELECT term, count(*)::BIGINT AS doc_count,
+       |       count(DISTINCT CASE WHEN vol <> '' THEN vol END)::BIGINT AS cardinality
+       |FROM src
+       |GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT 10""".stripMargin
 }

@@ -645,4 +645,203 @@ object FieldedIndex {
           .orderBy(col("score_x6").desc, col("doc_id").asc)))
       .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
   }
+
+  // ---- Multi-term queries (Lucene MultiTermQuery rewrites) ----------------
+  //
+  // ES range / prefix / wildcard queries rewrite to the set of dictionary
+  // terms matching a predicate, then run as ordinary term queries (Lucene
+  // MultiTermQuery; ES caps the set at indices.query.bool.max_clause_count).
+  // The dictionary here is the sub-index's term_stats table — vocab-sized,
+  // range-partitioned and sorted BY TERM at build with a numeric shadow
+  // column, so prefix predicates prune on the string min/max stats and
+  // numeric ranges on the shadow column's (the parquet-native analogue of
+  // Lucene's FST seek / BKD tree). Collected rows are bounded by the
+  // matching vocabulary slice, never the corpus.
+
+  /** Terms of `field`'s dictionary matching `pred`, with exact global df,
+    * in term order, capped at `max` when ≥ 0 (the deterministic
+    * max_expansions rule: term order, Lucene's rewrite collection order). */
+  private def expandDictionary(spark: SparkSession, indexDir: String,
+      field: String, pred: Column, max: Int = -1): Seq[(String, Long)] = {
+    val ts0 = IndexTables.termStats(spark,
+      new TableIO(fieldDir(indexDir, field)))
+    // base indexes store the numeric shadow column; streamed-segment union
+    // views lose it in the df re-aggregation — derive it on the fly there
+    val ts = if (ts0.columns.contains("term_num")) ts0
+             else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
+    val matched = ts.where(pred).orderBy("term")
+    (if (max >= 0) matched.limit(max) else matched)
+      .select("term", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** ES numeric `range` query → matching dictionary terms (numeric
+    * comparison on the parsed term value, the ES semantics for a numeric
+    * field; non-numeric terms never match). Bounds: `gte`/`lte` inclusive,
+    * `gt`/`lt` exclusive — any subset, like the ES body. Feed the result
+    * to [[esBool]]'s filter context (the usual client shape,
+    * `{"bool":{"filter":[{"range":{"year":{...}}}]}}`) or to
+    * [[termQuery]]-style constant-score retrieval via [[rangeQuery]].
+    * An empty expansion is an unsatisfiable filter — the kernel already
+    * yields zero hits for a present-but-termless filter clause. */
+  def rangeTerms(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                 gte: Option[Long] = None, lte: Option[Long] = None,
+                 gt: Option[Long] = None, lt: Option[Long] = None): Seq[String] = {
+    require(gte.nonEmpty || lte.nonEmpty || gt.nonEmpty || lt.nonEmpty,
+      "range query needs at least one bound")
+    val v = col("term_num")
+    val pred = Seq(
+      Some(v.isNotNull),
+      gte.map(v >= _), lte.map(v <= _),
+      gt.map(v > _), lt.map(v < _)).flatten.reduce(_ && _)
+    expandDictionary(spark, indexDir, spec.field, pred).map(_._1)
+  }
+
+  /** ES `range` as constant-score retrieval (filter context alone):
+    * (term, doc_id) over the expanded terms, like [[termQuery]]. */
+  def rangeQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                 gte: Option[Long] = None, lte: Option[Long] = None,
+                 gt: Option[Long] = None, lt: Option[Long] = None): DataFrame =
+    Searcher.termDocs(handleFor(spark, indexDir, spec.field),
+      rangeTerms(spark, indexDir, spec, gte, lte, gt, lt))
+
+  /** ES `prefix` query expansion: dictionary terms starting with the
+    * analyzed prefix (ES prefix queries are term-level and unanalyzed;
+    * this engine's term surface is analyzed — same convention as
+    * [[termQuery]] — so clients pass surface forms). Term order, capped at
+    * `max` when ≥ 0; returns (term, df) so scored rewrites can weight. */
+  def prefixTerms(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                  prefix: String, max: Int = -1): Seq[(String, Long)] =
+    Analyzer.analyzeChain(spec.chain, prefix).headOption match {
+      case None => Seq.empty
+      case Some(analyzed) => expandDictionary(spark, indexDir, spec.field,
+        col("term").startsWith(analyzed), max)
+    }
+
+  /** ES `prefix` query (constant-score, the ES rewrite): (term, doc_id)
+    * over the expanded terms. */
+  def prefixQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                  prefix: String): DataFrame =
+    Searcher.termDocs(handleFor(spark, indexDir, spec.field),
+      prefixTerms(spark, indexDir, spec, prefix).map(_._1))
+
+  /** ES `wildcard` query (constant-score): `*` = any run, `?` = any one
+    * char, everything else literal. The translated anchored regex runs
+    * over the vocab-sized dictionary scan (no pushdown for a mid-pattern
+    * wildcard — exactly Lucene's automaton-walk cost class; a literal
+    * prefix before the first wildcard WOULD prune, which is Lucene's
+    * prefix-accelerated wildcard, left as the `startsWith` conjunct). */
+  def wildcardQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                    pattern: String): DataFrame = {
+    val terms = Analyzer.analyzeChain(spec.chain, pattern).headOption match {
+      case None => Seq.empty[String]
+      case Some(analyzed) =>
+        val rx = "^" + analyzed.flatMap {
+          case '*' => ".*"
+          case '?' => "."
+          case c if "\\.[]{}()<>+-=!$^|".indexOf(c) >= 0 => "\\" + c
+          case c => c.toString
+        } + "$"
+        // a literal prefix before the first wildcard prunes the sorted
+        // dictionary (Lucene's prefix-accelerated wildcard)
+        val litPrefix = analyzed.takeWhile(c => c != '*' && c != '?')
+        val pred = if (litPrefix.nonEmpty)
+          col("term").startsWith(litPrefix) && col("term").rlike(rx)
+        else col("term").rlike(rx)
+        expandDictionary(spark, indexDir, spec.field, pred).map(_._1)
+    }
+    Searcher.termDocs(handleFor(spark, indexDir, spec.field), terms)
+  }
+
+  /** ES `match_phrase_prefix` against one field: analyze with the field's
+    * chain keeping tokenizer positions, expand the LAST token by prefix
+    * over the sub-index dictionary (term order, `maxExpansions` cap — ES
+    * default 50), then run the MultiPhrase kernel (exact-occurrence slots
+    * + a union last slot, Lucene MultiPhrasePrefixQuery semantics).
+    * Returns (qid, rnk, doc_id, score_x6). */
+  def matchPhrasePrefix(spark: SparkSession, indexDir: String,
+                        spec: FieldSpec, rawQueries: Seq[(Int, String)],
+                        k: Int, maxExpansions: Int = 50): DataFrame =
+    Searcher.phrasePrefixSearch(
+      handleFor(spark, indexDir, spec.field), rawQueries, k,
+      Analyzer.analyzeChainPos(spec.chain, _),
+      prefix => prefixTerms(spark, indexDir, spec, prefix, maxExpansions))
+
+  // ---- Aggregations over index tables (ES aggs off pre-aggregated data) ---
+
+  /** ES `histogram` aggregation over a single-valued numeric keyword field
+    * (year/volume/issue — the reference's shapes): bucket =
+    * floor(value/interval)·interval, doc_count per bucket. Served entirely
+    * from term_stats — Σ df per bucket is exact for single-valued fields
+    * (each doc contributes one value) — so the agg is a vocab-sized scan +
+    * a bucket-count hash agg, no corpus-sized work at any scale. Returns
+    * (bucket, doc_count) sorted by bucket (the ES histogram order). */
+  def histogramAgg(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                   interval: Long): DataFrame = {
+    require(interval > 0, "histogram interval must be positive")
+    val ts0 = IndexTables.termStats(spark,
+      new TableIO(fieldDir(indexDir, spec.field)))
+    val ts = if (ts0.columns.contains("term_num")) ts0
+             else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
+    // floor-division bucketing in INTEGER arithmetic (x − x mod n, Euclidean
+    // mod): no doubles anywhere, exact at any magnitude, negative values
+    // land in the floor bucket like ES
+    ts.where(col("term_num").isNotNull)
+      .groupBy((col("term_num") - pmod(col("term_num"), lit(interval)))
+        .as("bucket"))
+      .agg(sum(col("df")).as("doc_count"))
+      .orderBy("bucket")
+  }
+
+  /** ES `stats` aggregation over a single-valued numeric keyword field:
+    * one row (value_count, min, max, sum, avg) — again a vocab-sized
+    * term_stats scan (values weighted by df), never a corpus scan. */
+  def statsAgg(spark: SparkSession, indexDir: String,
+               spec: FieldSpec): DataFrame = {
+    val ts0 = IndexTables.termStats(spark,
+      new TableIO(fieldDir(indexDir, spec.field)))
+    val ts = if (ts0.columns.contains("term_num")) ts0
+             else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
+    ts.where(col("term_num").isNotNull)
+      .agg(sum(col("df")).as("value_count"),
+        min(col("term_num")).as("min_value"),
+        max(col("term_num")).as("max_value"),
+        sum(col("term_num") * col("df")).as("sum_value"))
+      .withColumn("avg_value",
+        col("sum_value").cast("double") / col("value_count"))
+  }
+
+  /** Per-doc field values: (doc_id, value) exploded from the sub-index's
+    * doc_terms — the engine's doc-values column (nested-schema pruning
+    * reads only the term subfield of the tfs arrays). */
+  private def docValues(spark: SparkSession, indexDir: String,
+                        field: String): DataFrame =
+    spark.read.parquet(s"${fieldDir(indexDir, field)}/doc_terms")
+      .select(col("doc_id"), explode(col("tfs.term")).as("value"))
+
+  /** ES `terms` aggregation with a `cardinality` sub-aggregation (the
+    * composed-agg staple: top terms of one field, distinct-count of
+    * another within each bucket). Exact: two slim (doc_id, value)
+    * doc-values projections joined on doc_id (both sides written
+    * doc-sharded at build, so the join co-partitions after one exchange of
+    * value-sized rows; the bucket field LEFT-joins so docs missing the
+    * sub-agg field still count in doc_count, the ES contract), then a
+    * two-distinct hash agg. ES's own cardinality is HLL-approximate; at
+    * corpus scale swap countDistinct for approx_count_distinct (HLL++,
+    * partial-aggregating — no second shuffle) — the exact form is the
+    * oracle-checkable one. Returns (term, doc_count, cardinality) by
+    * doc_count desc, term asc (the ES tie-break), top `size`. */
+  def termsCardinalityAgg(spark: SparkSession, indexDir: String,
+                          bucketSpec: FieldSpec, cardSpec: FieldSpec,
+                          size: Int): DataFrame = {
+    val buckets = docValues(spark, indexDir, bucketSpec.field)
+    val sub = docValues(spark, indexDir, cardSpec.field)
+      .withColumnRenamed("value", "sub_value")
+    buckets.join(sub, Seq("doc_id"), "left")
+      .groupBy(col("value").as("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_count"),
+        countDistinct(col("sub_value")).as("cardinality"))
+      .orderBy(col("doc_count").desc, col("term").asc)
+      .limit(size)
+  }
 }

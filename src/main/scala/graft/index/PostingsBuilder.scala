@@ -79,7 +79,9 @@ object PostingsBuilder {
     * (e.g. the pre-PFor varbyte blocks) and is unreadable by the current
     * decoder — [[ensureFormat]] wipes it so callers rebuild instead of
     * serving garbage from a stale cached directory. */
-  val FormatStep = "format_pfor3" // v3: positions tier (PostingBlock.pos)
+  // v3: positions tier (PostingBlock.pos); v4: term_stats sorted by term
+  // with the numeric shadow column (dictionary-range pruning)
+  val FormatStep = "format_pfor4"
 
   /** Invalidate an index directory written under an older block format,
     * then stamp the current marker — committed BEFORE any data step, so a
@@ -198,10 +200,20 @@ object PostingsBuilder {
     // leak). df per term: terms are unique within a doc's tfs, so count(*)
     // over the exploded terms is exact df; partial aggregation caps its
     // shuffle at (vocab × input partitions) rows regardless of corpus size.
+    // The table is range-partitioned and sorted BY TERM so every
+    // dictionary-range operation (prefix / numeric-range / wildcard
+    // expansion — Lucene's MultiTermQuery rewrites, which seek the FST)
+    // becomes a min/max-pruned parquet scan instead of a full vocabulary
+    // pass; the extra exchange moves vocab-sized rows once at build time.
     val overlapped = io.stepsAsync(
       (("term_stats" -> (() =>
         docTerms.select(explode(col("tfs.term")).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          // numeric shadow column: parquet min/max stats on it prune
+          // numeric-range expansions (the BKD-tree analogue); null for
+          // non-numeric terms
+          .withColumn("term_num", expr("try_cast(term AS BIGINT)"))
+          .repartitionByRange(col("term")).sortWithinPartitions("term")
           .write.mode("overwrite").parquet(io.tablePath("term_stats"))))
         +: concurrentSteps): _*)
 

@@ -165,4 +165,162 @@ object Phrase {
     }
     heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
   }
+
+  // ---- MultiPhrase (term-set slots — the match_phrase_prefix rewrite) ----
+
+  /** Union cursor over several terms' iterators — one MultiPhraseQuery
+    * slot. A slot is on doc d if ANY of its terms posts d; its positions
+    * at d are the merged distinct positions of those terms (Lucene's
+    * UnionPostingsEnum). */
+  private final class SlotIter(iters: Array[PosIter]) {
+    def curDoc: Long = {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < iters.length) {
+        val c = iters(i).curDoc
+        if (c < m) m = c
+        i += 1
+      }
+      m
+    }
+
+    def advanceTo(d: Long): Unit = {
+      var i = 0
+      while (i < iters.length) { iters(i).advanceTo(d); i += 1 }
+    }
+
+    /** Merged ascending distinct positions of the terms posting doc `d`
+      * (callers guarantee curDoc == d). */
+    def positionsAt(d: Long): Array[Int] = {
+      var only: Array[Int] = null
+      var n = 0
+      var i = 0
+      while (i < iters.length) {
+        if (iters(i).curDoc == d) { only = iters(i).positions; n += 1 }
+        i += 1
+      }
+      if (n == 1) return only
+      val arrs = iters.iterator.filter(_.curDoc == d).map(_.positions).toArray
+      val out = new Array[Int](arrs.iterator.map(_.length).sum)
+      val idx = new Array[Int](arrs.length)
+      var k = 0
+      var last = Int.MinValue
+      var more = true
+      while (more) {
+        var best = -1
+        var bv = Int.MaxValue
+        var j = 0
+        while (j < arrs.length) {
+          if (idx(j) < arrs(j).length && arrs(j)(idx(j)) < bv) {
+            bv = arrs(j)(idx(j)); best = j
+          }
+          j += 1
+        }
+        if (best < 0) more = false
+        else {
+          idx(best) += 1
+          if (bv != last) { out(k) = bv; k += 1; last = bv }
+        }
+      }
+      java.util.Arrays.copyOf(out, k)
+    }
+
+    def dlAt(d: Long): Int = {
+      var i = 0
+      while (i < iters.length) {
+        if (iters(i).curDoc == d) return iters(i).dl
+        i += 1
+      }
+      throw new IllegalStateException("dlAt called off-doc")
+    }
+  }
+
+  /** Alignments where every SLOT has some member term at start + offset
+    * (each slot's union positions merged once per doc, not per start). */
+  private def multiPhraseFreq(rel: Array[(SlotIter, Int)], d: Long): Int = {
+    val pos: Array[Array[Int]] = rel.map(_._1.positionsAt(d))
+    val lead = pos(0)
+    var pf = 0
+    var i = 0
+    while (i < lead.length) {
+      val s = lead(i)
+      var ok = true
+      var j = 1
+      while (ok && j < rel.length) {
+        ok = java.util.Arrays.binarySearch(pos(j), s + rel(j)._2) >= 0
+        j += 1
+      }
+      if (ok) pf += 1
+      i += 1
+    }
+    pf
+  }
+
+  /** Score one MultiPhrase (slot = set of terms at a tokenizer position —
+    * singleton slots are exact occurrences, the last slot of a
+    * match_phrase_prefix carries the prefix expansions) against one
+    * shard's blocks. Lucene MultiPhraseQuery semantics: a doc matches if
+    * some start aligns every slot on ANY member term; phraseFreq counts
+    * such starts; the caller's `sumIdf` sums idf over ALL terms (fixed
+    * occurrences + every expansion — MultiPhraseWeight collects term
+    * statistics for the full term set). Slots whose every term is absent
+    * from the shard kill the conjunction; absent members only shrink a
+    * slot's union. Returns up to k (doc_id, exact score), unordered. */
+  def scoreShardMulti(blocksByTerm: String => Array[PostingBlock],
+                      slots: Array[(Array[String], Int)], sumIdf: Double,
+                      avgdl: Double, k: Int): Array[(Long, Double)] = {
+    if (slots.isEmpty) return Array.empty
+    val uniq = slots.flatMap(_._1).distinct
+    val present: Map[String, PosIter] = uniq.iterator.flatMap { t =>
+      val bs = blocksByTerm(t)
+      if (bs == null) Iterator.empty
+      else Iterator.single(t -> new PosIter(bs))
+    }.toMap
+    val slotLive: Array[Array[PosIter]] =
+      slots.map { case (ts, _) => ts.flatMap(present.get) }
+    if (slotLive.exists(_.isEmpty)) return Array.empty // slot unmatchable
+    val slotIters: Array[SlotIter] = slotLive.map(new SlotIter(_))
+    val base = slots(0)._2
+    val rel: Array[(SlotIter, Int)] =
+      slotIters.zip(slots.map(_._2 - base))
+
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by[(Long, Long, Double), (Long, Long)] { case (x6, doc, _) => (-x6, doc) }
+    val heap = mutable.PriorityQueue.empty[(Long, Long, Double)]
+    def offer(doc: Long, s: Double): Unit = {
+      val x6 = math.round(s * 1e6)
+      if (heap.size < k) heap.enqueue((x6, doc, s))
+      else {
+        val (hx6, hdoc, _) = heap.head
+        if (x6 > hx6 || (x6 == hx6 && doc < hdoc)) {
+          heap.dequeue(); heap.enqueue((x6, doc, s))
+        }
+      }
+    }
+
+    var d = 0L
+    var i = 0
+    while (i < slotIters.length) {
+      val c = slotIters(i).curDoc
+      if (c > d) d = c
+      i += 1
+    }
+    while (d != Long.MaxValue) {
+      var m = d
+      i = 0
+      while (i < slotIters.length) {
+        slotIters(i).advanceTo(d)
+        val c = slotIters(i).curDoc
+        if (c > m) m = c
+        i += 1
+      }
+      if (m == d) {
+        val pf = multiPhraseFreq(rel, d)
+        if (pf > 0) offer(d, sumIdf * Bm25.tfNorm(pf.toDouble,
+          slotIters(0).dlAt(d).toDouble, avgdl))
+        d += 1
+      } else d = m
+    }
+    heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
+  }
 }

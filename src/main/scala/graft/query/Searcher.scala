@@ -769,6 +769,59 @@ object Searcher {
     topKFrame(h.spark, merged)
   }
 
+  /** ES match_phrase_prefix (Lucene MultiPhrasePrefixQuery rewritten to a
+    * MultiPhraseQuery): the phrase's LAST token position becomes a slot of
+    * up to max_expansions dictionary terms sharing its prefix (supplied by
+    * `expand` in term order — the Lucene rewrite collection order), every
+    * other position stays an exact occurrence. Scoring follows
+    * MultiPhraseWeight: idf sums over the FULL term set (fixed occurrences
+    * + every expansion, df from the dictionary), tfNorm over the union
+    * phraseFreq. Queries whose fixed terms are corpus-absent, or whose
+    * prefix expands to nothing, match nothing (conjunction). Returns
+    * (qid, rnk, doc_id, score_x6). */
+  def phrasePrefixSearch(h: Handle, rawQueries: Seq[(Int, String)], k: Int,
+      chain: String => Array[(String, Int)],
+      expand: String => Seq[(String, Long)]): DataFrame = {
+    val analyzed: Seq[(Int, Array[(String, Int)])] =
+      rawQueries.map { case (qid, q) => qid -> chain(q) }
+    val fixedTerms =
+      analyzed.flatMap(_._2.dropRight(1).map(_._1)).distinct.toArray
+    val dfByTerm = resolveDfs(h, fixedTerms)
+    val nDocs = h.stats.n_docs
+    val avgdl = h.stats.avgdl
+    val kk = k
+    val pqs: Array[(Int, Array[(Array[String], Int)], Double)] =
+      analyzed.collect {
+        case (qid, occs) if occs.nonEmpty &&
+            occs.dropRight(1).forall(o => dfByTerm.contains(o._1)) =>
+          val (lastTerm, lastPos) = occs.last
+          val exps = expand(lastTerm)
+          if (exps.isEmpty) None
+          else {
+            val slots: Array[(Array[String], Int)] =
+              occs.dropRight(1).map { case (t, p) => (Array(t), p) } :+
+                (exps.map(_._1).toArray, lastPos)
+            val sumIdf =
+              occs.dropRight(1).iterator
+                .map(o => Bm25.idf(nDocs, dfByTerm(o._1))).sum +
+              exps.iterator.map { case (_, df) => Bm25.idf(nDocs, df) }.sum
+            Some((qid, slots, sumIdf))
+          }
+      }.flatten.toArray
+
+    val merged = treeTopK(h.shards, kk) { si =>
+      pqs.iterator.flatMap { case (qid, slots, sumIdf) =>
+        val lookup: String => Array[PostingBlock] = t => {
+          val tp = si.terms.get(t)
+          if (tp == null) null else tp.blocks
+        }
+        Phrase.scoreShardMulti(lookup, slots, sumIdf, avgdl, kk)
+          .iterator.map { case (doc, s) => (qid, doc, s) }
+      }
+    }
+    topKFrame(h.spark, merged)
+  }
+
   /** ES term-query analogue (filter context — set-valued, no scoring): all
     * docs whose indexed field contains one of the PRE-ANALYZED terms. One
     * narrow job over the resident shard indexes; the result stays a

@@ -372,4 +372,91 @@ class FieldedSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("doi")).toSet
     assert((plain -- expected).nonEmpty, "fixture too weak: msm a no-op")
   }
+
+  test("range expansion: bound grid, exclusive edges, empty interval") {
+    val y = spec("year")
+    // fixture years 1990..2019; [1993,1995] inclusive
+    assert(FieldedIndex.rangeTerms(spark, idx, y,
+      gte = Some(1993L), lte = Some(1995L)) === Seq("1993", "1994", "1995"))
+    // exclusive both edges
+    assert(FieldedIndex.rangeTerms(spark, idx, y,
+      gt = Some(1993L), lt = Some(1995L)) === Seq("1994"))
+    // open-ended: everything from 2018 up
+    assert(FieldedIndex.rangeTerms(spark, idx, y,
+      gte = Some(2018L)) === Seq("2018", "2019"))
+    // empty interval → empty expansion → zero hits through the bool kernel
+    val empty = FieldedIndex.rangeTerms(spark, idx, y,
+      gt = Some(2019L))
+    assert(empty.isEmpty)
+    assert(FieldedIndex.esBool(spark, idx,
+      must = Seq((spec("title"), "record")),
+      filter = Some((y, empty)), k = 5).count() === 0L)
+    // constant-score retrieval: the 3-year cohort (i%30 ∈ {3,4,5}, each
+    // remainder < 10 gets 34 docs in 0..999) is 102 docs
+    assert(FieldedIndex.rangeQuery(spark, idx, y,
+      gte = Some(1993L), lte = Some(1995L)).count() === 102L)
+  }
+
+  test("prefix/wildcard: cap is term-ordered, * and ? translate, miss is empty") {
+    val d = spec("DOI")
+    // 10.1/nd.99, .990 .. .999 — 11 terms; cap keeps term order
+    val all = FieldedIndex.prefixTerms(spark, idx, d, "10.1/ND.99")
+    assert(all.map(_._1) === ("10.1/nd.99" +: (0 to 9).map(i => s"10.1/nd.99$i")))
+    assert(FieldedIndex.prefixTerms(spark, idx, d, "10.1/ND.99", max = 3)
+      .map(_._1) === Seq("10.1/nd.99", "10.1/nd.990", "10.1/nd.991"))
+    assert(FieldedIndex.prefixTerms(spark, idx, d, "10.1/zz").isEmpty)
+    // '?' = one char; '.' in the DOI is literal, not regex-any
+    assert(FieldedIndex.wildcardQuery(spark, idx, d, "10.1/nd.1?3")
+      .count() === 10L)
+    assert(FieldedIndex.wildcardQuery(spark, idx, d, "10.1/ndx1?3")
+      .count() === 0L, "an unescaped '.' would make ndx match nd.")
+    // '*' run: same doc set as the prefix query
+    assert(FieldedIndex.wildcardQuery(spark, idx, d, "10.1/nd.99*")
+      .count() === 11L)
+  }
+
+  test("match_phrase_prefix: expansion union, cross-value miss, cap determinism") {
+    val t = spec("title")
+    // "titl" expands to exactly {title} → degenerates to the exact phrase
+    val viaPrefix = FieldedIndex.matchPhrasePrefix(spark, idx, t,
+      Seq(1 -> "second titl"), 5).collect()
+    val exact = FieldedIndex.phraseMatch(spark, idx, t,
+      Seq(1 -> "second title"), 5).collect()
+    assert(viaPrefix.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+      exact.map(r => (r.getLong(2), r.getLong(3))).toSeq)
+    // cross-value adjacency must NOT match: value boundary gap (ES
+    // position_increment_gap) — "$i second" spans value 1 → value 2
+    assert(FieldedIndex.matchPhrasePrefix(spark, idx, t,
+      Seq(1 -> "42 secon"), 5).count() === 0L)
+    // cap: maxExpansions=1 keeps only the term-order-first expansion "4"
+    // → phrase "title 4" matches exactly doc 4
+    val capped = FieldedIndex.matchPhrasePrefix(spark, idx, t,
+      Seq(1 -> "title 4"), 5, maxExpansions = 1)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id").collect()
+    assert(capped.map(_.getAs[String]("doi")).toSeq === Seq("10.1/nd.4"))
+    // empty expansion (no dictionary term with the prefix) matches nothing
+    assert(FieldedIndex.matchPhrasePrefix(spark, idx, t,
+      Seq(1 -> "title zz"), 5).count() === 0L)
+  }
+
+  test("aggregations: histogram buckets, stats values, cardinality sub-agg") {
+    val hist = FieldedIndex.histogramAgg(spark, idx, spec("year"), 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // years 1990..2019, counts 34 (r<10) / 33 (r≥10); 7-buckets cut mid-span
+    assert(hist.map(_._1).toSeq === Seq(1988L, 1995L, 2002L, 2009L, 2016L))
+    assert(hist.map(_._2).sum === 1000L)
+    val st = FieldedIndex.statsAgg(spark, idx, spec("year")).collect()(0)
+    assert(st.getAs[Long]("value_count") === 1000L)
+    assert(st.getAs[Long]("min_value") === 1990L)
+    assert(st.getAs[Long]("max_value") === 2019L)
+    // terms+cardinality: every year cohort sees exactly 5 distinct volumes
+    // (i ≡ r mod 30 → i mod 50 cycles with period 5)
+    val card = FieldedIndex.termsCardinalityAgg(spark, idx, spec("year"),
+      spec("volume"), 10).collect()
+    assert(card.length === 10)
+    assert(card.forall(_.getAs[Long]("cardinality") === 5L))
+    // top buckets are the 34-doc years, tie-broken term asc: 1990..1999
+    assert(card.map(_.getAs[String]("term")).toSeq ===
+      (1990 to 1999).map(_.toString))
+  }
 }
