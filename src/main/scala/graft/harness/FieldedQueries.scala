@@ -415,6 +415,35 @@ object FieldedQueries {
       spec("volume"), 10)
   }
 
+  /** ES from/size pagination: absolute ranks (3, 7] of the title queries
+    * (the deep tie-broken tails make off-by-one slicing visible). */
+  val PageFrom = 3
+  val PageSize = 4
+
+  def fieldPage(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.searchFieldPaged(spark, dir, spec("title"), TitleQueries,
+      PageFrom, PageSize)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** ES terms + top_hits sub-agg: best 2 title matches per year bucket
+    * ("record 7" masses everywhere, doc 7 discriminates inside its
+    * 1997 bucket). */
+  val TopHitsText = "record 7"
+  val TopHitsSize = 2
+
+  def fieldTopHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.topHitsAgg(spark, dir, spec("year"), spec("title"),
+      TopHitsText, TopHitsSize)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("term"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("term", "rnk")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1091,6 +1120,85 @@ object FieldedQueries {
        |  FROM scored)
        |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
        |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Pagination replay: [[bm25TitleSql]]'s scoring with the rank window
+    * sliced to (from, from + size]. */
+  def fieldPageSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = TitleQueries.flatMap { case (qid, q) =>
+      Analyzer.analyzeStop(q).map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |qterms(qid, term) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT q.qid, tf.doi, sum(${Oracle.bm25Expr}) AS score
+       |  FROM qterms q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY q.qid, tf.doi),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk > $PageFrom AND rnk <= ${PageFrom + PageSize}
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** top_hits replay: the title-field match scored per doc, joined to the
+    * year term, ranked within each bucket. */
+  def fieldTopHitsSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(TopHitsText)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title,
+       |    CAST((${Oracle.yearCase("")}) AS VARCHAR) AS yterm
+       |  FROM (${fixtureSrc(dateCols)})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |ranked AS (
+       |  SELECT y.yterm AS term, s.doi,
+       |    CAST(round(s.score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (PARTITION BY y.yterm
+       |      ORDER BY CAST(round(s.score * 1000000.0) AS BIGINT) DESC, s.doi ASC) AS rnk
+       |  FROM scored s JOIN src0 y USING (doi))
+       |SELECT term, rnk, doi, score_x6 FROM ranked
+       |WHERE rnk <= $TopHitsSize ORDER BY term, rnk""".stripMargin
   }
 
   /** Histogram replay: floor-division buckets in integer arithmetic

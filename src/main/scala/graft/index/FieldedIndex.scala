@@ -811,6 +811,51 @@ object FieldedIndex {
         col("sum_value").cast("double") / col("value_count"))
   }
 
+  /** ES pagination (`from`/`size`): hits at absolute ranks
+    * (from, from + size] of the match query's full ordering — ES computes
+    * the top from+size and slices, which is exactly what the WAND top-k
+    * with k = from + size does; rnk stays the ABSOLUTE rank (ES hit
+    * positions). Deep paging costs grow with from+size — the ES
+    * index.max_result_window reality — so callers requiring deep scans
+    * should stream the posting tables instead. Returns (qid, rnk, doc_id,
+    * score_x6). */
+  def searchFieldPaged(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                       rawQueries: Seq[(Int, String)], from: Int,
+                       size: Int): DataFrame = {
+    require(from >= 0 && size > 0, "from ≥ 0, size > 0")
+    searchField(spark, indexDir, spec, rawQueries, from + size)
+      .where(col("rnk") > from)
+  }
+
+  /** ES `top_hits` sub-aggregation under a `terms` bucketing: the top
+    * `size` hits of a match query WITHIN each bucket of another field
+    * (relevance-ranked group leaders — the "best doc per year" shape).
+    * Execution: the match's distributed per-doc score list (bounded by
+    * the query terms' postings, never the corpus) joins the bucket
+    * field's doc-values projection on doc_id, then one window ranks
+    * within buckets — hash-partitioned by bucket term, so each year
+    * cohort ranks in parallel and nothing corpus-sized serializes.
+    * Returns (term, rnk, doc_id, score_x6) by term asc, rnk asc. */
+  def topHitsAgg(spark: SparkSession, indexDir: String,
+                 bucketSpec: FieldSpec, matchSpec: FieldSpec,
+                 matchText: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = Searcher.contribs(
+      handleFor(spark, indexDir, matchSpec.field),
+      termWeights(matchSpec, matchText))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+    scores.join(docValues(spark, indexDir, bucketSpec.field)
+        .withColumnRenamed("value", "term"), Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= size)
+      .select(col("term"), col("rnk"), col("doc_id"), col("score_x6"))
+      .orderBy(col("term").asc, col("rnk").asc)
+  }
+
   /** Per-doc field values: (doc_id, value) exploded from the sub-index's
     * doc_terms — the engine's doc-values column (nested-schema pruning
     * reads only the term subfield of the tfs arrays). */

