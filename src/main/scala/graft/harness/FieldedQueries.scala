@@ -444,6 +444,29 @@ object FieldedQueries {
       .orderBy("term", "rnk")
   }
 
+  /** ES _count + sort-by-field: hit counts for a mass and a discriminative
+    * match, and the volume-23 cohort sorted by year desc. */
+  val CountTexts = Seq("record title", "42 999")
+  val SortFilterVol = "23"
+  val SortK = 10
+
+  def fieldCountSort(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val counts = CountTexts.zipWithIndex.map { case (t, i) =>
+      FieldedIndex.countQuery(spark, dir, spec("title"), t)
+        .select(lit(i.toLong).as("rnk"), lit(s"count:$t").as("key"),
+          col("hits").as("value"))
+    }.reduce(_.unionByName(_))
+    val sorted = FieldedIndex.sortByField(spark, dir,
+      spec("volume"), Seq(SortFilterVol), spec("year"),
+      descending = true, SortK)
+      .join(docMap(spark, dir), "doc_id")
+      .select((col("rnk") + 100L).as("rnk"),
+        concat(lit("sort:"), col("doi")).as("key"),
+        col("sort_value").as("value"))
+    counts.unionByName(sorted).orderBy("rnk")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1199,6 +1222,37 @@ object FieldedQueries {
        |  FROM scored s JOIN src0 y USING (doi))
        |SELECT term, rnk, doi, score_x6 FROM ranked
        |WHERE rnk <= $TopHitsSize ORDER BY term, rnk""".stripMargin
+  }
+
+  /** _count + sort replay: distinct-doc counts of the analyzed term
+    * unions, and the volume cohort ordered by numeric year desc. */
+  def fieldCountSortSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val countSelects = CountTexts.zipWithIndex.map { case (t, i) =>
+      val terms = Analyzer.analyzeChain(Analyzer.TextStop, t)
+        .distinct.map(x => s"'$x'").mkString(", ")
+      s"""SELECT ${i}::BIGINT AS rnk, 'count:$t' AS key,
+         |       count(DISTINCT doi)::BIGINT AS value
+         |  FROM tok WHERE term IN ($terms)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH src0 AS (SELECT DOI AS doi, title, coalesce(volume, '') AS vol,
+       |    CAST((${Oracle.yearCase("")}) AS BIGINT) AS y
+       |  FROM (${fixtureSrc(",\n    'volume':'VARCHAR'" + dateCols)})),
+       |el AS (SELECT doi, unnest(title) AS el FROM src0),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |counts AS (
+       |  $countSelects),
+       |cohort AS (SELECT doi, y FROM src0 WHERE vol = '$SortFilterVol'
+       |           ORDER BY y DESC, doi ASC LIMIT $SortK),
+       |sorted AS (SELECT
+       |    (row_number() OVER (ORDER BY y DESC, doi ASC) + 100)::BIGINT AS rnk,
+       |    'sort:' || doi AS key, y AS value
+       |  FROM cohort)
+       |SELECT rnk, key, value FROM counts
+       |UNION ALL SELECT rnk, key, value FROM sorted
+       |ORDER BY rnk""".stripMargin
   }
 
   /** Histogram replay: floor-division buckets in integer arithmetic

@@ -490,6 +490,38 @@ object PipelineQueries {
     s"""SELECT doc_id, len(regexp_extract_all(text, '${TextOps.BpeTokenRegex}'))::BIGINT AS n_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII redaction over deterministically PII-augmented text: the corpus
+    * is synthetic word-soup with no emails/IPs/phones, so BOTH sides
+    * append the same derived contact block (email, phone, IPv4 keyed off
+    * doc_id) before redacting — the oracle then proves the actual
+    * replacement logic byte-identically, not a no-op pass. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".example.com or +1 555-01"), col("doc_id").cast("string"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(251L)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(241L)).cast("string"))
+    TextOps.redactPii(docs(spark, dir), aug)
+  }
+
+  val redactPiiSql: String = {
+    val augSql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "'.example.com or +1 555-01' || CAST(doc_id AS VARCHAR) || " +
+      "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
+      "'.' || CAST(doc_id % 251 AS VARCHAR) || " +
+      "'.' || CAST(doc_id % 241 AS VARCHAR)"
+    s"""SELECT doc_id,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace($augSql, '${TextOps.EmailRx}', '<EMAIL>', 'g'),
+       |      '${TextOps.Ipv4Rx}', '<IP>', 'g'),
+       |    '${TextOps.PhoneRx}', '<PHONE>', 'g') AS redacted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val fingerprintSql: String =
     s"""WITH tok AS (SELECT doc_id, generate_subscripts(string_split(text,' '), 1) AS pos,
        |              unnest(string_split(text,' ')) AS term FROM documents),

@@ -811,6 +811,46 @@ object FieldedIndex {
         col("sum_value").cast("double") / col("value_count"))
   }
 
+  /** ES `_count` (hit count without scoring): docs matching the analyzed
+    * match query — distinct union of the terms' posting lists. Returns a
+    * one-row (hits) frame; the count aggregates distributedly (TakeOrdered
+    * of nothing — just a count over the postings union, never a collect
+    * of doc ids). */
+  def countQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                 text: String): DataFrame = {
+    val terms = Analyzer.analyzeChain(spec.chain, text).distinct.toSeq
+    Searcher.termDocs(handleFor(spark, indexDir, spec.field), terms)
+      .agg(countDistinct(col("doc_id")).as("hits"))
+  }
+
+  /** ES sort-by-field (`"sort":[{field: desc}]`) under a term filter:
+    * the filter cohort's docs ordered by ANOTHER field's doc-value,
+    * numerically when the value parses (the ES numeric-field contract),
+    * doc_id as the deterministic tie-break. Shapes: the cohort (filter
+    * postings) joins the sort field's slim doc-values projection on
+    * doc_id, then a TakeOrdered of k rows — no scoring, no corpus-sized
+    * sort at any scale. Returns (rnk, doc_id, sort_value). */
+  def sortByField(spark: SparkSession, indexDir: String,
+                  filterSpec: FieldSpec, filterValues: Seq[String],
+                  sortSpec: FieldSpec, descending: Boolean,
+                  k: Int): DataFrame = {
+    val cohort = termQuery(spark, indexDir, filterSpec, filterValues)
+      .select("doc_id").distinct()
+    val vals = docValues(spark, indexDir, sortSpec.field)
+      .withColumn("sort_value", expr("try_cast(value AS BIGINT)"))
+      .where(col("sort_value").isNotNull)
+    val ordered = cohort.join(vals, "doc_id")
+      .orderBy(if (descending) col("sort_value").desc else col("sort_value").asc,
+        col("doc_id").asc)
+      .limit(k)
+    ordered
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          if (descending) col("sort_value").desc else col("sort_value").asc,
+          col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("sort_value"))
+  }
+
   /** ES pagination (`from`/`size`): hits at absolute ranks
     * (from, from + size] of the match query's full ordering — ES computes
     * the top from+size and slices, which is exactly what the WAND top-k

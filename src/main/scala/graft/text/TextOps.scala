@@ -95,4 +95,29 @@ object TextOps {
     docs.select(col("doc_id"),
       HashExpressions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** PII-redaction patterns (C4/CCNet-style pre-training scrub), written
+    * in the RE2 ∩ java.util.regex COMMON dialect — no lookarounds, no
+    * backrefs, ASCII classes only — so any engine (Spark codegen
+    * RegExpReplace here, RE2-based engines in an oracle) replays them
+    * byte-identically. Application order matters and is part of the
+    * contract: emails first (their local parts contain digits a later
+    * pass would mangle), then IPv4 literals, then phone runs (the phone
+    * class has no '.', so it can never eat an IP). */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRx = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** Redact emails / IPv4s / phone numbers to typed placeholders: three
+    * chained regexp passes over one column — row-local codegen
+    * (RegExpReplace), fused into the scan, zero shuffles at any corpus
+    * size. */
+  def redactPii(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRx, "<EMAIL>"),
+          Ipv4Rx, "<IP>"),
+        PhoneRx, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
 }

@@ -475,6 +475,32 @@ class FieldedSpec extends AnyFunSuite {
     })
   }
 
+  test("_count and sort-by-field: distinct-union counts, numeric order, asc/desc") {
+    val t = spec("title")
+    // "record title" both post every doc — distinct union, not df sum
+    assert(FieldedIndex.countQuery(spark, idx, t, "record title")
+      .head().getLong(0) === 1000L)
+    // absent term unions to nothing extra; fully-absent query counts 0
+    assert(FieldedIndex.countQuery(spark, idx, t, "42 zz")
+      .head().getLong(0) === 1L)
+    assert(FieldedIndex.countQuery(spark, idx, t, "zz")
+      .head().getLong(0) === 0L)
+    // volume-23 cohort (20 docs), year desc: 2019 (i=989? 989%50=39 no...)
+    // i ≡ 23 (mod 50): years 1990 + i%30 cycle; top year among the cohort
+    val top = FieldedIndex.sortByField(spark, idx, spec("volume"),
+      Seq("23"), spec("year"), descending = true, 5).collect()
+    val asc = FieldedIndex.sortByField(spark, idx, spec("volume"),
+      Seq("23"), spec("year"), descending = false, 5).collect()
+    assert(top.map(_.getAs[Long]("sort_value")).toSeq ===
+      top.map(_.getAs[Long]("sort_value")).sorted.reverse.toSeq)
+    assert(asc.map(_.getAs[Long]("sort_value")).toSeq ===
+      asc.map(_.getAs[Long]("sort_value")).sorted.toSeq)
+    assert(asc.head.getAs[Long]("sort_value") <=
+      top.head.getAs[Long]("sort_value"))
+    // ranks are 1..k and doc_id tie-breaks equal years deterministically
+    assert(top.map(_.getAs[Long]("rnk")).toSeq === (1L to 5L))
+  }
+
   test("aggregations: histogram buckets, stats values, cardinality sub-agg") {
     val hist = FieldedIndex.histogramAgg(spark, idx, spec("year"), 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

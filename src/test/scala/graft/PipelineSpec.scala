@@ -93,6 +93,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(2L))
   }
 
+  test("PII redaction: typed placeholders, order contract, non-PII untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at a.b+c@sub.domain.org today"),
+      (2L, "server 192.168.0.1 and cell +44 20 7946-0958 ok"),
+      (3L, "no pii here just words"),
+      (4L, "version 1.2 is not an ip, 12-34 is not a phone")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "mail me at <EMAIL> today")
+    assert(out(2L) === "server <IP> and cell <PHONE> ok")
+    assert(out(3L) === "no pii here just words")
+    assert(out(4L) === "version 1.2 is not an ip, 12-34 is not a phone")
+  }
+
   test("lang id predicts profile languages on real multilingual text") {
     import spark.implicits._
     val samples = Seq(
