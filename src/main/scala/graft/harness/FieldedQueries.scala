@@ -467,6 +467,20 @@ object FieldedQueries {
     counts.unionByName(sorted).orderBy("rnk")
   }
 
+  /** ES simple_query_string over title: one of each flag — `+` required
+    * term, bare optional term, quoted phrase, `-` excluded term. Doc 42
+    * leads (the "42" boost), doc 999 is excluded outright despite matching
+    * everything else. */
+  val QStringQuery = "+record 42 \"second title\" -999"
+
+  def fieldQString(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.simpleQueryString(spark, dir, spec("title"), QStringQuery, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1253,6 +1267,80 @@ object FieldedQueries {
        |SELECT rnk, key, value FROM counts
        |UNION ALL SELECT rnk, key, value FROM sorted
        |ORDER BY rnk""".stripMargin
+  }
+
+  /** simple_query_string replay: the parsed clause set of [[QStringQuery]]
+    * written out explicitly — required term (inner join), optional term
+    * and phrase (left-join contributions), excluded term (anti-join) —
+    * over the title field's stats and the positional machinery. */
+  def fieldQStringSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val gap = Analyzer.PositionIncrementGap
+    val p = graft.index.FieldedIndex.parseSimpleQuery(QStringQuery)
+    require(p.must == Seq("record") && p.should == Seq("42") &&
+      p.shouldPhrases == Seq("second title") && p.mustNot == Seq("999"),
+      s"QStringQuery parse drifted: $p")
+    val phraseOccs = Analyzer.analyzeChainPos(Analyzer.TextStop, "second title")
+    val base = phraseOccs(0)._2
+    val phraseJoins = phraseOccs.zipWithIndex.drop(1).map { case ((t, pp), j) =>
+      s"  JOIN tok t$j ON t$j.doi = t0.doi AND t$j.pos = t0.pos + ${pp - base} AND t$j.term = '$t'"
+    }.mkString("\n")
+    val phraseTerms = phraseOccs.map { case (t, _) => s"('$t')" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |vals AS (SELECT doi, v, string_split(lower(el), ' ') AS toks FROM
+       |          (SELECT doi, unnest(title) AS el,
+       |                  unnest(range(len(title))) AS v FROM src) u),
+       |offs AS (SELECT doi, v, toks,
+       |    coalesce(sum(len(toks) + $gap) OVER (PARTITION BY doi ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM vals),
+       |tok0 AS (SELECT doi, off + unnest(range(len(toks))) AS pos,
+       |                unnest(toks) AS term FROM offs),
+       |tok AS (SELECT doi, pos, term FROM tok0
+       |        WHERE term <> '' AND term NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |must_leg AS (
+       |  SELECT tf.doi, ${Oracle.bm25Expr} AS c FROM tf
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doi = tf.doi CROSS JOIN stats s
+       |  WHERE tf.term = 'record'),
+       |should_leg AS (
+       |  SELECT tf.doi, ${Oracle.bm25Expr} AS c FROM tf
+       |  JOIN dft ON dft.term = tf.term
+       |  JOIN dl ON dl.doi = tf.doi CROSS JOIN stats s
+       |  WHERE tf.term = '42'),
+       |ph_t(term) AS (VALUES $phraseTerms),
+       |ph_sidf AS (
+       |  SELECT sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS sidf
+       |  FROM ph_t q JOIN dft ON dft.term = q.term CROSS JOIN stats s),
+       |ph_occ AS (SELECT t0.doi, t0.pos FROM tok t0
+       |$phraseJoins
+       |  WHERE t0.term = '${phraseOccs(0)._1}'),
+       |ph_pf AS (SELECT doi, count(*)::BIGINT AS pf FROM ph_occ GROUP BY doi),
+       |ph_leg AS (SELECT pf.doi,
+       |    si.sidf * (pf.pf / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS c
+       |  FROM ph_pf pf JOIN dl ON dl.doi = pf.doi
+       |  CROSS JOIN stats s CROSS JOIN ph_sidf si),
+       |excluded AS (SELECT DISTINCT doi FROM tok WHERE term = '999'),
+       |scored AS (
+       |  SELECT m.doi,
+       |      m.c + coalesce(sh.c, 0.0) + coalesce(ph.c, 0.0) AS score
+       |  FROM must_leg m
+       |  LEFT JOIN should_leg sh ON sh.doi = m.doi
+       |  LEFT JOIN ph_leg ph ON ph.doi = m.doi
+       |  WHERE m.doi NOT IN (SELECT doi FROM excluded)),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                       doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
 
   /** Histogram replay: floor-division buckets in integer arithmetic

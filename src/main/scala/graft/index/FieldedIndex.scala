@@ -811,6 +811,73 @@ object FieldedIndex {
         col("sum_value").cast("double") / col("value_count"))
   }
 
+  /** Parsed form of an ES `simple_query_string` body (the subset of its
+    * flagged syntax clients actually type): bare token = optional (should)
+    * clause, leading `+` = required (must) clause, leading `-` = excluded
+    * term (must_not), `"..."` = match_phrase clause (optionally
+    * `+`-required). Negated phrases are rejected loudly rather than
+    * silently over-excluding. */
+  final case class SimpleQuery(must: Seq[String], should: Seq[String],
+                               mustPhrases: Seq[String],
+                               shouldPhrases: Seq[String],
+                               mustNot: Seq[String])
+
+  private[graft] def parseSimpleQuery(q: String): SimpleQuery = {
+    val must = Seq.newBuilder[String]; val should = Seq.newBuilder[String]
+    val mp = Seq.newBuilder[String]; val sp = Seq.newBuilder[String]
+    val not = Seq.newBuilder[String]
+    var i = 0
+    val len = q.length
+    while (i < len) {
+      while (i < len && q(i).isWhitespace) i += 1
+      if (i < len) {
+        var mod = ' '
+        if (q(i) == '+' || q(i) == '-') { mod = q(i); i += 1 }
+        if (i < len && q(i) == '"') {
+          val end = q.indexOf('"', i + 1)
+          val body = if (end < 0) q.substring(i + 1) else q.substring(i + 1, end)
+          i = if (end < 0) len else end + 1
+          mod match {
+            case '-' => throw new IllegalArgumentException(
+              "negated phrases are not supported in simple_query_string")
+            case '+' => mp += body
+            case _ => sp += body
+          }
+        } else if (i < len) {
+          val start = i
+          while (i < len && !q(i).isWhitespace) i += 1
+          val word = q.substring(start, i)
+          if (word.nonEmpty) mod match {
+            case '-' => not += word
+            case '+' => must += word
+            case _ => should += word
+          }
+        }
+      }
+    }
+    SimpleQuery(must.result(), should.result(), mp.result(), sp.result(),
+      not.result())
+  }
+
+  /** ES `simple_query_string` against one field: parse the flagged syntax
+    * ([[parseSimpleQuery]]) and run it through the SAME combined-bound
+    * bool kernel as [[esBool]] — must/should match clauses, phrase
+    * clauses as two-phase cursors, `-` terms as the must_not exclusion
+    * list (analyzed with the field's chain). default_operator OR, ES's
+    * minimum_should_match defaulting (0 with any must clause, else 1).
+    * Returns (rnk, doc_id, score_x6). */
+  def simpleQueryString(spark: SparkSession, indexDir: String,
+                        spec: FieldSpec, q: String, k: Int): DataFrame = {
+    val p = parseSimpleQuery(q)
+    esBool(spark, indexDir,
+      must = p.must.map(spec -> _),
+      should = p.should.map(spec -> _),
+      mustPhrases = p.mustPhrases.map(spec -> _),
+      shouldPhrases = p.shouldPhrases.map(spec -> _),
+      mustNot = if (p.mustNot.isEmpty) None else Some((spec, p.mustNot)),
+      k = k)
+  }
+
   /** ES `_count` (hit count without scoring): docs matching the analyzed
     * match query — distinct union of the terms' posting lists. Returns a
     * one-row (hits) frame; the count aggregates distributedly (TakeOrdered

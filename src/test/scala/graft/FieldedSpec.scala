@@ -501,6 +501,27 @@ class FieldedSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("rnk")).toSeq === (1L to 5L))
   }
 
+  test("simple_query_string: parser flags, kernel result, negated-phrase rejection") {
+    import FieldedIndex.{parseSimpleQuery, SimpleQuery}
+    assert(parseSimpleQuery("+record 42 \"second title\" -999") ===
+      SimpleQuery(Seq("record"), Seq("42"), Nil, Seq("second title"), Seq("999")))
+    assert(parseSimpleQuery("  a  +\"x y\"  -b c ") ===
+      SimpleQuery(Nil, Seq("a", "c"), Seq("x y"), Nil, Seq("b")))
+    // unterminated quote: rest of string is the phrase body (lenient, ES-like)
+    assert(parseSimpleQuery("\"tail phrase") ===
+      SimpleQuery(Nil, Nil, Nil, Seq("tail phrase"), Nil))
+    intercept[IllegalArgumentException] {
+      parseSimpleQuery("a -\"no such support\"")
+    }
+    // end-to-end: doc 42 leads (extra should term), doc 999 excluded
+    val rows = FieldedIndex.simpleQueryString(spark, idx, spec("title"),
+      FieldedQueries.QStringQuery, 10)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id").collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    assert(rows.head.getAs[String]("doi") === "10.1/nd.42")
+    assert(!rows.exists(_.getAs[String]("doi") == "10.1/nd.999"))
+  }
+
   test("aggregations: histogram buckets, stats values, cardinality sub-agg") {
     val hist = FieldedIndex.histogramAgg(spark, idx, spec("year"), 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
