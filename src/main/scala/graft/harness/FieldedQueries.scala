@@ -481,6 +481,18 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** ES significant_terms: volumes over-represented in the year-1993
+    * cohort vs the whole corpus (JLH score). The cohort's 5 cycling
+    * volumes each hold ~7 of the year's 34 docs (fgPct ≈ 0.2) against a
+    * 2% background — strongly significant, deterministic ordering. */
+  val SigTermsYear = "1993"
+
+  def fieldSigTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val fg = FieldedIndex.termQuery(spark, dir, spec("year"), Seq(SigTermsYear))
+    FieldedIndex.significantTermsAgg(spark, dir, spec("volume"), fg, 10)
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1342,6 +1354,30 @@ object FieldedQueries {
        |  FROM scored)
        |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
+
+  /** significant_terms replay: JLH with the engine's exact
+    * parenthesization — (fgPct − bgPct) · (fgPct / bgPct), fg = the year
+    * cohort, bg = docs with a non-empty volume (the sub-corpus rule). */
+  def fieldSigTermsSql: String =
+    s"""WITH src AS (SELECT DOI AS doi,
+       |    CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y,
+       |    coalesce(volume, '') AS vol
+       |  FROM (SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'volume':'VARCHAR'$dateCols}))),
+       |fg AS (SELECT doi FROM src WHERE y = '$SigTermsYear'),
+       |fgt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM fg),
+       |bgt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM src WHERE vol <> ''),
+       |fgdf AS (SELECT vol AS term, count(*)::BIGINT AS fg_df
+       |         FROM src JOIN fg USING (doi) WHERE vol <> '' GROUP BY vol),
+       |bgdf AS (SELECT vol AS term, count(*)::BIGINT AS bg_df
+       |         FROM src WHERE vol <> '' GROUP BY vol),
+       |scored AS (SELECT f.term, f.fg_df, b.bg_df,
+       |    CAST(round(((CAST(f.fg_df AS DOUBLE)/fgt.t - CAST(b.bg_df AS DOUBLE)/bgt.t)
+       |      * ((CAST(f.fg_df AS DOUBLE)/fgt.t) / (CAST(b.bg_df AS DOUBLE)/bgt.t))) * 1000000.0) AS BIGINT) AS score_x6
+       |  FROM fgdf f JOIN bgdf b USING (term) CROSS JOIN fgt CROSS JOIN bgt)
+       |SELECT term, fg_df, bg_df, score_x6 FROM scored
+       |ORDER BY score_x6 DESC, term ASC LIMIT 10""".stripMargin
 
   /** Histogram replay: floor-division buckets in integer arithmetic
     * (x − Euclidean-mod, the engine's exact formulation — no doubles). */

@@ -227,6 +227,50 @@ object PipelineQueries {
        |         row_number() OVER (PARTITION BY cid ORDER BY doc_id, k) AS rn FROM h)
        |SELECT doc_id, k, cid FROM rn WHERE rn > 1 ORDER BY doc_id, k""".stripMargin
 
+  /** Chunk-dedup REWRITE — the dedup ACTION on top of [[dedupChunk]]'s
+    * detection: each doc's text re-emitted with globally-duplicate chunks
+    * removed (keep-first by (doc_id, chunk_idx)). The loser set (only the
+    * duplicate occurrences — bounded by the corpus's duplication mass,
+    * tiny on a clean corpus) folds to a per-doc drop-index array and joins
+    * back; the rebuild is then ROW-LOCAL — token-array slicing with an
+    * index-filtered transform — so document text never shuffles; only
+    * ~24-byte hash rows and the small drop lists move. */
+  def dedupChunkRewrite(spark: SparkSession, dir: String): DataFrame =
+    dedupChunkRewriteDf(docs(spark, dir))
+
+  def dedupChunkRewriteDf(d: DataFrame): DataFrame = {
+    val losers = dedupChunkDf(d)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("k").cast("int")).as("drop_ks"))
+    val toks = split(col("text"), " ")
+    // integer floor-division chunk count (the double `/` would poison
+    // sequence()'s integral bound)
+    val nchunks =
+      floor((size(toks) - 1) / lit(ChunkTokens)).cast("int") + lit(1)
+    val chunks = transform(sequence(lit(0), nchunks - 1),
+      i => array_join(slice(toks, i * ChunkTokens + 1, lit(ChunkTokens)), " "))
+    d.join(losers, Seq("doc_id"), "left")
+      .withColumn("dk", coalesce(col("drop_ks"), array()))
+      .select(col("doc_id"),
+        array_join(filter(chunks, (_, i) => !array_contains(col("dk"), i)),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dedupChunkRewriteSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, CAST(i AS BIGINT) AS k,
+       |        array_to_string(toks[CAST(i*$ChunkTokens+1 AS INT):CAST(LEAST(len(toks), i*$ChunkTokens+$ChunkTokens) AS INT)], ' ') AS chunk
+       |      FROM t, unnest(range(0, (len(toks)-1)//$ChunkTokens + 1)) AS r(i)),
+       |h AS (SELECT doc_id, k, chunk, ${ph("chunk")} AS cid FROM c),
+       |rn AS (SELECT doc_id, k, chunk,
+       |         row_number() OVER (PARTITION BY cid ORDER BY doc_id, k) AS rn FROM h),
+       |kept AS (SELECT doc_id, k, chunk FROM rn WHERE rn = 1)
+       |SELECT d.doc_id,
+       |       coalesce(string_agg(kept.chunk, ' ' ORDER BY kept.k), '') AS clean_text
+       |FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Eval-set membership modulus and overlap-gram width for decontamination. */
   val DecontEvalMod = 97
   val DecontGramN = 5

@@ -963,6 +963,40 @@ object FieldedIndex {
       .orderBy(col("term").asc, col("rnk").asc)
   }
 
+  /** ES `significant_terms` aggregation: terms over-represented in a
+    * foreground doc set vs the field's whole sub-corpus, scored with the
+    * JLH heuristic (ES's default): (fgPct − bgPct) · (fgPct / bgPct).
+    * Shapes: the foreground set (typically a query/filter cohort) joins
+    * the field's slim doc-values projection — foreground-sized work;
+    * background dfs come straight off the vocab-sized term_stats table;
+    * the two totals are one count() each. Scores micro-rounded for exact
+    * cross-engine comparison. Returns (term, fg_df, bg_df, score_x6) by
+    * score desc, term asc, top `size`. */
+  def significantTermsAgg(spark: SparkSession, indexDir: String,
+                          spec: FieldSpec, fgDocs: DataFrame,
+                          size: Int): DataFrame = {
+    val fgSet = fgDocs.select("doc_id").distinct()
+    val fgTotal = fgSet.count().toDouble
+    val bgTotal = IndexTables.corpusStats(spark,
+      new TableIO(fieldDir(indexDir, spec.field))).n_docs.toDouble
+    require(fgTotal > 0 && bgTotal > 0, "empty foreground or background")
+    val fg = docValues(spark, indexDir, spec.field)
+      .join(fgSet, "doc_id")
+      .groupBy(col("value").as("term"))
+      .agg(countDistinct(col("doc_id")).as("fg_df"))
+    val bg = IndexTables.termStats(spark,
+      new TableIO(fieldDir(indexDir, spec.field)))
+      .select(col("term"), col("df").as("bg_df"))
+    val fgPct = col("fg_df").cast("double") / lit(fgTotal)
+    val bgPct = col("bg_df").cast("double") / lit(bgTotal)
+    fg.join(bg, "term")
+      .withColumn("score_x6",
+        TextIndex.microRound((fgPct - bgPct) * (fgPct / bgPct)))
+      .select(col("term"), col("fg_df"), col("bg_df"), col("score_x6"))
+      .orderBy(col("score_x6").desc, col("term").asc)
+      .limit(size)
+  }
+
   /** Per-doc field values: (doc_id, value) exploded from the sub-index's
     * doc_terms — the engine's doc-values column (nested-schema pruning
     * reads only the term subfield of the tfs arrays). */

@@ -522,6 +522,19 @@ class FieldedSpec extends AnyFunSuite {
     assert(!rows.exists(_.getAs[String]("doi") == "10.1/nd.999"))
   }
 
+  test("significant_terms: cohort volumes beat background, JLH positive") {
+    val fg = FieldedIndex.termQuery(spark, idx, spec("year"), Seq("1993"))
+    val rows = FieldedIndex.significantTermsAgg(spark, idx, spec("volume"),
+      fg, 10).collect()
+    // i ≡ 3 (mod 30) → i mod 50 cycles over exactly {3, 13, 23, 33, 43}
+    assert(rows.map(_.getAs[String]("term")).toSet ===
+      Set("3", "13", "23", "33", "43"))
+    // every cohort volume is over-represented (fgPct ≈ 0.2 vs bgPct 0.02)
+    assert(rows.forall(_.getAs[Long]("score_x6") > 0L))
+    // background dfs are the corpus-wide 20-doc volume cohorts
+    assert(rows.forall(_.getAs[Long]("bg_df") === 20L))
+  }
+
   test("aggregations: histogram buckets, stats values, cardinality sub-agg") {
     val hist = FieldedIndex.histogramAgg(spark, idx, spec("year"), 7L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -93,6 +93,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(2L))
   }
 
+  test("chunk-dedup rewrite: duplicate chunks drop, clean docs round-trip") {
+    import spark.implicits._
+    val w = graft.harness.PipelineQueries.ChunkTokens
+    val a = (1 to w).map(i => s"a$i").mkString(" ")     // one full chunk
+    val b = (1 to w).map(i => s"b$i").mkString(" ")
+    val tail = "t1 t2 t3"                                // partial chunk
+    val docs = Seq(
+      (1L, s"$a $tail"),        // original: chunk a + partial
+      (2L, s"$b $a"),           // chunk a duplicated from doc 1 → dropped
+      (3L, b)                   // chunk b duplicated from doc 2 → dropped
+    ).toDF("doc_id", "text")
+    val out = graft.harness.PipelineQueries.dedupChunkRewriteDf(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === s"$a $tail") // first occurrences keep everything
+    assert(out(2L) === b)           // its copy of chunk a removed
+    assert(out(3L) === "")          // whole doc was a duplicate chunk
+    // a corpus with no duplicates round-trips byte-identically
+    val clean = Seq((7L, s"$a $b $tail")).toDF("doc_id", "text")
+    assert(graft.harness.PipelineQueries.dedupChunkRewriteDf(clean)
+      .head().getString(1) === s"$a $b $tail")
+  }
+
   test("PII redaction: typed placeholders, order contract, non-PII untouched") {
     import spark.implicits._
     val docs = Seq(
