@@ -493,6 +493,48 @@ object FieldedQueries {
     FieldedIndex.significantTermsAgg(spark, dir, spec("volume"), fg, 10)
   }
 
+  /** ES term suggester: two typos correct (recrod→record d=1 transposition
+    * under AUTO=2; titel→title d=1 under AUTO=1), a present term yields
+    * nothing (suggest_mode=missing). */
+  val SuggestText = "recrod titel title"
+  val SuggestSize = 3
+
+  def fieldSuggest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.termSuggest(spark, dir, spec("title"), SuggestText,
+      SuggestSize)
+  }
+
+  /** ES field collapsing: title match "record 7" collapsed on volume —
+    * one hit per volume value, doc 7 (vol 7) leads on its "7" boost, the
+    * other leaders are each volume's lowest doc_id of the mass tie. */
+  val CollapseText = "record 7"
+
+  def fieldCollapse(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.collapseSearch(spark, dir, spec("title"), CollapseText,
+      spec("volume"), K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("collapse_value"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
+  /** ES highlighting (plain-highlighter fragments): matched tokens wrapped
+    * in <em> within each stored title value; only matching values emit. */
+  val HighlightQueries: Seq[(Int, String)] = Seq(
+    1 -> "record 42",
+    2 -> "second 999")
+  val HighlightK = 3
+
+  def fieldHighlight(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.highlight(spark, dir, spec("title"), HighlightQueries,
+      HighlightK)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("fragment"))
+      .orderBy("qid", "rnk", "fragment")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1353,6 +1395,131 @@ object FieldedQueries {
        |                       doi ASC) AS rnk
        |  FROM scored)
        |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** Suggester replay: Damerau candidates over the title dictionary for
+    * inputs ABSENT from it, ranked (distance, df desc, term asc). */
+  def fieldSuggestSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val inputs = Analyzer.analyzeStop(SuggestText).distinct.sorted
+      .map(t => s"('$t', ${graft.query.Fuzzy.autoEdits(t)})").mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |inputs(input, maxe) AS (VALUES $inputs),
+       |missing AS (SELECT i.input, i.maxe FROM inputs i
+       |            LEFT JOIN dft d ON d.term = i.input WHERE d.term IS NULL),
+       |cand AS (SELECT m.input, d.term AS suggestion, d.df,
+       |           damerau_levenshtein(m.input, d.term)::BIGINT AS distance
+       |         FROM missing m JOIN dft d
+       |           ON damerau_levenshtein(m.input, d.term) <= m.maxe),
+       |ranked AS (SELECT input, suggestion, df, distance,
+       |    row_number() OVER (PARTITION BY input
+       |      ORDER BY distance ASC, df DESC, suggestion ASC)::BIGINT AS rnk
+       |  FROM cand)
+       |SELECT input, rnk, suggestion, df, distance FROM ranked
+       |WHERE rnk <= $SuggestSize ORDER BY input, rnk""".stripMargin
+  }
+
+  /** Collapse replay: per-volume leader of the title-match score list,
+    * then the global top-k of leaders. */
+  def fieldCollapseSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(CollapseText)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title, coalesce(volume, '') AS vol
+       |  FROM (${fixtureSrc(",\n    'volume':'VARCHAR'")})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, CAST(round(sum(q.w * ${Oracle.bm25Expr}) * 1000000.0) AS BIGINT) AS score_x6
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |leaders AS (SELECT s.doi, v.vol AS collapse_value, s.score_x6,
+       |    row_number() OVER (PARTITION BY v.vol
+       |      ORDER BY s.score_x6 DESC, s.doi ASC) AS grn
+       |  FROM scored s JOIN src0 v USING (doi) WHERE v.vol <> ''),
+       |ranked AS (SELECT doi, collapse_value, score_x6,
+       |    row_number() OVER (ORDER BY score_x6 DESC, doi ASC)::BIGINT AS rnk
+       |  FROM leaders WHERE grn = 1)
+       |SELECT rnk, doi, collapse_value, score_x6 FROM ranked
+       |WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** Highlight replay: the top-k of each query from the title BM25
+    * machinery, fragments re-built by wrapping matched tokens per stored
+    * value, only matching values kept. */
+  def fieldHighlightSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = HighlightQueries.flatMap { case (qid, q) =>
+      Analyzer.analyzeStop(q).map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val fragBlocks = HighlightQueries.map { case (qid, q) =>
+      val terms = Analyzer.analyzeStop(q).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""q${qid}_frag AS (
+         |  SELECT r.qid, r.rnk, r.doi,
+         |    array_to_string(list_transform(string_split(v.el, ' '),
+         |      t -> CASE WHEN lower(t) IN ($terms)
+         |           THEN '<em>' || t || '</em>' ELSE t END), ' ') AS fragment
+         |  FROM ranked r JOIN el v ON v.doi = r.doi
+         |  WHERE r.qid = $qid)""".stripMargin
+    }
+    val fragUnion = HighlightQueries.map { case (qid, _) =>
+      s"SELECT * FROM q${qid}_frag" }.mkString(" UNION ALL ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |qterms(qid, term) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT q.qid, tf.doi, sum(${Oracle.bm25Expr}) AS score
+       |  FROM qterms q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY q.qid, tf.doi),
+       |ranked0 AS (
+       |  SELECT qid, doi,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored),
+       |ranked AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk, doi
+       |           FROM ranked0 WHERE rnk <= $HighlightK),
+       |${fragBlocks.mkString(",\n")},
+       |frags AS ($fragUnion)
+       |SELECT qid, rnk, doi, fragment FROM frags
+       |WHERE fragment LIKE '%<em>%' ORDER BY qid, rnk, fragment""".stripMargin
   }
 
   /** significant_terms replay: JLH with the engine's exact

@@ -963,6 +963,79 @@ object FieldedIndex {
       .orderBy(col("term").asc, col("rnk").asc)
   }
 
+  /** ES term suggester against one field (`suggest_mode: missing`, the
+    * default): corrections for analyzed input terms absent from the
+    * field's dictionary, AUTO edit budgets, Lucene DirectSpellChecker's
+    * (distance, df desc, term asc) candidate order. Returns
+    * (input, rnk, suggestion, df, distance). */
+  def termSuggest(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                  text: String, size: Int): DataFrame =
+    Searcher.termSuggest(handleFor(spark, indexDir, spec.field), text, size,
+      Analyzer.analyzeChain(spec.chain, _))
+
+  /** ES field collapsing (`collapse: {field}`): the top-k hits with at
+    * most ONE hit per collapse-field value — per-group leader by
+    * (score desc, doc_id asc), then the global top-k of leaders. The
+    * match's bounded score list joins the collapse field's slim
+    * doc-values projection; leaders come from a value-partitioned window
+    * (groups rank in parallel); the final cut is a TakeOrdered — nothing
+    * corpus-sized sorts. Returns (rnk, doc_id, collapse_value,
+    * score_x6). */
+  def collapseSearch(spark: SparkSession, indexDir: String,
+                     matchSpec: FieldSpec, text: String,
+                     collapseSpec: FieldSpec, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = Searcher.contribs(
+      handleFor(spark, indexDir, matchSpec.field),
+      termWeights(matchSpec, text))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+    val groupW = Window.partitionBy(col("collapse_value"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+    val leaders = scores
+      .join(docValues(spark, indexDir, collapseSpec.field)
+        .withColumnRenamed("value", "collapse_value"), Seq("doc_id"))
+      .withColumn("grn", row_number().over(groupW))
+      .where(col("grn") === 1)
+    leaders
+      .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("collapse_value"), col("score_x6"))
+  }
+
+  /** ES highlighting (the plain-highlighter shape): re-analyze each stored
+    * field VALUE of the top-k hits and wrap query-term tokens in
+    * `<em>…</em>`, emitting only values containing a match (ES returns
+    * matching fragments, not every value). Source text comes from the
+    * index's staged `docs_lww` table (the _source analogue the build
+    * already stages); the join is hit-sized on doc_id. Token matching is
+    * the field chain's per-token normalization (lowercase for the text
+    * chains — tokens are already whitespace-atomic, so the chain cannot
+    * split them further). Returns (qid, rnk, doc_id, fragment). */
+  def highlight(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
+    val hits = searchField(spark, indexDir, spec, rawQueries, k)
+    val termsByQid = rawQueries.map { case (qid, q) =>
+      qid -> Analyzer.analyzeChain(spec.chain, q).distinct.toSeq
+    }
+    val srcDf = spark.read.parquet(s"$indexDir/docs_lww")
+    val src = srcDf.select(col("doc_id"),
+      explode(valsCol(srcDf, spec.field)).as("value"))
+    val frames = termsByQid.map { case (qid, terms) =>
+      val wrapped = transform(split(col("value"), " "),
+        t => when(lower(t).isin(terms: _*),
+          concat(lit("<em>"), t, lit("</em>"))).otherwise(t))
+      hits.where(col("qid") === qid)
+        .join(src, "doc_id")
+        .withColumn("fragment", array_join(wrapped, " "))
+        .where(col("fragment").contains("<em>"))
+        .select(col("qid"), col("rnk"), col("doc_id"), col("fragment"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("qid", "rnk", "fragment")
+  }
+
   /** ES `significant_terms` aggregation: terms over-represented in a
     * foreground doc set vs the field's whole sub-corpus, scored with the
     * JLH heuristic (ES's default): (fgPct − bgPct) · (fgPct / bgPct).

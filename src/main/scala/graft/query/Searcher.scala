@@ -594,17 +594,16 @@ object Searcher {
     * dictionaries stay sharded on executors either way — nothing
     * vocabulary-sized reaches the driver; collected rows are
     * query-terms × ≤maxExpansions × shard partials). */
-  def fuzzySearch(h: Handle, rawQueries: Seq[(Int, String)], k: Int,
-      chain: String => Array[String] = Analyzer.analyzeStop,
-      fuzziness: Int = -1, maxExpansions: Int = 50): DataFrame = {
-    val analyzed: Seq[(Int, Map[String, Int])] = rawQueries.map { case (qid, q) =>
-      qid -> chain(q).groupBy(identity).view.mapValues(_.length).toMap
-    }
-    val uniq: Array[(String, Int)] = analyzed.flatMap(_._2.keys).distinct.sorted
-      .map(t => t -> (if (fuzziness >= 0) math.min(fuzziness, 2)
-                      else Fuzzy.autoEdits(t))).toArray
-    // one distributed dictionary scan; exact (0-edit) terms use the hash
-    // lookup, fuzzy terms walk the shard's keys with the bounded DP
+  /** Dictionary candidates per (term, edit budget): one distributed scan
+    * of the resident shard dictionaries — exact (0-edit) terms use the
+    * hash lookup, fuzzy terms walk the shard's keys with the bounded
+    * Damerau DP; per-shard partial dfs add. Selection is the
+    * deterministic Lucene order (distance asc, df desc, term asc), capped
+    * at `max`. Nothing vocabulary-sized reaches the driver — collected
+    * rows are terms × ≤max × shard partials. Shared by the fuzzy-match
+    * rewrite and the term suggester. */
+  private def fuzzyCandidates(h: Handle, uniq: Array[(String, Int)],
+      max: Int): Map[String, Array[(String, Long, Int)]] = {
     val rows: Array[(String, String, Long, Int)] = h.shards.flatMap { si =>
       val out = mutable.ArrayBuffer.empty[(String, String, Long, Int)]
       uniq.foreach { case (q, maxE) =>
@@ -622,14 +621,48 @@ object Searcher {
       }
       out.iterator
     }.collect()
-    val cands: Map[String, Array[(String, Long, Int)]] =
-      rows.groupBy(_._1).map { case (q, rs) =>
-        val byTerm = rs.groupBy(_._2).map { case (t, xs) =>
-          (t, xs.map(_._3).sum, xs.head._4) // dfs add; distance is global
-        }.toArray
-        q -> byTerm.sortBy { case (t, df, d) => (d, -df, t) }
-          .take(maxExpansions)
+    rows.groupBy(_._1).map { case (q, rs) =>
+      val byTerm = rs.groupBy(_._2).map { case (t, xs) =>
+        (t, xs.map(_._3).sum, xs.head._4) // dfs add; distance is global
+      }.toArray
+      q -> byTerm.sortBy { case (t, df, d) => (d, -df, t) }
+        .take(max)
+    }
+  }
+
+  /** ES term suggester (`suggest_mode: missing`, the default): for each
+    * analyzed input term ABSENT from the dictionary, the closest
+    * dictionary terms within its AUTO edit budget, ranked (distance asc,
+    * df desc, term asc) — Lucene DirectSpellChecker's candidate order —
+    * top `size`. Present terms produce no suggestions (that is what
+    * `missing` means). Returns (input, rnk, suggestion, df, distance). */
+  def termSuggest(h: Handle, text: String, size: Int,
+      chain: String => Array[String] = Analyzer.analyzeStop): DataFrame = {
+    import h.spark.implicits._
+    val terms = chain(text).distinct.sorted
+    val present = resolveDfs(h, terms.toArray)
+    val missing = terms.filterNot(present.contains)
+      .map(t => t -> Fuzzy.autoEdits(t)).filter(_._2 > 0).toArray
+    val cands = fuzzyCandidates(h, missing, size)
+    val rows = missing.flatMap { case (q, _) =>
+      cands.getOrElse(q, Array.empty).zipWithIndex.map {
+        case ((t, df, d), i) => (q, (i + 1).toLong, t, df, d.toLong)
       }
+    }.toSeq
+    rows.toDF("input", "rnk", "suggestion", "df", "distance")
+      .orderBy("input", "rnk")
+  }
+
+  def fuzzySearch(h: Handle, rawQueries: Seq[(Int, String)], k: Int,
+      chain: String => Array[String] = Analyzer.analyzeStop,
+      fuzziness: Int = -1, maxExpansions: Int = 50): DataFrame = {
+    val analyzed: Seq[(Int, Map[String, Int])] = rawQueries.map { case (qid, q) =>
+      qid -> chain(q).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val uniq: Array[(String, Int)] = analyzed.flatMap(_._2.keys).distinct.sorted
+      .map(t => t -> (if (fuzziness >= 0) math.min(fuzziness, 2)
+                      else Fuzzy.autoEdits(t))).toArray
+    val cands = fuzzyCandidates(h, uniq, maxExpansions)
     val nDocs = h.stats.n_docs
     // cursor order (query term, expansion term): deterministic FP sums
     val wandQueries: Array[WandQuery] = analyzed.map { case (qid, tw) =>

@@ -522,6 +522,29 @@ class FieldedSpec extends AnyFunSuite {
     assert(!rows.exists(_.getAs[String]("doi") == "10.1/nd.999"))
   }
 
+  test("suggester/collapse/highlight: missing-mode, one-per-group, fragments") {
+    // suggest_mode=missing: the present term yields NO row; typos correct
+    val sug = FieldedIndex.termSuggest(spark, idx, spec("title"),
+      "recrod titel title", 3).collect()
+    assert(sug.map(r => (r.getString(0), r.getString(2))).toSet ===
+      Set("recrod" -> "record", "titel" -> "title"))
+    assert(sug.forall(_.getAs[Long]("distance") === 1L))
+    // collapse: ≤1 hit per volume; doc 7 (vol "7") leads on its boost
+    val col7 = FieldedIndex.collapseSearch(spark, idx, spec("title"),
+      "record 7", spec("volume"), 10).collect()
+    assert(col7.map(_.getAs[String]("collapse_value")).distinct.length ===
+      col7.length)
+    assert(col7.head.getAs[String]("collapse_value") === "7")
+    // highlight: every fragment contains a wrapped ORIGINAL-case token,
+    // non-matching values never emit
+    val hl = FieldedIndex.highlight(spark, idx, spec("title"),
+      Seq(1 -> "record 42"), 2).collect()
+    assert(hl.nonEmpty)
+    assert(hl.forall(_.getAs[String]("fragment").contains("<em>")))
+    assert(hl.exists(_.getAs[String]("fragment").contains("<em>Record</em>")),
+      "original case must be preserved inside the tags")
+  }
+
   test("significant_terms: cohort volumes beat background, JLH positive") {
     val fg = FieldedIndex.termQuery(spark, idx, spec("year"), Seq("1993"))
     val rows = FieldedIndex.significantTermsAgg(spark, idx, spec("volume"),
