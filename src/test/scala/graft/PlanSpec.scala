@@ -181,4 +181,36 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges(df) <= 5,
       s"pack plan has runaway shuffles:\n$p")
   }
+
+  test("multi-term expansion pushes prefix/range predicates into the dictionary scan") {
+    val idx = graft.harness.FieldedQueries.ensureFieldedIndex(spark)
+    import org.apache.spark.sql.functions.col
+    val ts = spark.read.parquet(s"$idx/field=DOI/term_stats")
+      .where(col("term").startsWith("10.1/nd.99")).select("term", "df")
+    val p = planString(ts)
+    assert(p.contains("StringStartsWith"),
+      s"prefix predicate not pushed to the term_stats scan:\n$p")
+    // numeric-range path: the shadow column's range predicate reaches parquet
+    val tn = spark.read.parquet(s"$idx/field=year/term_stats")
+      .where(col("term_num").isNotNull && col("term_num") >= 1993L &&
+        col("term_num") <= 1995L).select("term")
+    val pn = planString(tn)
+    assert(pn.contains("GreaterThanOrEqual(term_num,1993") &&
+      pn.contains("LessThanOrEqual(term_num,1995"),
+      s"numeric range not pushed onto the shadow column:\n$pn")
+  }
+
+  test("doc-values projections prune the doc_terms scan to the term subfield") {
+    val idx = graft.harness.FieldedQueries.ensureFieldedIndex(spark)
+    val agg = graft.index.FieldedIndex.termsCardinalityAgg(spark, idx,
+      graft.index.FieldedIndex.CrossrefMapping.find(_.field == "year").get,
+      graft.index.FieldedIndex.CrossrefMapping.find(_.field == "volume").get,
+      10)
+    val p = planString(agg)
+    // nested-schema pruning: the scans must read tfs.term only — the tf
+    // (and positioned pos) subfields never leave parquet
+    assert(p.contains("ReadSchema") && !p.contains("pos:") &&
+      !p.contains("tf:int") && !p.contains("tf:bigint"),
+      s"doc-values scan reads more than the term subfield:\n$p")
+  }
 }
