@@ -1016,11 +1016,20 @@ object FieldedIndex {
     * split them further). Returns (qid, rnk, doc_id, fragment). */
   def highlight(spark: SparkSession, indexDir: String, spec: FieldSpec,
                 rawQueries: Seq[(Int, String)], k: Int): DataFrame = {
+    // materialize the hit list first (k × queries rows — query-sized):
+    // its doc_ids push into the source scan as an In filter evaluated at
+    // the parquet reader (row groups whose doc_id stats exclude every hit
+    // never decode), so fetching k fragments costs a filtered scan, not a
+    // full-corpus explode + join against _source
     val hits = searchField(spark, indexDir, spec, rawQueries, k)
+      .localCheckpoint(eager = true)
+    val hitIds = hits.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
     val termsByQid = rawQueries.map { case (qid, q) =>
       qid -> Analyzer.analyzeChain(spec.chain, q).distinct.toSeq
     }
     val srcDf = spark.read.parquet(s"$indexDir/docs_lww")
+      .where(col("doc_id").isInCollection(hitIds))
     val src = srcDf.select(col("doc_id"),
       explode(valsCol(srcDf, spec.field)).as("value"))
     val frames = termsByQid.map { case (qid, terms) =>
