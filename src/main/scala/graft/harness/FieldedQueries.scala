@@ -535,6 +535,25 @@ object FieldedQueries {
       .orderBy("qid", "rnk", "fragment")
   }
 
+  /** ES rescore: a mass-tie base match ("record second" scores every doc
+    * identically) re-ranked inside a 20-doc window by a phrase rescore
+    * query that hits exactly one windowed doc — the boosted doc must jump
+    * the tie to rnk 1, proving the window + combine actually reorder. */
+  val RescoreBase = "record second"
+  val RescorePhrase = "title 1"
+  val RescoreWindow = 20
+  val RescoreQw = 1.0
+  val RescoreRw = 2.0
+
+  def fieldRescore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.rescorePhrase(spark, dir, spec("title"), RescoreBase,
+      RescorePhrase, K, RescoreWindow, RescoreQw, RescoreRw)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1520,6 +1539,75 @@ object FieldedQueries {
        |frags AS ($fragUnion)
        |SELECT qid, rnk, doi, fragment FROM frags
        |WHERE fragment LIKE '%<em>%' ORDER BY qid, rnk, fragment""".stripMargin
+  }
+
+  /** Rescore replay: base scores cut to the window by the deterministic
+    * ordering, phrase contributions left-joined, the engine's exact
+    * combine (qw·base + rw·coalesce(phrase, 0)), re-ranked, top-k. */
+  def fieldRescoreSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val gap = Analyzer.PositionIncrementGap
+    val qvals = Analyzer.analyzeStop(RescoreBase)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val occs = Analyzer.analyzeChainPos(Analyzer.TextStop, RescorePhrase)
+    val base0 = occs(0)._2
+    val phraseJoins = occs.zipWithIndex.drop(1).map { case ((t, p), j) =>
+      s"  JOIN tok t$j ON t$j.doi = t0.doi AND t$j.pos = t0.pos + ${p - base0} AND t$j.term = '$t'"
+    }.mkString("\n")
+    val phraseTerms = occs.map { case (t, _) => s"('$t')" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |vals AS (SELECT doi, v, string_split(lower(el), ' ') AS toks FROM
+       |          (SELECT doi, unnest(title) AS el,
+       |                  unnest(range(len(title))) AS v FROM src) u),
+       |offs AS (SELECT doi, v, toks,
+       |    coalesce(sum(len(toks) + $gap) OVER (PARTITION BY doi ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM vals),
+       |tok0 AS (SELECT doi, off + unnest(range(len(toks))) AS pos,
+       |                unnest(toks) AS term FROM offs),
+       |tok AS (SELECT doi, pos, term FROM tok0
+       |        WHERE term <> '' AND term NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |base AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS base_score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |windowed AS (SELECT doi, base_score FROM (
+       |    SELECT doi, base_score, row_number() OVER (
+       |      ORDER BY CAST(round(base_score * 1000000.0) AS BIGINT) DESC, doi ASC) AS wrn
+       |    FROM base) WHERE wrn <= $RescoreWindow),
+       |ph_t(term) AS (VALUES $phraseTerms),
+       |ph_sidf AS (
+       |  SELECT sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS sidf
+       |  FROM ph_t q JOIN dft ON dft.term = q.term CROSS JOIN stats s),
+       |ph_occ AS (SELECT t0.doi, t0.pos FROM tok t0
+       |$phraseJoins
+       |  WHERE t0.term = '${occs(0)._1}'),
+       |ph_pf AS (SELECT doi, count(*)::BIGINT AS pf FROM ph_occ GROUP BY doi),
+       |ph AS (SELECT pf.doi,
+       |    si.sidf * (pf.pf / (pf.pf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS phrase_score
+       |  FROM ph_pf pf JOIN dl ON dl.doi = pf.doi
+       |  CROSS JOIN stats s CROSS JOIN ph_sidf si),
+       |combined AS (SELECT w.doi,
+       |    CAST(round((w.base_score * $RescoreQw + coalesce(ph.phrase_score, 0.0) * $RescoreRw) * 1000000.0) AS BIGINT) AS score_x6
+       |  FROM windowed w LEFT JOIN ph ON ph.doi = w.doi),
+       |ranked AS (SELECT doi, score_x6,
+       |    row_number() OVER (ORDER BY score_x6 DESC, doi ASC)::BIGINT AS rnk
+       |  FROM combined)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
 
   /** significant_terms replay: JLH with the engine's exact

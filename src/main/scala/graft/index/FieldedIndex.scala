@@ -963,6 +963,47 @@ object FieldedIndex {
       .orderBy(col("term").asc, col("rnk").asc)
   }
 
+  /** ES `rescore` with a match_phrase rescore query: the top
+    * `windowSize` hits of the base match re-rank by
+    * queryWeight · base + rescoreWeight · phrase (docs outside the window
+    * are never rescored — the ES window contract; with k ≤ windowSize
+    * they also never surface). Execution: the base's distributed score
+    * list is cut to the window by the usual deterministic ordering, then
+    * the phrase contributions (positions machinery) LEFT-join in —
+    * phrase-missing docs keep their base score. Both component scores
+    * stay raw doubles until the final micro-round, mirroring Lucene's
+    * QueryRescorer float combine. Returns (rnk, doc_id, score_x6). */
+  def rescorePhrase(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                    matchText: String, phraseText: String, k: Int,
+                    windowSize: Int, queryWeight: Double = 1.0,
+                    rescoreWeight: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= windowSize, "k beyond the rescore window would mix " +
+      "rescored and unrescored ranks — ES appends unrescored tail hits; " +
+      "serve that shape with searchFieldPaged past the window instead")
+    val h = handleFor(spark, indexDir, spec.field)
+    val base = Searcher.contribs(h, termWeights(spec, matchText))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("base_score"))
+    val windowW = Window.orderBy(
+      TextIndex.microRound(col("base_score")).desc, col("doc_id").asc)
+    val windowed = base
+      .withColumn("wrn", row_number().over(windowW))
+      .where(col("wrn") <= windowSize)
+    val phrase = Searcher.phraseContribs(h,
+      Analyzer.analyzeChainPos(spec.chain, phraseText))
+      .withColumnRenamed("contrib", "phrase_score")
+    val combined = windowed.join(phrase, Seq("doc_id"), "left")
+      .withColumn("score",
+        col("base_score") * lit(queryWeight) +
+          coalesce(col("phrase_score"), lit(0.0)) * lit(rescoreWeight))
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+    combined
+      .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** ES term suggester against one field (`suggest_mode: missing`, the
     * default): corrections for analyzed input terms absent from the
     * field's dictionary, AUTO edit budgets, Lucene DirectSpellChecker's

@@ -545,6 +545,26 @@ class FieldedSpec extends AnyFunSuite {
       "original case must be preserved inside the tags")
   }
 
+  test("rescore: windowed phrase boost reorders a mass tie; outside stays out") {
+    val rows = FieldedIndex.rescorePhrase(spark, idx, spec("title"),
+      "record second", "title 1", 10, 20, 1.0, 2.0)
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id").collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    // base ties everywhere; doc nd.1 carries "title 1" → jumps to rnk 1
+    assert(rows.head.getAs[String]("doi") === "10.1/nd.1")
+    // the rest of the window keeps the tie order (nd.0 second)
+    assert(rows(1).getAs[String]("doi") === "10.1/nd.0")
+    // docs outside the 20-doc window never surface, however well they'd
+    // rescore ("title 5" would boost nd.5… which IS in the window; use a
+    // doc lexicographically past the window: nd.2 is in, nd.999 is not)
+    assert(!rows.exists(_.getAs[String]("doi") == "10.1/nd.999"))
+    // k beyond the window is rejected loudly
+    intercept[IllegalArgumentException] {
+      FieldedIndex.rescorePhrase(spark, idx, spec("title"),
+        "record second", "title 1", 30, 20)
+    }
+  }
+
   test("significant_terms: cohort volumes beat background, JLH positive") {
     val fg = FieldedIndex.termQuery(spark, idx, spec("year"), Seq("1993"))
     val rows = FieldedIndex.significantTermsAgg(spark, idx, spec("volume"),
