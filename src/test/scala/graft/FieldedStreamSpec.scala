@@ -167,6 +167,30 @@ class FieldedStreamSpec extends AnyFunSuite {
     assert(phraseDocs("delta alpha") === Set("k001"))
   }
 
+  test("multi-term expansion sees streamed segments (union term_stats path)") {
+    // the segment-union term_stats view re-aggregates df and LOSES the
+    // term_num shadow column — range/prefix expansion must derive it on
+    // the fly and still see BOTH base and segment terms
+    val dir = s"$root/idx-multiterm"
+    new TableIO(dir).deleteAll()
+    import spark.implicits._
+    val nums = FieldSpec("num", Analyzer.KeywordFold)
+    FieldedIndex.build(spark,
+      Seq(("a", "100"), ("b", "200"), ("c", "300")).toDF("k", "num"),
+      dir, Seq(nums), "k", cfg)
+    FieldedStreaming.ingestBatch(spark,
+      Seq(("d", "150"), ("e", "abc")).toDF("k", "num"),
+      dir, Seq(nums), "k", 0L, cfg)
+    assert(FieldedIndex.rangeTerms(spark, dir, nums,
+      gte = Some(100L), lte = Some(200L)) === Seq("100", "150", "200"),
+      "segment term invisible or non-numeric term leaked into the range")
+    assert(FieldedIndex.prefixTerms(spark, dir, nums, "1").map(_._1) ===
+      Seq("100", "150"))
+    // and the df carried for a segment-only term is its union df
+    assert(FieldedIndex.prefixTerms(spark, dir, nums, "15") ===
+      Seq(("150", 1L)))
+  }
+
   test("snapshot properties survive plain commits and merge on commitStep") {
     val io = new TableIO(s"$root/props")
     io.deleteAll()
