@@ -11,21 +11,30 @@ import graft.query.Searcher
   * field-targeted match queries; `SURVEY.md §3.3`):
   *
   *   runMain graft.cli.Query --index-dir DIR [--field bibliographic]
-  *     [--k 10] [--master local[*]] QUERY TEXT...
+  *     [--k 10] [--type match] [--master local[*]] QUERY TEXT...
   *
-  * Analyzes the query with the target field's mapped chain, serves BM25
-  * top-k from the field's sub-index, resolves keys through doc_map, and
-  * prints one `rank key score_x6` line per hit. */
+  * Analyzes the query with the target field's mapped chain and serves it
+  * from the field's sub-index. `--type` selects the ES query kind:
+  * `match` (default), `match_and`, `phrase`, `phrase_prefix`, `fuzzy`,
+  * `qstring` (simple_query_string flags), `term`, `prefix`, `wildcard`,
+  * `range` (two bounds: GTE LTE), `suggest`, `count`. Ranked types print
+  * one `rank key score_x6` line per hit. */
 object Query {
 
+  /** Every ES query type the engine serves, selectable via `--type`. */
+  val Types: Set[String] = Set("match", "match_and", "phrase",
+    "phrase_prefix", "fuzzy", "qstring", "term", "prefix", "wildcard",
+    "range", "suggest", "count")
+
   final case class Args(indexDir: String, field: String, k: Int,
-      master: String, query: String)
+      master: String, query: String, qtype: String = "match")
 
   def parse(argv: Array[String]): Args = {
     var indexDir = "./graft-index"
     var field = "bibliographic"
     var k = 10
     var master = "local[*]"
+    var qtype = "match"
     val rest = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     def value(flag: String): String = {
@@ -39,14 +48,19 @@ object Query {
         case "--field" => field = value("--field")
         case "--k" => k = value("--k").toInt
         case "--master" => master = value("--master")
+        case "--type" => qtype = value("--type")
         case f if f.startsWith("--") => throw Cli.CliError(s"unknown flag $f")
         case w => rest += w
       }
       i += 1
     }
+    if (!Types.contains(qtype)) throw Cli.CliError(
+      s"unknown --type $qtype (one of: ${Types.toSeq.sorted.mkString(", ")})")
     if (rest.isEmpty) throw Cli.CliError(
-      "usage: graft.cli.Query [--index-dir DIR] [--field F] [--k N] QUERY...")
-    Args(indexDir, field, k, master, rest.mkString(" "))
+      "usage: graft.cli.Query [--index-dir DIR] [--field F] [--k N] " +
+        "[--type match|match_and|phrase|phrase_prefix|fuzzy|qstring|term|" +
+        "prefix|wildcard|range|suggest|count] QUERY...")
+    Args(indexDir, field, k, master, rest.mkString(" "), qtype)
   }
 
   /** Run one query; returns (rank, key, score_x6) rows. Separated from
@@ -66,6 +80,67 @@ object Query {
       .toSeq
   }
 
+  /** Dispatch any `--type` to its engine call; returns printable lines.
+    * Ranked types print `rank key score_x6`; set-valued constant-score
+    * types (`term`/`prefix`/`wildcard`/`range`) print matched keys;
+    * `suggest` prints `input rank suggestion df distance`; `count`
+    * prints the hit count. */
+  def runAny(spark: SparkSession, a: Args): Seq[String] = {
+    val spec = FieldedIndex.CrossrefMapping.find(_.field == a.field)
+      .getOrElse(throw Cli.CliError(s"unknown field ${a.field} (mapped: " +
+        FieldedIndex.CrossrefMapping.map(_.field).mkString(", ") + ")"))
+    def keyed(df: org.apache.spark.sql.DataFrame, order: Seq[String],
+              cols: Seq[String]): Seq[String] = {
+      val j = df.join(FieldedIndex.docMap(spark, a.indexDir), "doc_id")
+      val keyName = j.columns.last
+      j.orderBy(order.map(col): _*)
+        .select(cols.map(c => if (c == "_key") col(keyName) else col(c)): _*)
+        .collect().map(_.toSeq.mkString(" ")).toSeq
+    }
+    val ranked = Seq("rnk", "_key", "score_x6")
+    a.qtype match {
+      case "match" =>
+        run(spark, a).map { case (r, k2, s) => s"$r $k2 $s" }
+      case "match_and" =>
+        keyed(FieldedIndex.matchAnd(spark, a.indexDir, spec, a.query, a.k),
+          Seq("rnk"), ranked)
+      case "phrase" =>
+        keyed(FieldedIndex.phraseMatch(spark, a.indexDir, spec,
+          Seq(1 -> a.query), a.k), Seq("rnk"), ranked)
+      case "phrase_prefix" =>
+        keyed(FieldedIndex.matchPhrasePrefix(spark, a.indexDir, spec,
+          Seq(1 -> a.query), a.k), Seq("rnk"), ranked)
+      case "fuzzy" =>
+        keyed(FieldedIndex.fuzzyMatch(spark, a.indexDir, spec,
+          Seq(1 -> a.query), a.k), Seq("rnk"), ranked)
+      case "qstring" =>
+        keyed(FieldedIndex.simpleQueryString(spark, a.indexDir, spec,
+          a.query, a.k), Seq("rnk"), ranked)
+      case "term" =>
+        keyed(FieldedIndex.termQuery(spark, a.indexDir, spec,
+          a.query.split("\\s+").toSeq), Seq("term"), Seq("term", "_key"))
+      case "prefix" =>
+        keyed(FieldedIndex.prefixQuery(spark, a.indexDir, spec, a.query),
+          Seq("term"), Seq("term", "_key"))
+      case "wildcard" =>
+        keyed(FieldedIndex.wildcardQuery(spark, a.indexDir, spec, a.query),
+          Seq("term"), Seq("term", "_key"))
+      case "range" =>
+        val bounds = a.query.split("\\s+")
+        if (bounds.length != 2) throw Cli.CliError(
+          "--type range expects exactly two bounds: GTE LTE")
+        keyed(FieldedIndex.rangeQuery(spark, a.indexDir, spec,
+          gte = Some(bounds(0).toLong), lte = Some(bounds(1).toLong)),
+          Seq("term"), Seq("term", "_key"))
+      case "suggest" =>
+        FieldedIndex.termSuggest(spark, a.indexDir, spec, a.query, a.k)
+          .collect().map(_.toSeq.mkString(" ")).toSeq
+      case "count" =>
+        FieldedIndex.countQuery(spark, a.indexDir, spec, a.query)
+          .collect().map(r => s"hits ${r.getLong(0)}").toSeq
+    }
+  }
+
   def main(argv: Array[String]): Unit = {
     val a =
       try parse(argv)
@@ -80,7 +155,7 @@ object Query {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, a).foreach { case (rnk, key, s) => println(s"$rnk $key $s") }
+    try runAny(spark, a).foreach(println)
     finally spark.stop()
   }
 }

@@ -118,6 +118,25 @@ class CliSpec extends AnyFunSuite {
       graft.cli.Query.run(spark, qa.copy(field = "nope")))
       .getMessage.contains("unknown field"))
 
+    // --type dispatch: every ES query kind through one CLI
+    def lines(t: String, f: String, q: String): Seq[String] =
+      graft.cli.Query.runAny(spark,
+        qa.copy(qtype = t, field = f, query = q))
+    assert(lines("match", "title", "title 42").head.startsWith("1 10.1/nd.42 "))
+    assert(lines("phrase", "title", "title 42").head.startsWith("1 10.1/nd.42 "))
+    assert(lines("suggest", "title", "recrod").head ===
+      lines("suggest", "title", "recrod").head) // deterministic
+    assert(lines("suggest", "title", "recrod").head.contains("record"))
+    assert(lines("count", "title", "record") === Seq("hits 1000"))
+    assert(lines("range", "year", "1993 1995").size === 102)
+    assert(lines("prefix", "DOI", "10.1/nd.99").size === 11)
+    assert(lines("qstring", "title", "+record 42 -999")
+      .head.startsWith("1 10.1/nd.42 "))
+    assert(intercept[graft.cli.Cli.CliError](graft.cli.Query.parse(
+      Array("--type", "nope", "x"))).getMessage.contains("unknown --type"))
+    assert(intercept[graft.cli.Cli.CliError](
+      lines("range", "year", "1993")).getMessage.contains("two bounds"))
+
     // --remove-index rebuilds from scratch (elastic.go:71-87 analogue)
     val io2 = Main.run(spark, Cli.parse(Array(
       "--file", s"$fixtures/ndjson_plain.ndjson",
