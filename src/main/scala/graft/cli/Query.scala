@@ -93,7 +93,10 @@ object Query {
               cols: Seq[String]): Seq[String] = {
       val j = df.join(FieldedIndex.docMap(spark, a.indexDir), "doc_id")
       val keyName = j.columns.last
-      j.orderBy(order.map(col): _*)
+      // the key is always the last sort column: set-valued types would
+      // otherwise print equal-term rows in partition order (nondeterministic
+      // across runs — against the engine-wide determinism contract)
+      j.orderBy((order :+ keyName).map(col): _*)
         .select(cols.map(c => if (c == "_key") col(keyName) else col(c)): _*)
         .collect().map(_.toSeq.mkString(" ")).toSeq
     }

@@ -661,15 +661,23 @@ object FieldedIndex {
   /** Terms of `field`'s dictionary matching `pred`, with exact global df,
     * in term order, capped at `max` when ≥ 0 (the deterministic
     * max_expansions rule: term order, Lucene's rewrite collection order). */
-  private def expandDictionary(spark: SparkSession, indexDir: String,
-      field: String, pred: Column, max: Int = -1): Seq[(String, Long)] = {
+  /** The field's term_stats with the numeric shadow column guaranteed:
+    * base indexes store it (format v4); streamed-segment union views lose
+    * it in the df re-aggregation — derived on the fly there. The single
+    * definition keeps the expansion and aggregation paths on one
+    * shadow-column rule. */
+  private def termStatsNum(spark: SparkSession, indexDir: String,
+                           field: String): DataFrame = {
     val ts0 = IndexTables.termStats(spark,
       new TableIO(fieldDir(indexDir, field)))
-    // base indexes store the numeric shadow column; streamed-segment union
-    // views lose it in the df re-aggregation — derive it on the fly there
-    val ts = if (ts0.columns.contains("term_num")) ts0
-             else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
-    val matched = ts.where(pred).orderBy("term")
+    if (ts0.columns.contains("term_num")) ts0
+    else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
+  }
+
+  private def expandDictionary(spark: SparkSession, indexDir: String,
+      field: String, pred: Column, max: Int = -1): Seq[(String, Long)] = {
+    val matched = termStatsNum(spark, indexDir, field)
+      .where(pred).orderBy("term")
     (if (max >= 0) matched.limit(max) else matched)
       .select("term", "df").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -779,10 +787,7 @@ object FieldedIndex {
   def histogramAgg(spark: SparkSession, indexDir: String, spec: FieldSpec,
                    interval: Long): DataFrame = {
     require(interval > 0, "histogram interval must be positive")
-    val ts0 = IndexTables.termStats(spark,
-      new TableIO(fieldDir(indexDir, spec.field)))
-    val ts = if (ts0.columns.contains("term_num")) ts0
-             else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
+    val ts = termStatsNum(spark, indexDir, spec.field)
     // floor-division bucketing in INTEGER arithmetic (x − x mod n, Euclidean
     // mod): no doubles anywhere, exact at any magnitude, negative values
     // land in the floor bucket like ES
@@ -798,11 +803,8 @@ object FieldedIndex {
     * term_stats scan (values weighted by df), never a corpus scan. */
   def statsAgg(spark: SparkSession, indexDir: String,
                spec: FieldSpec): DataFrame = {
-    val ts0 = IndexTables.termStats(spark,
-      new TableIO(fieldDir(indexDir, spec.field)))
-    val ts = if (ts0.columns.contains("term_num")) ts0
-             else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
-    ts.where(col("term_num").isNotNull)
+    termStatsNum(spark, indexDir, spec.field)
+      .where(col("term_num").isNotNull)
       .agg(sum(col("df")).as("value_count"),
         min(col("term_num")).as("min_value"),
         max(col("term_num")).as("max_value"),
@@ -984,11 +986,13 @@ object FieldedIndex {
     val h = handleFor(spark, indexDir, spec.field)
     val base = Searcher.contribs(h, termWeights(spec, matchText))
       .groupBy(col("doc_id")).agg(sum(col("contrib")).as("base_score"))
-    val windowW = Window.orderBy(
-      TextIndex.microRound(col("base_score")).desc, col("doc_id").asc)
+    // window cut as a distributed TakeOrdered (orderBy+limit) — a global
+    // row_number window would route the whole match-sized score list
+    // through ONE task; the ordering is the same deterministic rule
     val windowed = base
-      .withColumn("wrn", row_number().over(windowW))
-      .where(col("wrn") <= windowSize)
+      .orderBy(TextIndex.microRound(col("base_score")).desc,
+        col("doc_id").asc)
+      .limit(windowSize)
     val phrase = Searcher.phraseContribs(h,
       Analyzer.analyzeChainPos(spec.chain, phraseText))
       .withColumnRenamed("contrib", "phrase_score")
@@ -1062,10 +1066,14 @@ object FieldedIndex {
     // the parquet reader (row groups whose doc_id stats exclude every hit
     // never decode), so fetching k fragments costs a filtered scan, not a
     // full-corpus explode + join against _source
+    requireCompacted(indexDir, "highlighting (_source from docs_lww)")
     val hits = searchField(spark, indexDir, spec, rawQueries, k)
       .localCheckpoint(eager = true)
     val hitIds = hits.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSeq
+    if (hitIds.isEmpty)
+      return hits.select(col("qid"), col("rnk"), col("doc_id"),
+        lit("").as("fragment")).where(lit(false))
     val termsByQid = rawQueries.map { case (qid, q) =>
       qid -> Analyzer.analyzeChain(spec.chain, q).distinct.toSeq
     }
@@ -1120,13 +1128,34 @@ object FieldedIndex {
       .limit(size)
   }
 
+  /** Doc-values-backed operations (aggregations, sort, collapse,
+    * highlighting _source) serve the COMPACTED base: streamed segments
+    * stage raw rows whose doc_ids are derived at ingest, not persisted as
+    * doc_terms/docs_lww, so these stores only advance at compaction. A
+    * silent base-only answer would drop streamed docs from buckets and
+    * skew foreground counts — fail loudly with the remedy instead.
+    * (Search/match paths are NOT affected: postings segments are
+    * visible immediately, the ES refresh analogue.) */
+  private def requireCompacted(indexDir: String, what: String): Unit = {
+    val batches = IndexTables.activeBatches(new TableIO(indexDir))
+    require(batches.isEmpty,
+      s"$what serves the compacted base, but streamed segments " +
+        s"${batches.mkString("[", ",", "]")} are active — run " +
+        "FieldedStreaming.compact (or Compactor) first; match/phrase/bool " +
+        "search sees streamed docs immediately, doc-values operations at " +
+        "compaction")
+  }
+
   /** Per-doc field values: (doc_id, value) exploded from the sub-index's
     * doc_terms — the engine's doc-values column (nested-schema pruning
-    * reads only the term subfield of the tfs arrays). */
+    * reads only the term subfield of the tfs arrays). Compaction-gated:
+    * see [[requireCompacted]]. */
   private def docValues(spark: SparkSession, indexDir: String,
-                        field: String): DataFrame =
+                        field: String): DataFrame = {
+    requireCompacted(indexDir, s"doc-values read of '$field'")
     spark.read.parquet(s"${fieldDir(indexDir, field)}/doc_terms")
       .select(col("doc_id"), explode(col("tfs.term")).as("value"))
+  }
 
   /** ES `terms` aggregation with a `cardinality` sub-aggregation (the
     * composed-agg staple: top terms of one field, distinct-count of

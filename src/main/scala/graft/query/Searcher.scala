@@ -643,7 +643,10 @@ object Searcher {
     val present = resolveDfs(h, terms.toArray)
     val missing = terms.filterNot(present.contains)
       .map(t => t -> Fuzzy.autoEdits(t)).filter(_._2 > 0).toArray
-    val cands = fuzzyCandidates(h, missing, size)
+    // the common all-terms-present case: no distributed scan at all
+    val cands =
+      if (missing.isEmpty) Map.empty[String, Array[(String, Long, Int)]]
+      else fuzzyCandidates(h, missing, size)
     val rows = missing.flatMap { case (q, _) =>
       cands.getOrElse(q, Array.empty).zipWithIndex.map {
         case ((t, df, d), i) => (q, (i + 1).toLong, t, df, d.toLong)

@@ -463,10 +463,10 @@ class FieldedSpec extends AnyFunSuite {
     val y1997 = hits.filter(_.getAs[String]("term") == "1997")
       .sortBy(_.getAs[Long]("rnk")).map(_.getAs[String]("doi")).toSeq
     // doc 7 (year 1997) carries the "7" term → tops its bucket; the rest
-    // of the bucket ties on "record" → lowest doc_id (10.1/nd.1087? no —
-    // doi order == doc order: first 1997 doc after 7 is 37)
-    assert(y1997 === Seq("10.1/nd.7", "10.1/nd.1000") ||
-      y1997.head == "10.1/nd.7")
+    // of the bucket ties on "record" and rnk 2 is the tie-break winner:
+    // lowest doc_id == lexicographically first DOI of {37,67,97,127,…},
+    // which is nd.127 ("1" < "3" < "6" < "9")
+    assert(y1997 === Seq("10.1/nd.7", "10.1/nd.127"))
     // every bucket's rnk-1 hit outranks-or-ties its rnk-2 hit
     val byBucket = hits.groupBy(_.getAs[String]("term"))
     assert(byBucket.values.forall { rs =>

@@ -189,6 +189,20 @@ class FieldedStreamSpec extends AnyFunSuite {
     // and the df carried for a segment-only term is its union df
     assert(FieldedIndex.prefixTerms(spark, dir, nums, "15") ===
       Seq(("150", 1L)))
+    // term_stats-served aggs are streaming-correct too (dfs re-aggregate)
+    val hist = FieldedIndex.histogramAgg(spark, dir, nums, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist === Map(100L -> 2L, 200L -> 1L, 300L -> 1L))
+    // doc-values consumers serve the COMPACTED base only: streamed doc_ids
+    // are derived at ingest, never persisted as doc_terms — a silent
+    // base-only answer would drop doc "150" from buckets, so they refuse
+    val e = intercept[IllegalArgumentException] {
+      FieldedIndex.termsCardinalityAgg(spark, dir, nums, nums, 5).collect()
+    }
+    assert(e.getMessage.contains("compact"))
+    FieldedStreaming.compact(spark, dir, Seq(nums), cfg)
+    assert(FieldedIndex.termsCardinalityAgg(spark, dir, nums, nums, 5)
+      .count() === 5L) // 100,150,200,300,abc — all post-compaction buckets
   }
 
   test("snapshot properties survive plain commits and merge on commitStep") {
