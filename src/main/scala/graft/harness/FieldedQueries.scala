@@ -554,6 +554,34 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** ES search_after: page 1 = top-3 of a tie-heavy title match; page 2
+    * resumes from page 1's LAST sort key through the cursor path and must
+    * reproduce absolute ranks 4..6 exactly. The Spark side derives the
+    * cursor from its own page-1 result (a real client round-trip); the
+    * oracle replays both pages from the absolute ranking. */
+  val SearchAfterText = "record 7"
+  val SearchAfterPage = 3
+
+  def fieldSearchAfter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val p1 = FieldedIndex.searchField(spark, dir, spec("title"),
+      Seq(1 -> SearchAfterText), SearchAfterPage)
+      .orderBy("rnk").collect()
+    val last = p1.last
+    val p2 = FieldedIndex.searchAfter(spark, dir, spec("title"),
+      SearchAfterText, SearchAfterPage,
+      last.getAs[Long]("score_x6"), last.getAs[Long]("doc_id"))
+    val p1df = FieldedIndex.searchFieldPaged(spark, dir, spec("title"),
+      Seq(1 -> SearchAfterText), 0, SearchAfterPage)
+      .select(lit(1L).as("page"), col("rnk"), col("doc_id"), col("score_x6"))
+    p1df.unionByName(
+        p2.select(lit(2L).as("page"), col("rnk"), col("doc_id"),
+          col("score_x6")))
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("page"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("page", "rnk")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1608,6 +1636,48 @@ object FieldedQueries {
        |    row_number() OVER (ORDER BY score_x6 DESC, doi ASC)::BIGINT AS rnk
        |  FROM combined)
        |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** search_after replay: pages 1 and 2 are absolute ranks 1..3 and 4..6
+    * of the match's full ordering, page-2 rnk restarting at 1 (ES returns
+    * no absolute ranks for cursor pages). */
+  def fieldSearchAfterSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(SearchAfterText)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val p = SearchAfterPage
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                            doi ASC) AS arnk
+       |  FROM scored)
+       |SELECT CAST(((arnk - 1) // $p) + 1 AS BIGINT) AS page,
+       |       CAST(((arnk - 1) % $p) + 1 AS BIGINT) AS rnk,
+       |       doi, score_x6
+       |FROM ranked WHERE arnk <= ${2 * p} ORDER BY page, rnk""".stripMargin
   }
 
   /** significant_terms replay: JLH with the engine's exact

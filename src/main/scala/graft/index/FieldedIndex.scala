@@ -920,6 +920,36 @@ object FieldedIndex {
       .select(col("rnk"), col("doc_id"), col("sort_value"))
   }
 
+  /** ES `search_after` (cursor pagination): the k hits strictly AFTER the
+    * cursor (score_x6, doc_id) under the deterministic ordering — the ES
+    * guidance for paging past max_result_window, because cost stays k per
+    * page at ANY depth instead of growing with from+size. Served from the
+    * match's distributed score list with the cursor as a filter before a
+    * TakeOrdered — no corpus-sized sort, no deep window. (A kernel-side
+    * variant would thread an acceptance predicate through the WAND walk —
+    * the θ pruning itself is unaffected by an upper score cutoff since a
+    * high-bound block can still hold qualifying lower-scored docs; the
+    * score-list path is exact and the shape ES itself pays.) Returns
+    * (rnk, doc_id, score_x6) with rnk 1..k WITHIN the page (ES returns no
+    * absolute ranks for search_after). */
+  def searchAfter(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                  text: String, k: Int, afterScoreX6: Long,
+                  afterDocId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = Searcher.contribs(
+      handleFor(spark, indexDir, spec.field), termWeights(spec, text))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+    scores
+      .where(col("score_x6") < afterScoreX6 ||
+        (col("score_x6") === afterScoreX6 && col("doc_id") > afterDocId))
+      .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** ES pagination (`from`/`size`): hits at absolute ranks
     * (from, from + size] of the match query's full ordering — ES computes
     * the top from+size and slices, which is exactly what the WAND top-k

@@ -439,6 +439,28 @@ class FieldedSpec extends AnyFunSuite {
       Seq(1 -> "title zz"), 5).count() === 0L)
   }
 
+  test("search_after: cursor page == from/size page at every depth") {
+    val t = spec("title")
+    val q = Seq(1 -> "second 7 record")
+    // walk 3 pages by cursor; each must equal the from/size slice
+    var cursor: Option[(Long, Long)] = None
+    for (page <- 0 until 3) {
+      val viaCursor = cursor match {
+        case None => FieldedIndex.searchField(spark, idx, t, q, 4)
+          .select(col("rnk"), col("doc_id"), col("score_x6"))
+        case Some((s, d)) =>
+          FieldedIndex.searchAfter(spark, idx, t, "second 7 record", 4, s, d)
+      }
+      val got = viaCursor.orderBy("rnk").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_x6")))
+      val want = FieldedIndex.searchFieldPaged(spark, idx, t, q, page * 4, 4)
+        .orderBy("rnk").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_x6")))
+      assert(got.toSeq === want.toSeq, s"page $page diverged")
+      cursor = Some((got.last._2, got.last._1))
+    }
+  }
+
   test("pagination: page slices the absolute ranking; deep from is empty") {
     val t = spec("title")
     val q = Seq(1 -> "second 7 record")
