@@ -132,8 +132,14 @@ object Query {
         val bounds = a.query.split("\\s+")
         if (bounds.length != 2) throw Cli.CliError(
           "--type range expects exactly two bounds: GTE LTE")
+        val (gteB, lteB) =
+          try (bounds(0).toLong, bounds(1).toLong)
+          catch {
+            case _: NumberFormatException => throw Cli.CliError(
+              "--type range expects two integer bounds: GTE LTE")
+          }
         keyed(FieldedIndex.rangeQuery(spark, a.indexDir, spec,
-          gte = Some(bounds(0).toLong), lte = Some(bounds(1).toLong)),
+          gte = Some(gteB), lte = Some(lteB)),
           Seq("term"), Seq("term", "_key"))
       case "suggest" =>
         FieldedIndex.termSuggest(spark, a.indexDir, spec, a.query, a.k)
@@ -159,6 +165,10 @@ object Query {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try runAny(spark, a).foreach(println)
+    catch {
+      case e: Cli.CliError =>
+        System.err.println(e.getMessage); spark.stop(); sys.exit(2)
+    }
     finally spark.stop()
   }
 }

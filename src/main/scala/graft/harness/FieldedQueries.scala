@@ -154,6 +154,30 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** Per-leg boosts for the boosted bool/should query (the ES
+    * `fields: ["bibliographic^0.5", "year^2", "volume^3"]` pattern):
+    * down-boosting the broad citation leg and up-boosting the keyword
+    * cohorts reorders the top-k vs [[fieldMulti]] — year/volume cohort
+    * members overtake pure-text matches — so the gate proves the boost
+    * actually reaches the ranking, not just the score scale. All three
+    * values are exactly representable doubles (no literal-parsing skew
+    * between engines). */
+  val MultiBoosts: Seq[Double] = Seq(0.5, 2.0, 3.0)
+
+  /** Boosted multi-field bool/should: leg score × boost, summed —
+    * served by the same combined-bound WAND (boost pre-multiplied into
+    * each leg's cursor idf and bounds). */
+  def fieldBoost(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val legs = MultiLegs.zip(MultiBoosts).map { case ((f, text), b) =>
+      (spec(f), text, b)
+    }
+    FieldedIndex.multiMatchBoost(spark, dir, legs, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   /** match operator=and query: all three terms required — the OR form
     * matches every doc (second/title are universal), AND matches doc 42
     * only. */
@@ -630,6 +654,11 @@ object FieldedQueries {
     * matched legs). */
   def fieldMsmSql: String = multiSql(MsmLegs, 2)
 
+  /** Boosted bool/should replay: each leg's per-term double is
+    * (idf · boost) · tfNorm — [[Oracle.bm25BoostExpr]] mirrors the
+    * engine's pre-multiplied-idf parenthesization exactly. */
+  def fieldBoostSql: String = multiSql(MultiLegs, 1, boosts = MultiBoosts)
+
   /** dis_max replay: same legs, combined max(leg) + tb·(Σ − max) — the
     * parenthesization mirrors the engine's fold exactly. */
   def fieldDisMaxSql: String = multiSql(MultiLegs, 1,
@@ -638,7 +667,8 @@ object FieldedQueries {
   val DisMaxTieBreaker = 0.3
 
   private def multiSql(legsIn: Seq[(String, String)], minLegs: Int,
-                       scoreExpr: String = "sum(c)"): String = {
+                       scoreExpr: String = "sum(c)",
+                       boosts: Seq[Double] = Seq(1.0, 1.0, 1.0)): String = {
     val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
     def weights(chain: String, text: String): Seq[(String, Int)] = {
       import scala.jdk.CollectionConverters._
@@ -648,13 +678,13 @@ object FieldedQueries {
     def qvals(ws: Seq[(String, Int)]): String =
       ws.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
     // per-leg CTE block: tok table named `<p>_tok` must exist upstream
-    def leg(p: String): String =
+    def leg(p: String, boost: Double = 1.0): String =
       s"""${p}_tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM ${p}_tok GROUP BY 1, 2),
          |${p}_dft AS (SELECT term, count(*)::BIGINT AS df FROM ${p}_tf GROUP BY term),
          |${p}_dl AS (SELECT doi, count(*)::BIGINT AS dl FROM ${p}_tok GROUP BY doi),
          |${p}_stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ${p}_dl),
          |${p}_leg AS (
-         |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS c
+         |  SELECT tf.doi, sum(q.w * ${Oracle.bm25BoostExpr(boost)}) AS c
          |  FROM ${p}_q q
          |  JOIN ${p}_tf tf ON tf.term = q.term
          |  JOIN ${p}_dft dft ON dft.term = q.term
@@ -679,13 +709,13 @@ object FieldedQueries {
        |            (SELECT doi, unnest(string_split(lower(bib), ' ')) AS t FROM base)
        |          WHERE t <> '' AND t NOT IN ($stopIn)),
        |b_q(term, w) AS (VALUES ${qvals(bibW)}),
-       |${leg("b")},
+       |${leg("b", boosts(0))},
        |y_tok AS (SELECT doi, y AS term FROM base WHERE y <> ''),
        |y_q(term, w) AS (VALUES ${qvals(yW)}),
-       |${leg("y")},
+       |${leg("y", boosts(1))},
        |v_tok AS (SELECT doi, vol AS term FROM base WHERE vol <> ''),
        |v_q(term, w) AS (VALUES ${qvals(vW)}),
-       |${leg("v")},
+       |${leg("v", boosts(2))},
        |allc AS (SELECT doi, c FROM b_leg UNION ALL
        |         SELECT doi, c FROM y_leg UNION ALL
        |         SELECT doi, c FROM v_leg),
@@ -1705,10 +1735,15 @@ object FieldedQueries {
        |ORDER BY score_x6 DESC, term ASC LIMIT 10""".stripMargin
 
   /** Histogram replay: floor-division buckets in integer arithmetic
-    * (x − Euclidean-mod, the engine's exact formulation — no doubles). */
+    * (x − Euclidean-mod, the engine's exact formulation — no doubles).
+    * Docs without a parseable date are excluded on BOTH sides (ES
+    * histogram skips docs missing the field) — the `y IS NOT NULL`
+    * filter pins that semantics rather than relying on every fixture
+    * doc having a date. */
   def fieldAggHistSql: String =
     s"""WITH src AS (${fixtureSrc(dateCols)}),
-       |y AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src)
+       |y0 AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src),
+       |y AS (SELECT y FROM y0 WHERE y IS NOT NULL)
        |SELECT y - ((y % $HistInterval) + $HistInterval) % $HistInterval AS bucket,
        |       count(*)::BIGINT AS doc_count
        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin
@@ -1717,7 +1752,8 @@ object FieldedQueries {
     * avg micro-rounded through the same double division. */
   def fieldAggStatsSql: String =
     s"""WITH src AS (${fixtureSrc(dateCols)}),
-       |y AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src)
+       |y0 AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src),
+       |y AS (SELECT y FROM y0 WHERE y IS NOT NULL)
        |SELECT count(*)::BIGINT AS value_count,
        |       min(y)::BIGINT AS min_value,
        |       max(y)::BIGINT AS max_value,

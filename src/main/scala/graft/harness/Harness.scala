@@ -93,9 +93,19 @@ object Oracle {
        |dl AS (SELECT d.doc_id, count(t.term)::BIGINT AS dl FROM documents d LEFT JOIN tok2 t ON d.doc_id = t.doc_id GROUP BY d.doc_id),
        |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl)""".stripMargin
 
-  val bm25Expr: String =
-    "ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * " +
-      "(tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))"
+  val idfExpr: String =
+    "ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+  val tfNormExpr: String =
+    "(tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))"
+  val bm25Expr: String = s"$idfExpr * $tfNormExpr"
+
+  /** bm25Expr with an ES per-leg boost: (idf · boost) · tfNorm — the
+    * boost folds into idf FIRST, mirroring the engine's pre-multiplied
+    * cursor idf parenthesization, so `w * <this>` associates exactly like
+    * the kernel's (w · idf_b) · tfNorm. boost = 1.0 reuses the plain
+    * expression (the engine's ×1.0 is the IEEE identity). */
+  def bm25BoostExpr(boost: Double): String =
+    if (boost == 1.0) bm25Expr else s"($idfExpr * $boost) * $tfNormExpr"
 
   private def valuesList(ts: Seq[(Int, String)]): String =
     ts.map { case (q, t) => s"($q, '$t')" }.mkString(", ")

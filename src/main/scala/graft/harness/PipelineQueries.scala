@@ -543,7 +543,7 @@ object PipelineQueries {
     val aug = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@mail"), pmod(col("doc_id"), lit(7L)).cast("string"),
-      lit(".example.com or +1 555-01"), col("doc_id").cast("string"),
+      lit(".example.com or +1 555-0100"), col("doc_id").cast("string"),
       lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
       lit("."), pmod(col("doc_id"), lit(251L)).cast("string"),
       lit("."), pmod(col("doc_id"), lit(241L)).cast("string"))
@@ -553,7 +553,7 @@ object PipelineQueries {
   val redactPiiSql: String = {
     val augSql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
       "'@mail' || CAST(doc_id % 7 AS VARCHAR) || " +
-      "'.example.com or +1 555-01' || CAST(doc_id AS VARCHAR) || " +
+      "'.example.com or +1 555-0100' || CAST(doc_id AS VARCHAR) || " +
       "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
       "'.' || CAST(doc_id % 251 AS VARCHAR) || " +
       "'.' || CAST(doc_id % 241 AS VARCHAR)"

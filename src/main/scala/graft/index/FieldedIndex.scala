@@ -359,6 +359,48 @@ object FieldedIndex {
     Searcher.multiSearch(mh, mlegs, k, minShouldMatch)
   }
 
+  /** [[multiMatch]] with ES per-field boosts — the
+    * `fields: ["title^2", "journal"]` / bool clause `boost` knob the
+    * reference's Biblio-Glutton-style clients apply (elastic/settings.go's
+    * fields exist precisely to be weighted differently per request). ES
+    * semantics: leg score × boost, summed. Each leg is (field spec,
+    * query text, boost); the boost folds into the leg's cursor idf
+    * ([[Searcher.MultiLeg.boost]]), so the combined-bound WAND kernel,
+    * its θ pruning and every block bound carry it with no kernel change
+    * and rank-identity to the boosted naive twin holds exactly. */
+  def multiMatchBoost(spark: SparkSession, indexDir: String,
+                      legs: Seq[(FieldSpec, String, Double)], k: Int,
+                      minShouldMatch: Int = 1): DataFrame = {
+    val mlegs = legs.map { case (spec, text, boost) =>
+      Searcher.MultiLeg(spec.field, termWeights(spec, text), boost)
+    }
+    val mh = multiHandleFor(spark, indexDir, legs.map(_._1.field))
+    Searcher.multiSearch(mh, mlegs, k, minShouldMatch)
+  }
+
+  /** The declarative twin of [[multiMatchBoost]] (per-leg boosted score
+    * lists + Catalyst hash-agg sum) — rank-identity reference for the
+    * boosted kernel path. */
+  def multiMatchBoostNaive(spark: SparkSession, indexDir: String,
+                           legs: Seq[(FieldSpec, String, Double)],
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val contribs = legs.map { case (spec, text, boost) =>
+      Searcher.contribs(handleFor(spark, indexDir, spec.field),
+        termWeights(spec, text), boost)
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_x6").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** ES bool query mixing match should-legs and match_phrase clauses —
     * Lucene's bool-over-phrase: a PhraseQuery is a clause scorer like any
     * other, so phrase clauses ride the SAME combined-bound WAND pivot walk
@@ -777,6 +819,17 @@ object FieldedIndex {
 
   // ---- Aggregations over index tables (ES aggs off pre-aggregated data) ---
 
+  /** term_stats-based aggregations equate Σdf with doc_count, which is
+    * exact ONLY for single-valued keyword chains (one term per doc). A
+    * text-chain field (multi-token) would silently return value counts
+    * labeled doc_count — refuse loudly instead. */
+  private def requireSingleValued(spec: FieldSpec, agg: String): Unit =
+    require(
+      spec.chain == Analyzer.Keyword || spec.chain == Analyzer.KeywordFold,
+      s"$agg aggregation requires a single-valued keyword field; " +
+        s"'${spec.field}' uses multi-token chain '${spec.chain}' whose " +
+        "term_stats df-sums count values, not documents")
+
   /** ES `histogram` aggregation over a single-valued numeric keyword field
     * (year/volume/issue — the reference's shapes): bucket =
     * floor(value/interval)·interval, doc_count per bucket. Served entirely
@@ -787,6 +840,7 @@ object FieldedIndex {
   def histogramAgg(spark: SparkSession, indexDir: String, spec: FieldSpec,
                    interval: Long): DataFrame = {
     require(interval > 0, "histogram interval must be positive")
+    requireSingleValued(spec, "histogram")
     val ts = termStatsNum(spark, indexDir, spec.field)
     // floor-division bucketing in INTEGER arithmetic (x − x mod n, Euclidean
     // mod): no doubles anywhere, exact at any magnitude, negative values
@@ -803,6 +857,7 @@ object FieldedIndex {
     * term_stats scan (values weighted by df), never a corpus scan. */
   def statsAgg(spark: SparkSession, indexDir: String,
                spec: FieldSpec): DataFrame = {
+    requireSingleValued(spec, "stats")
     termStatsNum(spark, indexDir, spec.field)
       .where(col("term_num").isNotNull)
       .agg(sum(col("df")).as("value_count"),

@@ -99,14 +99,24 @@ object Searcher {
     def close(): Unit = shards.unpersist()
   }
 
-  /** One bool/should leg: a field plus its analyzed term→weight bag. */
-  final case class MultiLeg(field: String, termWeights: Map[String, Int])
+  /** One bool/should leg: a field plus its analyzed term→weight bag.
+    * `boost` is the ES per-field multiplier (`fields: ["title^2"]` /
+    * bool clause `boost`): the leg's score — and every pruning bound —
+    * scales by it. Folded into the cursor's idf at spec construction
+    * (idf·boost), so the WAND kernel needs NO changes: score, global ub
+    * and block-max bounds all carry the factor consistently, and θ
+    * pruning stays exact. boost = 1.0 is bit-identical to the unboosted
+    * path (IEEE ×1.0 is exact). */
+  final case class MultiLeg(field: String, termWeights: Map[String, Int],
+                            boost: Double = 1.0)
 
   /** One match_phrase clause of a bool query: a field plus the phrase's
     * analyzed occurrence list (term, tokenizer position) — the
     * [[graft.analysis.Analyzer.analyzeChainPos]] output, stopword gaps
-    * preserved. */
-  final case class PhraseLeg(field: String, occs: Array[(String, Int)])
+    * preserved. `boost` scales the clause's summed idf (ES clause boost)
+    * exactly like [[MultiLeg.boost]]. */
+  final case class PhraseLeg(field: String, occs: Array[(String, Int)],
+                             boost: Double = 1.0)
 
   /** Serializable per-cursor spec shipped to the scoring fan-out. */
   private final case class CursorSpec(key: String, idf: Double, weight: Int,
@@ -165,6 +175,9 @@ object Searcher {
                   requiredLegs: Seq[Int] = Seq.empty): DataFrame = {
     require(requiredLegs.forall(l => l >= 0 && l < 64),
       "required leg ids must fit the bool-context bitmask (0..63)")
+    require(legs.forall(_.boost > 0.0) && phraseLegs.forall(_.boost > 0.0),
+      "leg boost must be > 0 (a zero boost would zero the leg's bounds " +
+        "but still count it for minimum_should_match — drop the leg instead)")
     val filterKeys: Array[String] = filter.toArray.flatMap { case (f, vs) =>
       vs.map(v => f + FieldSep + v)
     }
@@ -183,8 +196,8 @@ object Searcher {
       l.termWeights.toSeq.sortBy(_._1).collect {
         case (t, w) if dfByKey.contains(l.field + FieldSep + t) =>
           CursorSpec(l.field + FieldSep + t,
-            Bm25.idf(st.n_docs, dfByKey(l.field + FieldSep + t)), w,
-            st.avgdl, mh.fieldTight(l.field), li)
+            Bm25.idf(st.n_docs, dfByKey(l.field + FieldSep + t)) * l.boost,
+            w, st.avgdl, mh.fieldTight(l.field), li)
       }
     }.toArray
     // phrase clauses number their legs AFTER the should-legs; a clause with
@@ -199,7 +212,8 @@ object Searcher {
         Some(PhraseSpec(uniq.map(pl.field + FieldSep + _),
           pl.occs.map(o => tIdx(o._1)), pl.occs.map(_._2 - base),
           pl.occs.iterator.map(o =>
-            Bm25.idf(st.n_docs, dfByKey(pl.field + FieldSep + o._1))).sum,
+            Bm25.idf(st.n_docs, dfByKey(pl.field + FieldSep + o._1))).sum
+            * pl.boost,
           st.avgdl, mh.fieldTight(pl.field), legs.length + pi))
       case _ => None
     }.toArray
@@ -721,14 +735,19 @@ object Searcher {
     * downstream sum. The doubles are the WAND kernel's own (same
     * [[Bm25.idf]]/[[Bm25.tfNorm]] calls), so micro-rounded sums agree with
     * the oracle's exactly like the single-field paths. */
-  def contribs(h: Handle, termWeights: Map[String, Int]): DataFrame = {
+  def contribs(h: Handle, termWeights: Map[String, Int],
+               boost: Double = 1.0): DataFrame = {
     import h.spark.implicits._
     val dfByTerm = resolveDfs(h, termWeights.keys.toArray)
     val n = h.stats.n_docs
     val avgdl = h.stats.avgdl
+    // boost folds into idf BEFORE the weight multiply — the same FP order
+    // as the kernel's pre-multiplied cursor idf, so micro-rounded sums
+    // agree exactly; ×1.0 is the IEEE identity (unboosted callers
+    // unchanged bit-for-bit)
     val idfW: Array[(String, Double)] = termWeights.toArray.collect {
       case (t, w) if dfByTerm.contains(t) =>
-        t -> w * Bm25.idf(n, dfByTerm(t))
+        t -> w * (Bm25.idf(n, dfByTerm(t)) * boost)
     }
     h.shards.flatMap { si =>
       idfW.iterator.flatMap { case (t, iw) =>
@@ -751,7 +770,8 @@ object Searcher {
     * PhraseIter clause inside the combined-bound WAND). Emits (doc_id,
     * contrib) for pf > 0 docs only, so a downstream leg count sees phrase
     * clauses exactly like match legs. Distributed end to end. */
-  def phraseContribs(h: Handle, occs: Array[(String, Int)]): DataFrame = {
+  def phraseContribs(h: Handle, occs: Array[(String, Int)],
+                     boost: Double = 1.0): DataFrame = {
     import h.spark.implicits._
     val empty = h.spark.emptyDataset[(Long, Double)].toDF("doc_id", "contrib")
     if (occs.isEmpty) return empty
@@ -759,7 +779,8 @@ object Searcher {
     if (!occs.forall(o => dfByTerm.contains(o._1))) return empty
     val nDocs = h.stats.n_docs
     val avgdl = h.stats.avgdl
-    val sumIdf = occs.iterator.map(o => Bm25.idf(nDocs, dfByTerm(o._1))).sum
+    val sumIdf =
+      occs.iterator.map(o => Bm25.idf(nDocs, dfByTerm(o._1))).sum * boost
     h.shards.flatMap { si =>
       val lookup: String => Array[PostingBlock] = t => {
         val tp = si.terms.get(t)

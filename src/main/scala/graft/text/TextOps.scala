@@ -103,10 +103,29 @@ object TextOps {
     * byte-identically. Application order matters and is part of the
     * contract: emails first (their local parts contain digits a later
     * pass would mangle), then IPv4 literals, then phone runs (the phone
-    * class has no '.', so it can never eat an IP). */
+    * class has no '.', so it can never eat an IP).
+    *
+    * Tightness / documented false-positive envelope (the dialect has no
+    * lookarounds, so word-boundary anchoring is unavailable; these are
+    * the residual FP classes, bounded by construction):
+    *  - Ipv4Rx constrains every octet to 0–255, so dotted version
+    *    strings with an out-of-range component ("1.2.3.999") no longer
+    *    match in full; an in-range version like "1.2.3.4" is
+    *    indistinguishable from an IP without context and is still
+    *    redacted (accepted FP).
+    *  - PhoneRx requires 9–15 total digits with AT MOST ONE ' ' or '-'
+    *    between consecutive digits — a single match can never consume
+    *    more than 29 characters, so a long numeric table degrades to a
+    *    bounded local redaction instead of being swallowed whole (the
+    *    old "[0-9 -]{7,}" run was unbounded). Space-separated numeric
+    *    runs whose first 9–15 digits are phone-shaped (e.g. a year list
+    *    "1990 1991 1992") still lose that prefix — accepted FP for a
+    *    pre-training scrub, where over-redaction of digit runs is the
+    *    safe direction. */
   val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Rx = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  val PhoneRx = "\\+?[0-9][0-9 -]{7,}[0-9]"
+  val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+  val Ipv4Rx = s"($Ipv4Octet\\.){3}$Ipv4Octet"
+  val PhoneRx = "\\+?[0-9]([ -]?[0-9]){8,14}"
 
   /** Redact emails / IPv4s / phone numbers to typed placeholders: three
     * chained regexp passes over one column — row-local codegen

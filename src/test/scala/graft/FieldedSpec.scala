@@ -222,6 +222,23 @@ class FieldedSpec extends AnyFunSuite {
     for (tb <- Seq(0.0, 0.3, 1.0))
       assert(rows(FieldedIndex.disMax(spark, idx, legs, 10, tb)) ===
         rows(FieldedIndex.disMaxNaive(spark, idx, legs, 10, tb)), s"tb=$tb")
+    // boosted legs: kernel == naive twin, boost=1 degenerates to the
+    // unboosted path bit-for-bit, and the harness boosts actually reorder
+    val blegs = FieldedQueries.MultiLegs.zip(FieldedQueries.MultiBoosts)
+      .map { case ((f, t), b) => (spec(f), t, b) }
+    assert(rows(FieldedIndex.multiMatchBoost(spark, idx, blegs, 10)) ===
+      rows(FieldedIndex.multiMatchBoostNaive(spark, idx, blegs, 10)))
+    val unit = legs.map { case (s, t) => (s, t, 1.0) }
+    assert(rows(FieldedIndex.multiMatchBoost(spark, idx, unit, 10)) ===
+      rows(FieldedIndex.multiMatch(spark, idx, legs, 10)))
+    assert(rows(FieldedIndex.multiMatchBoost(spark, idx, blegs, 10))
+      .map(_._2) !== rows(FieldedIndex.multiMatch(spark, idx, legs, 10))
+      .map(_._2), "harness boosts must change the ranked doc set/order")
+    // a zero boost is refused (it would zero bounds yet count for msm)
+    intercept[IllegalArgumentException] {
+      FieldedIndex.multiMatchBoost(spark, idx,
+        legs.map { case (s, t) => (s, t, 0.0) }, 10).collect()
+    }
   }
 
   test("bool-with-phrase: kernel == naive twin; msm counts confirmed phrases only") {
@@ -606,6 +623,15 @@ class FieldedSpec extends AnyFunSuite {
     // years 1990..2019, counts 34 (r<10) / 33 (r≥10); 7-buckets cut mid-span
     assert(hist.map(_._1).toSeq === Seq(1988L, 1995L, 2002L, 2009L, 2016L))
     assert(hist.map(_._2).sum === 1000L)
+    // term_stats-served aggs refuse multi-token chains loudly: a text
+    // field's df-sums count values, not documents
+    val multi = intercept[IllegalArgumentException] {
+      FieldedIndex.histogramAgg(spark, idx, spec("title"), 7L)
+    }
+    assert(multi.getMessage.contains("single-valued keyword field"))
+    intercept[IllegalArgumentException] {
+      FieldedIndex.statsAgg(spark, idx, spec("title"))
+    }
     val st = FieldedIndex.statsAgg(spark, idx, spec("year")).collect()(0)
     assert(st.getAs[Long]("value_count") === 1000L)
     assert(st.getAs[Long]("min_value") === 1990L)

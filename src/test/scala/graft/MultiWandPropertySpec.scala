@@ -46,12 +46,15 @@ class MultiWandPropertySpec extends AnyFunSuite {
     docs <- Gen.listOfN(n, docGen)
   } yield docs
 
-  private val legsGen: Gen[List[(String, List[String])]] = for {
+  /** Legs carry an ES per-field boost (1.0 = the unboosted identity;
+    * 0.5/2/3 = the `fields: ["title^2"]` client pattern). */
+  private val legsGen: Gen[List[(String, List[String], Double)]] = for {
     nl <- Gen.chooseNum(1, 3)
     legs <- Gen.listOfN(nl, for {
       f <- Gen.oneOf(fields)
       ts <- Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(3))
-    } yield (f, ts))
+      b <- Gen.oneOf(1.0, 0.5, 2.0, 3.0)
+    } yield (f, ts, b))
   } yield legs
 
   private val filterGen: Gen[Option[(String, List[String])]] =
@@ -95,25 +98,27 @@ class MultiWandPropertySpec extends AnyFunSuite {
     }
   }
 
-  private def brute(corpus: Corpus, legs: List[(String, List[String])],
+  private def brute(corpus: Corpus, legs: List[(String, List[String], Double)],
       filter: Option[(String, List[String])], msm: Int, k: Int,
       stats: Map[String, FStats], disMaxTb: Double): Seq[(Long, Long)] = {
     corpus.zipWithIndex.flatMap { case (doc, id) =>
       val passesFilter = filter.forall { case (ff, vs) =>
         doc.get(ff).exists(tm => vs.exists(tm.contains))
       }
-      val legScores = legs.map { case (f, terms) =>
+      val legScores = legs.map { case (f, terms, boost) =>
         val st = stats(f)
         val w = terms.groupBy(identity).view.mapValues(_.length)
         doc.get(f).map { tm =>
           w.toSeq.collect {
             case (t, wt) if tm.contains(t) && st.df(t) > 0 =>
-              wt * Bm25.idf(st.n, st.df(t)) *
+              // (wt · (idf · boost)) · tfNorm — the kernel's pre-multiplied
+              // cursor-idf parenthesization
+              wt * (Bm25.idf(st.n, st.df(t)) * boost) *
                 Bm25.tfNorm(tm(t).toDouble, st.dl(id).toDouble, st.avgdl)
           }.sum
         }.getOrElse(0.0)
       }
-      val matched = legs.zip(legScores).count { case ((f, terms), _) =>
+      val matched = legs.zip(legScores).count { case ((f, terms, _), _) =>
         doc.get(f).exists(tm => terms.exists(t => tm.contains(t) && stats(f).df(t) > 0))
       }
       val s =
@@ -128,7 +133,7 @@ class MultiWandPropertySpec extends AnyFunSuite {
     }.sortBy { case (id, x6) => (-x6, id) }.take(k)
   }
 
-  private def kernel(corpus: Corpus, legs: List[(String, List[String])],
+  private def kernel(corpus: Corpus, legs: List[(String, List[String], Double)],
       filter: Option[(String, List[String])], msm: Int, k: Int,
       shardSize: Int, blockSize: Int, stats: Map[String, FStats],
       shared: Boolean, disMaxTb: Double): Seq[(Long, Long)] = {
@@ -141,11 +146,11 @@ class MultiWandPropertySpec extends AnyFunSuite {
 
     // cursor specs in (leg, term) order, per-cursor stats — multiSearch's
     // construction
-    val specs = legs.zipWithIndex.flatMap { case ((f, terms), li) =>
+    val specs = legs.zipWithIndex.flatMap { case ((f, terms, boost), li) =>
       val st = stats(f)
       terms.groupBy(identity).view.mapValues(_.length).toSeq.sortBy(_._1)
         .collect { case (t, w) if st.df(t) > 0 =>
-          (f + "\u0000" + t, Bm25.idf(st.n, st.df(t)), w, st.avgdl, li)
+          (f + "\u0000" + t, Bm25.idf(st.n, st.df(t)) * boost, w, st.avgdl, li)
         }
     }
     val filterKeys = filter.toSeq.flatMap { case (f, vs) =>
@@ -164,7 +169,7 @@ class MultiWandPropertySpec extends AnyFunSuite {
     }.sortBy { case (id, x6) => (-x6, id) }.take(k)
   }
 
-  test("multi-leg WAND == brute-force summed BM25 (filters, msm, boards, geometries)") {
+  test("multi-leg WAND == brute-force summed BM25 (boosts, filters, msm, boards, geometries)") {
     // disMaxTb −1 = bool/should sum; 0/0.3/1 = dis_max tie_breakers
     val p = Prop.forAll(corpusGen, legsGen, filterGen, Gen.oneOf(1, 2),
       Gen.oneOf(1, 3, 10), Gen.oneOf(3, 8, 64),

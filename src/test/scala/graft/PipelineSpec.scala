@@ -121,7 +121,13 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "mail me at a.b+c@sub.domain.org today"),
       (2L, "server 192.168.0.1 and cell +44 20 7946-0958 ok"),
       (3L, "no pii here just words"),
-      (4L, "version 1.2 is not an ip, 12-34 is not a phone")
+      (4L, "version 1.2 is not an ip, 12-34 is not a phone"),
+      // tightened patterns: out-of-range octets are not an IP anywhere
+      // in the literal; double-separated digit runs are not a phone;
+      // fewer than 9 total digits is not a phone
+      (5L, "peer 999.999.999.999 retried"),
+      (6L, "ids 12  34  56  78  90 listed"),
+      (7L, "order 12345678 confirmed")
     ).toDF("doc_id", "text")
     val out = graft.text.TextOps.redactPii(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -129,6 +135,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) === "server <IP> and cell <PHONE> ok")
     assert(out(3L) === "no pii here just words")
     assert(out(4L) === "version 1.2 is not an ip, 12-34 is not a phone")
+    assert(out(5L) === "peer 999.999.999.999 retried")
+    assert(out(6L) === "ids 12  34  56  78  90 listed")
+    assert(out(7L) === "order 12345678 confirmed")
   }
 
   test("lang id predicts profile languages on real multilingual text") {
