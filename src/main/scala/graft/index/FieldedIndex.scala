@@ -700,9 +700,13 @@ object FieldedIndex {
   // Lucene's FST seek / BKD tree). Collected rows are bounded by the
   // matching vocabulary slice, never the corpus.
 
-  /** Terms of `field`'s dictionary matching `pred`, with exact global df,
-    * in term order, capped at `max` when ≥ 0 (the deterministic
-    * max_expansions rule: term order, Lucene's rewrite collection order). */
+  /** ES `indices.query.bool.max_clause_count` (the ES 7 default): the
+    * hard ceiling on any multi-term rewrite's expansion. A wide range or
+    * wildcard over a high-cardinality field (timestamps, DOIs) fails
+    * LOUDLY at this bound — ES's too_many_clauses — instead of collecting
+    * an unbounded vocabulary slice to the driver. */
+  val MaxClauseCount = 1024
+
   /** The field's term_stats with the numeric shadow column guaranteed:
     * base indexes store it (format v4); streamed-segment union views lose
     * it in the df re-aggregation — derived on the fly there. The single
@@ -716,13 +720,31 @@ object FieldedIndex {
     else ts0.withColumn("term_num", expr("try_cast(term AS BIGINT)"))
   }
 
+  /** Terms of `field`'s dictionary matching `pred`, with exact global df,
+    * in term order. EVERY call is capped — there is no uncapped driver
+    * collect on any query path:
+    *  - `truncate = true`: the deterministic max_expansions rule (term
+    *    order, Lucene's rewrite collection order) — the first `max` terms.
+    *  - `truncate = false`: the max_clause_count rule — an expansion
+    *    wider than `max` throws ES's too_many_clauses loudly (the limit
+    *    probe fetches max+1 rows, so the driver never materializes more
+    *    than the cap either way). */
   private def expandDictionary(spark: SparkSession, indexDir: String,
-      field: String, pred: Column, max: Int = -1): Seq[(String, Long)] = {
+      field: String, pred: Column, max: Int,
+      truncate: Boolean): Seq[(String, Long)] = {
+    require(max >= 0, "dictionary expansions must carry a cap")
     val matched = termStatsNum(spark, indexDir, field)
       .where(pred).orderBy("term")
-    (if (max >= 0) matched.limit(max) else matched)
+    val rows = matched.limit(max + 1)
       .select("term", "df").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (rows.length <= max) rows
+    else if (truncate) rows.take(max)
+    else throw new IllegalArgumentException(
+      s"too_many_clauses: multi-term query on field '$field' would expand " +
+        s"to more than $max terms (max_clause_count). Narrow the " +
+        "range/pattern, or serve the predicate from doc-values instead " +
+        "of a term rewrite.")
   }
 
   /** ES numeric `range` query → matching dictionary terms (numeric
@@ -736,7 +758,8 @@ object FieldedIndex {
     * yields zero hits for a present-but-termless filter clause. */
   def rangeTerms(spark: SparkSession, indexDir: String, spec: FieldSpec,
                  gte: Option[Long] = None, lte: Option[Long] = None,
-                 gt: Option[Long] = None, lt: Option[Long] = None): Seq[String] = {
+                 gt: Option[Long] = None, lt: Option[Long] = None,
+                 maxClauseCount: Int = MaxClauseCount): Seq[String] = {
     require(gte.nonEmpty || lte.nonEmpty || gt.nonEmpty || lt.nonEmpty,
       "range query needs at least one bound")
     val v = col("term_num")
@@ -744,28 +767,34 @@ object FieldedIndex {
       Some(v.isNotNull),
       gte.map(v >= _), lte.map(v <= _),
       gt.map(v > _), lt.map(v < _)).flatten.reduce(_ && _)
-    expandDictionary(spark, indexDir, spec.field, pred).map(_._1)
+    expandDictionary(spark, indexDir, spec.field, pred,
+      maxClauseCount, truncate = false).map(_._1)
   }
 
   /** ES `range` as constant-score retrieval (filter context alone):
     * (term, doc_id) over the expanded terms, like [[termQuery]]. */
   def rangeQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
                  gte: Option[Long] = None, lte: Option[Long] = None,
-                 gt: Option[Long] = None, lt: Option[Long] = None): DataFrame =
+                 gt: Option[Long] = None, lt: Option[Long] = None,
+                 maxClauseCount: Int = MaxClauseCount): DataFrame =
     Searcher.termDocs(handleFor(spark, indexDir, spec.field),
-      rangeTerms(spark, indexDir, spec, gte, lte, gt, lt))
+      rangeTerms(spark, indexDir, spec, gte, lte, gt, lt, maxClauseCount))
 
   /** ES `prefix` query expansion: dictionary terms starting with the
     * analyzed prefix (ES prefix queries are term-level and unanalyzed;
     * this engine's term surface is analyzed — same convention as
-    * [[termQuery]] — so clients pass surface forms). Term order, capped at
-    * `max` when ≥ 0; returns (term, df) so scored rewrites can weight. */
+    * [[termQuery]] — so clients pass surface forms). Term order; a
+    * caller-passed `max` ≥ 0 is the ES max_expansions TRUNCATION rule
+    * (first `max` terms); the default caps at [[MaxClauseCount]] and
+    * fails loudly past it (too_many_clauses). Returns (term, df) so
+    * scored rewrites can weight. */
   def prefixTerms(spark: SparkSession, indexDir: String, spec: FieldSpec,
                   prefix: String, max: Int = -1): Seq[(String, Long)] =
     Analyzer.analyzeChain(spec.chain, prefix).headOption match {
       case None => Seq.empty
       case Some(analyzed) => expandDictionary(spark, indexDir, spec.field,
-        col("term").startsWith(analyzed), max)
+        col("term").startsWith(analyzed),
+        if (max >= 0) max else MaxClauseCount, truncate = max >= 0)
     }
 
   /** ES `prefix` query (constant-score, the ES rewrite): (term, doc_id)
@@ -798,7 +827,8 @@ object FieldedIndex {
         val pred = if (litPrefix.nonEmpty)
           col("term").startsWith(litPrefix) && col("term").rlike(rx)
         else col("term").rlike(rx)
-        expandDictionary(spark, indexDir, spec.field, pred).map(_._1)
+        expandDictionary(spark, indexDir, spec.field, pred,
+          MaxClauseCount, truncate = false).map(_._1)
     }
     Searcher.termDocs(handleFor(spark, indexDir, spec.field), terms)
   }

@@ -47,7 +47,13 @@ object Searcher {
 
   /** One doc shard's term → postings hash index. */
   final class ShardIndex(val shard: Int,
-      val terms: java.util.HashMap[String, TermPostings]) extends Serializable
+      val terms: java.util.HashMap[String, TermPostings]) extends Serializable {
+    /** Fuzzy candidate sidecar (length buckets + class masks) — built
+      * lazily on the first fuzzy/suggest query against this shard, cached
+      * for the handle's lifetime (@transient: rebuilt after partition
+      * eviction, never serialized). */
+    @transient lazy val fuzzyDict: FuzzyDict = FuzzyDict.build(terms)
+  }
 
   /** A query-server handle: corpus stats loaded once, shard indexes resident
     * in executor memory. The term dictionary stays distributed (inside the
@@ -601,35 +607,44 @@ object Searcher {
     * fuzzy boost 1 − d/min(|q|,|t|) — the bool-of-expansions rewrite, so
     * the block-max pruning, θ boards and tree merge all apply unchanged.
     *
-    * Expansion is ONE distributed scan of the resident shard dictionaries
-    * (codepoint-length pre-filter + bounded Damerau DP per key). Lucene
-    * intersects an FST with a Levenshtein automaton instead; at 10^12 docs
-    * that automaton belongs NEXT TO each shard's hash index (the
-    * dictionaries stay sharded on executors either way — nothing
-    * vocabulary-sized reaches the driver; collected rows are
+    * Expansion runs against each shard's [[FuzzyDict]] sidecar — length
+    * bands + class-mask popcount prefilters, DP only on survivors — NOT a
+    * full-dictionary sweep, so per-query cost tracks the ±e length bands,
+    * not the vocabulary (FuzzyProbe measures the gap; GRAFT_FUZZY_SWEEP=1
+    * re-enables the sweep as the A/B reference). Lucene intersects an FST
+    * with a Levenshtein automaton instead — sublinear in band size, the
+    * documented next rung; at 10^12 docs either structure belongs NEXT TO
+    * each shard's hash index (the dictionaries stay sharded on executors;
+    * nothing vocabulary-sized reaches the driver; collected rows are
     * query-terms × ≤maxExpansions × shard partials). */
-  /** Dictionary candidates per (term, edit budget): one distributed scan
-    * of the resident shard dictionaries — exact (0-edit) terms use the
-    * hash lookup, fuzzy terms walk the shard's keys with the bounded
-    * Damerau DP; per-shard partial dfs add. Selection is the
-    * deterministic Lucene order (distance asc, df desc, term asc), capped
-    * at `max`. Nothing vocabulary-sized reaches the driver — collected
-    * rows are terms × ≤max × shard partials. Shared by the fuzzy-match
-    * rewrite and the term suggester. */
+  /** Dictionary candidates per (term, edit budget): one distributed job
+    * over the resident shard indexes — exact (0-edit) terms use the
+    * hash lookup, fuzzy terms probe the shard's [[FuzzyDict]]; per-shard
+    * partial dfs add. Selection is the deterministic Lucene order
+    * (distance asc, df desc, term asc), capped at `max`. Shared by the
+    * fuzzy-match rewrite and the term suggester. */
   private def fuzzyCandidates(h: Handle, uniq: Array[(String, Int)],
       max: Int): Map[String, Array[(String, Long, Int)]] = {
+    val sweep = sys.props.getOrElse("graft.fuzzy.sweep",
+      sys.env.getOrElse("GRAFT_FUZZY_SWEEP", "0")) == "1"
     val rows: Array[(String, String, Long, Int)] = h.shards.flatMap { si =>
       val out = mutable.ArrayBuffer.empty[(String, String, Long, Int)]
       uniq.foreach { case (q, maxE) =>
         if (maxE == 0) {
           val tp = si.terms.get(q)
           if (tp != null) out += ((q, q, tp.df, 0))
-        } else {
+        } else if (sweep) {
+          // the retired full-vocab sweep, kept ONLY as the A/B reference
+          // (GRAFT_FUZZY_SWEEP=1): DP against every dictionary key
           val it = si.terms.entrySet().iterator()
           while (it.hasNext) {
             val e = it.next()
             val d = Fuzzy.damerau(q, e.getKey, maxE)
             if (d <= maxE) out += ((q, e.getKey, e.getValue.df, d))
+          }
+        } else {
+          si.fuzzyDict.candidates(q, maxE).foreach { case (t, df, d) =>
+            out += ((q, t, df, d))
           }
         }
       }

@@ -412,6 +412,17 @@ class FieldedSpec extends AnyFunSuite {
     // remainder < 10 gets 34 docs in 0..999) is 102 docs
     assert(FieldedIndex.rangeQuery(spark, idx, y,
       gte = Some(1993L), lte = Some(1995L)).count() === 102L)
+    // max_clause_count: a range expanding past the cap fails LOUDLY
+    // (ES too_many_clauses), never an unbounded driver collect — the
+    // fixture's 30-year vocabulary trips a cap of 5
+    val wide = intercept[IllegalArgumentException] {
+      FieldedIndex.rangeTerms(spark, idx, y,
+        gte = Some(1990L), lte = Some(2019L), maxClauseCount = 5)
+    }
+    assert(wide.getMessage.contains("too_many_clauses"))
+    // at the cap exactly (5 terms ≤ 5) the expansion still serves
+    assert(FieldedIndex.rangeTerms(spark, idx, y,
+      gte = Some(1990L), lte = Some(1994L), maxClauseCount = 5).size === 5)
   }
 
   test("prefix/wildcard: cap is term-ordered, * and ? translate, miss is empty") {
