@@ -24,7 +24,7 @@ object Query {
   /** Every ES query type the engine serves, selectable via `--type`. */
   val Types: Set[String] = Set("match", "match_and", "phrase",
     "phrase_prefix", "fuzzy", "qstring", "term", "prefix", "wildcard",
-    "range", "suggest", "count")
+    "range", "suggest", "count", "scroll")
 
   final case class Args(indexDir: String, field: String, k: Int,
       master: String, query: String, qtype: String = "match")
@@ -147,6 +147,21 @@ object Query {
       case "count" =>
         FieldedIndex.countQuery(spark, a.indexDir, spec, a.query)
           .collect().map(r => s"hits ${r.getLong(0)}").toSeq
+      case "scroll" =>
+        // deep snapshot-pinned export: walk the scroll to exhaustion,
+        // --k is the page size; prints `page rank key score_x6`
+        val sc = FieldedIndex.scroll(spark, a.indexDir, spec, a.query, a.k)
+        val dm = FieldedIndex.docMap(spark, a.indexDir).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val out = Seq.newBuilder[String]
+        var page = 1
+        while (sc.hasMore) {
+          sc.next().foreach { case (rnk, doc, s6) =>
+            out += s"$page $rnk ${dm(doc)} $s6"
+          }
+          page += 1
+        }
+        out.result()
     }
   }
 

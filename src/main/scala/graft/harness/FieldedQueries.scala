@@ -606,6 +606,26 @@ object FieldedQueries {
       .orderBy("page", "rnk")
   }
 
+  /** ES scroll: 3 pinned-snapshot pages of the same tie-heavy match —
+    * each page a real cursor round-trip through [[FieldedIndex.Scroll]],
+    * which must walk the absolute ranking page by page (the oracle
+    * replays the full ordering sliced into pages). */
+  val ScrollPages = 3
+
+  def fieldScroll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = ensureFieldedIndex(spark)
+    val sc = FieldedIndex.scroll(spark, dir, spec("title"),
+      SearchAfterText, SearchAfterPage)
+    val rows = (1 to ScrollPages).flatMap { p =>
+      sc.next().map { case (rnk, doc, s6) => (p.toLong, rnk, doc, s6) }
+    }
+    rows.toDF("page", "rnk", "doc_id", "score_x6")
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("page"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("page", "rnk")
+  }
+
   // ---- DuckDB sides -------------------------------------------------------
 
   /** read_json over the fixture with the needed columns pinned. */
@@ -1671,7 +1691,14 @@ object FieldedQueries {
   /** search_after replay: pages 1 and 2 are absolute ranks 1..3 and 4..6
     * of the match's full ordering, page-2 rnk restarting at 1 (ES returns
     * no absolute ranks for cursor pages). */
-  def fieldSearchAfterSql: String = {
+  def fieldSearchAfterSql: String = pagedRankSql(2)
+
+  /** scroll replay: the same paging law over 3 pages — a scroll IS
+    * repeated search_after against one pinned snapshot, so the oracle is
+    * the absolute ranking sliced page by page. */
+  def fieldScrollSql: String = pagedRankSql(ScrollPages)
+
+  private def pagedRankSql(nPages: Int): String = {
     val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
     val qvals = Analyzer.analyzeStop(SearchAfterText)
       .groupBy(identity).view.mapValues(_.length)
@@ -1707,7 +1734,7 @@ object FieldedQueries {
        |SELECT CAST(((arnk - 1) // $p) + 1 AS BIGINT) AS page,
        |       CAST(((arnk - 1) % $p) + 1 AS BIGINT) AS rnk,
        |       doi, score_x6
-       |FROM ranked WHERE arnk <= ${2 * p} ORDER BY page, rnk""".stripMargin
+       |FROM ranked WHERE arnk <= ${nPages * p} ORDER BY page, rnk""".stripMargin
   }
 
   /** significant_terms replay: JLH with the engine's exact

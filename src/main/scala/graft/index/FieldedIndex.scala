@@ -1035,6 +1035,77 @@ object FieldedIndex {
       .select(col("rnk"), col("doc_id"), col("score_x6"))
   }
 
+  /** An open ES scroll context ([[FieldedIndex.scroll]]): deep, snapshot-
+    * consistent export of a match's FULL ordering, page by page. The
+    * context OWNS a private [[Searcher.Handle]] opened at scroll time — a
+    * handle IS a snapshot of the index at open time (the Lucene
+    * IndexReader model), so pages stay consistent even if an ingest or
+    * compaction swaps the directory mid-scroll, exactly like an ES scroll
+    * holding its segments. The handle is private, NOT the serving cache's
+    * ([[handleFor]]): the cache retires superseded handles on a 60 s
+    * grace, which a long bulk export can outlive — the scroll context
+    * must control its own lifetime (ES scroll keep-alive), closing on
+    * exhaustion or [[Scroll.close]]. Each page is one repeated
+    * search_after step against the pinned handle: the match's distributed
+    * score list, cursor-filtered, TakeOrdered(pageSize) — cost is
+    * CONSTANT per page at any depth (never from+size), the property that
+    * makes scroll the bulk-export path. `snapshotToken` is the pinned
+    * manifest uuid (the ES scroll_id analogue). */
+  final class Scroll private[index] (h: Searcher.Handle,
+      tw: Map[String, Int], pageSize: Int, val snapshotToken: String)
+      extends AutoCloseable {
+    private var after: Option[(Long, Long)] = None
+    private var exhausted = tw.isEmpty
+    private var closed = false
+    def hasMore: Boolean = !exhausted
+
+    /** Release the pinned snapshot (idempotent; ES DELETE _search/scroll).
+      * Called automatically once the walk exhausts. */
+    def close(): Unit = {
+      exhausted = true
+      if (!closed) { closed = true; h.close() }
+    }
+    if (exhausted) close() // analyzer dropped every term: born-empty scroll
+
+    /** Next page: (rnk within page 1.., doc_id, score_x6), at most
+      * pageSize rows (ES returns no absolute ranks on cursor pages);
+      * empty once the match is exhausted. */
+    def next(): Seq[(Long, Long, Long)] = {
+      if (exhausted) { close(); return Seq.empty }
+      val base = Searcher.contribs(h, tw)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+        .select(col("doc_id"),
+          TextIndex.microRound(col("score")).as("score_x6"))
+      val filtered = after match {
+        case Some((s6, d)) =>
+          base.where(col("score_x6") < s6 ||
+            (col("score_x6") === s6 && col("doc_id") > d))
+        case None => base
+      }
+      val rows = filtered
+        .orderBy(col("score_x6").desc, col("doc_id").asc).limit(pageSize)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          ((i + 1).toLong, r.getLong(0), r.getLong(1)) }
+        .toSeq
+      if (rows.length < pageSize) close()
+      rows.lastOption.foreach { case (_, d, s6) => after = Some((s6, d)) }
+      rows
+    }
+  }
+
+  /** Open an ES scroll over a match query ([[Scroll]] semantics). */
+  def scroll(spark: SparkSession, indexDir: String, spec: FieldSpec,
+             text: String, pageSize: Int): Scroll = {
+    require(pageSize > 0, "scroll page size must be positive")
+    val token =
+      new TableIO(fieldDir(indexDir, spec.field)).snapshotToken().getOrElse("")
+    new Scroll(Searcher.open(spark, fieldDir(indexDir, spec.field)),
+      termWeights(spec, text), pageSize, token)
+  }
+
   /** ES pagination (`from`/`size`): hits at absolute ranks
     * (from, from + size] of the match query's full ordering — ES computes
     * the top from+size and slices, which is exactly what the WAND top-k

@@ -132,6 +132,10 @@ class CliSpec extends AnyFunSuite {
     assert(lines("prefix", "DOI", "10.1/nd.99").size === 11)
     assert(lines("qstring", "title", "+record 42 -999")
       .head.startsWith("1 10.1/nd.42 "))
+    // scroll: deep export walks the 1997 cohort (34 docs) in pages of 3
+    val scrolled = lines("scroll", "year", "1997")
+    assert(scrolled.size === 34)
+    assert(scrolled.head.startsWith("1 1 ") && scrolled.last.startsWith("12 1 "))
     assert(intercept[graft.cli.Cli.CliError](graft.cli.Query.parse(
       Array("--type", "nope", "x"))).getMessage.contains("unknown --type"))
     assert(intercept[graft.cli.Cli.CliError](

@@ -489,6 +489,28 @@ class FieldedSpec extends AnyFunSuite {
     }
   }
 
+  test("scroll: walk to exhaustion equals the absolute ranking, then closes") {
+    val y = spec("year")
+    // 1997 cohort = 34 docs (i ≡ 7 mod 30): pages of 10 → 10,10,10,4
+    val sc = FieldedIndex.scroll(spark, idx, y, "1997", 10)
+    assert(sc.snapshotToken.nonEmpty)
+    val pages = Iterator.continually(sc.next()).takeWhile(_.nonEmpty).toSeq
+    assert(pages.map(_.length) === Seq(10, 10, 10, 4))
+    // per-page ranks restart at 1 (ES cursor pages carry no absolute rank)
+    assert(pages.forall(p => p.map(_._1) === (1L to p.length).toSeq))
+    // concatenation IS the match's full ordering
+    val all = FieldedIndex.searchField(spark, idx, y, Seq(1 -> "1997"), 34)
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_x6"))).toSeq
+    assert(pages.flatten.map(t => (t._2, t._3)) === all)
+    // exhausted: hasMore false, further pages empty (and stay empty)
+    assert(!sc.hasMore)
+    assert(sc.next().isEmpty && sc.next().isEmpty)
+    // a born-empty scroll (analyzer drops everything) starts exhausted
+    val empty = FieldedIndex.scroll(spark, idx, spec("title"), "the of", 5)
+    assert(!empty.hasMore && empty.next().isEmpty)
+  }
+
   test("pagination: page slices the absolute ranking; deep from is empty") {
     val t = spec("title")
     val q = Seq(1 -> "second 7 record")
