@@ -24,7 +24,7 @@ object Query {
   /** Every ES query type the engine serves, selectable via `--type`. */
   val Types: Set[String] = Set("match", "match_and", "phrase",
     "phrase_prefix", "fuzzy", "qstring", "term", "prefix", "wildcard",
-    "range", "suggest", "count", "scroll")
+    "range", "regexp", "suggest", "count", "scroll")
 
   final case class Args(indexDir: String, field: String, k: Int,
       master: String, query: String, qtype: String = "match")
@@ -127,6 +127,9 @@ object Query {
           Seq("term"), Seq("term", "_key"))
       case "wildcard" =>
         keyed(FieldedIndex.wildcardQuery(spark, a.indexDir, spec, a.query),
+          Seq("term"), Seq("term", "_key"))
+      case "regexp" =>
+        keyed(FieldedIndex.regexpQuery(spark, a.indexDir, spec, a.query),
           Seq("term"), Seq("term", "_key"))
       case "range" =>
         val bounds = a.query.split("\\s+")

@@ -70,13 +70,42 @@ object Dedup {
       size(ShinglesExpr.shinglesCol(col("text"))).cast("long").as("n"))
       .filter(col("n") > 0)
 
-  /** Exact n-gram Jaccard pairs ≥ thr: inverted-index self-join on shingle
-    * (only co-occurring pairs materialize — never the n² cross product),
-    * intersection counts, |A∪B| from per-doc set sizes (computed row-locally,
-    * joined shuffle-side — no forced broadcast of a doc-sized relation). */
-  def ngramJaccardPairs(docs: DataFrame, thr: Double): DataFrame = {
+  /** Hot-shingle df cap for [[ngramJaccardPairs]]: shingles present in more
+    * than this many docs are dropped from the Jaccard universe BEFORE the
+    * inverted self-join. Without it a single boilerplate shingle ("all
+    * rights reserved") with df = d explodes into d²/2 candidate rows — the
+    * quadratic blow-up that kills the operator at web scale. With it every
+    * bucket is ≤ cap²/2 pairs and the number of capped-df shingles is
+    * ≤ shingle_rows / cap, so total candidates are linear in corpus size.
+    * SEMANTIC CHANGE (documented, shared with the oracle): Jaccard is
+    * computed over the capped shingle universe — both intersections and
+    * set sizes exclude near-stopword shingles, the standard trade in
+    * production dedup (they carry no duplicate signal). */
+  val MaxShingleDf = 1024L
+
+  /** The capped shingle universe: (doc_id, shingle) minus shingles with
+    * df > maxDf. df via groupBy (map-side partial aggregation — skew-safe
+    * where a window over the shingle key is not), hot set removed by
+    * anti-join (hot set is ≤ rows/maxDf keys; AQE picks the strategy). */
+  def cappedShingles(docs: DataFrame, maxDf: Long): DataFrame = {
     val sh = shingles(docs)
-    val sizes = shingleSizes(docs)
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select(col("shingle"))
+    sh.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ thr over the capped shingle universe
+    * ([[MaxShingleDf]]): inverted-index self-join on shingle (only
+    * co-occurring pairs materialize — never the n² cross product, and no
+    * bucket exceeds cap²/2 pairs), intersection counts, |A∪B| from
+    * per-doc CAPPED set sizes (a shingle dropped from the universe is in
+    * neither the intersection nor the union — self-consistent Jaccard). */
+  def ngramJaccardPairs(docs: DataFrame, thr: Double,
+                        maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    require(maxShingleDf > 0, "hot-shingle cap must be positive")
+    val sh = cappedShingles(docs, maxShingleDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))

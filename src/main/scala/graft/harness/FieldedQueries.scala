@@ -391,6 +391,23 @@ object FieldedQueries {
       .select(col("pattern"), col("doi")).orderBy("pattern", "doi")
   }
 
+  /** ES regexp queries on the keyword DOI field: an alternation (no sound
+    * literal prefix — full dictionary automaton walk, 3 dois) and a
+    * bounded-repeat quantifier (literal-prefix-pruned, 99/999). */
+  val RegexpAlt = "10.1/nd.(7|77|777)"
+  val RegexpQuant = "10.1/nd.9{2,3}"
+
+  def fieldRegexp(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val alt = FieldedIndex.regexpQuery(spark, dir, spec("DOI"), RegexpAlt)
+      .withColumn("pattern", lit("alt"))
+    val qnt = FieldedIndex.regexpQuery(spark, dir, spec("DOI"), RegexpQuant)
+      .withColumn("pattern", lit("quant"))
+    alt.unionByName(qnt)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("pattern"), col("doi")).orderBy("pattern", "doi")
+  }
+
   /** match_phrase_prefix over the title field: qid 1 = single-expansion
     * ("titl" → title: degenerates to the exact phrase, pinning that the
     * union slot reproduces exact semantics), qid 2 = the 50-cap exercised
@@ -1218,6 +1235,22 @@ object FieldedQueries {
        |  UNION ALL
        |  SELECT 'wildcard' AS pattern, DOI AS doi FROM src
        |  WHERE lower(DOI) LIKE '$wild')
+       |SELECT pattern, doi FROM rows ORDER BY pattern, doi""".stripMargin
+  }
+
+  /** regexp replay: DuckDB regexp_matches with the engine's exact anchored
+    * wrap over the lowercased keyword terms (both engines RE2/Java-regex
+    * compatible on this subset: alternation, classes, bounded repeats). */
+  def fieldRegexpSql: String = {
+    val alt = Analyzer.analyzeKeyword(RegexpAlt)
+    val qnt = Analyzer.analyzeKeyword(RegexpQuant)
+    s"""WITH src AS (${fixtureSrc()}),
+       |rows AS (
+       |  SELECT 'alt' AS pattern, DOI AS doi FROM src
+       |  WHERE regexp_matches(lower(DOI), '^(?:$alt)$$')
+       |  UNION ALL
+       |  SELECT 'quant' AS pattern, DOI AS doi FROM src
+       |  WHERE regexp_matches(lower(DOI), '^(?:$qnt)$$'))
        |SELECT pattern, doi FROM rows ORDER BY pattern, doi""".stripMargin
   }
 

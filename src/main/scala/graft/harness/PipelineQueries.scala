@@ -580,13 +580,19 @@ object PipelineQueries {
       |       FROM t, unnest(range(1, len(toks)-1)) AS r(i) WHERE len(toks) >= 3),
       |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Capped-universe Jaccard (Dedup.MaxShingleDf shared verbatim): shingles
+    * with df > cap are in neither intersection nor union on EITHER side. */
   val dedupNgramSql: String =
     s"""WITH $shingleCtes,
+       |keep AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING count(*) <= ${Dedup.MaxShingleDf}),
+       |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+       |szc AS (SELECT doc_id, count(*)::BIGINT AS n FROM shc GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS c
-       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
        |jac AS (SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
-       |        FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id)
+       |        FROM inter JOIN szc sa ON sa.doc_id = a_id JOIN szc sb ON sb.doc_id = b_id)
        |SELECT a_id, b_id, CAST(round(jac * 1000000.0) AS BIGINT) AS jac_x6
        |FROM jac WHERE jac >= $JaccardThr ORDER BY a_id, b_id""".stripMargin
 

@@ -833,6 +833,57 @@ object FieldedIndex {
     Searcher.termDocs(handleFor(spark, indexDir, spec.field), terms)
   }
 
+  /** ES `regexp` query (constant-score): the pattern must match the WHOLE
+    * term — ES/Lucene regexps are implicitly anchored, hence the
+    * `^(?:…)$` wrap (the non-capturing group keeps a top-level `a|b`
+    * alternation inside the anchors). Runs as an anchored regex over the
+    * sorted-dictionary scan — the same cost class as Lucene's automaton
+    * walk — with Lucene's literal-prefix acceleration: the longest
+    * regex-literal prefix ([[regexLiteralPrefix]]) prunes the scan via
+    * the dictionary's string min/max stats before the regex evaluates.
+    * Expansion capped at [[MaxClauseCount]] (too_many_clauses), like
+    * every multi-term rewrite. Returns (term, doc_id). */
+  def regexpQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                  pattern: String): DataFrame = {
+    val terms = Analyzer.analyzeChain(spec.chain, pattern).headOption match {
+      case None => Seq.empty[String]
+      case Some(analyzed) =>
+        val rx = "^(?:" + analyzed + ")$"
+        val litPrefix = regexLiteralPrefix(analyzed)
+        val pred = if (litPrefix.nonEmpty)
+          col("term").startsWith(litPrefix) && col("term").rlike(rx)
+        else col("term").rlike(rx)
+        expandDictionary(spark, indexDir, spec.field, pred,
+          MaxClauseCount, truncate = false).map(_._1)
+    }
+    Searcher.termDocs(handleFor(spark, indexDir, spec.field), terms)
+  }
+
+  /** Longest prefix of `rx` every match must start with — the sound
+    * dictionary-prune prefix. Conservative: empty when the pattern holds
+    * a top-level-ambiguous `|` anywhere (an alternation's branches need
+    * not share the prefix), stops at the first metacharacter or escape,
+    * and excludes a literal whose NEXT char is a quantifier that can make
+    * it optional (`*`, `?`, `{` — but `+` keeps it: one occurrence is
+    * mandatory). */
+  private[graft] def regexLiteralPrefix(rx: String): String = {
+    if (rx.contains('|')) return ""
+    val meta = ".?*+{}[]()\\^$"
+    val b = new StringBuilder
+    var i = 0
+    var done = false
+    while (i < rx.length && !done) {
+      val c = rx(i)
+      if (meta.indexOf(c.toInt) >= 0) done = true
+      else {
+        val nxt = if (i + 1 < rx.length) rx(i + 1) else 'a'
+        if (nxt == '*' || nxt == '?' || nxt == '{') done = true
+        else { b += c; i += 1 }
+      }
+    }
+    b.result()
+  }
+
   /** ES `match_phrase_prefix` against one field: analyze with the field's
     * chain keeping tokenizer positions, expand the LAST token by prefix
     * over the sub-index dictionary (term order, `maxExpansions` cap — ES

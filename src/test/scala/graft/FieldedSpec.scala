@@ -425,6 +425,31 @@ class FieldedSpec extends AnyFunSuite {
       gte = Some(1990L), lte = Some(1994L), maxClauseCount = 5).size === 5)
   }
 
+  test("regexp: anchored whole-term match, alternation, quantifier, prefix prune") {
+    val d = spec("DOI")
+    // implicit anchoring: a mid-term match is NOT a hit (ES semantics) —
+    // "nd.5" occurs inside many DOIs but matches no whole term
+    assert(FieldedIndex.regexpQuery(spark, idx, d, "nd.5").count() === 0L)
+    // alternation inside the anchors via the non-capturing wrap
+    val alt = FieldedIndex.regexpQuery(spark, idx, d, "10.1/nd.(7|77|777)")
+      .join(spark.read.parquet(s"$idx/doc_map"), "doc_id")
+      .collect().map(_.getAs[String]("doi")).sorted.toSeq
+    assert(alt === Seq("10.1/nd.7", "10.1/nd.77", "10.1/nd.777"))
+    // bounded repeat
+    assert(FieldedIndex.regexpQuery(spark, idx, d, "10.1/nd.9{2,3}")
+      .count() === 2L) // 99, 999
+    // char class == the wildcard '?' cohort
+    assert(FieldedIndex.regexpQuery(spark, idx, d, "10\\.1/nd\\.1[0-9]3")
+      .count() === 10L) // 103,113,…,193
+    // literal-prefix soundness: never longer than every match allows
+    assert(FieldedIndex.regexLiteralPrefix("abc.*") === "abc")
+    assert(FieldedIndex.regexLiteralPrefix("ab|cd") === "") // alternation
+    assert(FieldedIndex.regexLiteralPrefix("ab*c") === "a") // b optional
+    assert(FieldedIndex.regexLiteralPrefix("ab+c") === "ab") // b mandatory
+    assert(FieldedIndex.regexLiteralPrefix("ab{0,2}") === "a")
+    assert(FieldedIndex.regexLiteralPrefix("\\d+") === "") // escape stops
+  }
+
   test("prefix/wildcard: cap is term-ordered, * and ? translate, miss is empty") {
     val d = spec("DOI")
     // 10.1/nd.99, .990 .. .999 — 11 terms; cap keeps term order

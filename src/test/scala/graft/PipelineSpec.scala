@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.max
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.harness.PipelineQueries
@@ -63,6 +64,37 @@ class PipelineSpec extends AnyFunSuite {
     // high-similarity pairs (jac >= 0.5) are found w.h.p. with 4x4 bands
     val strong = exact.filter(_._3 >= 500000)
     assert(strong.subsetOf(mh), s"missed strong pairs: ${strong -- mh}")
+  }
+
+  test("hot-shingle cap: boilerplate leaves the universe, near-dups survive") {
+    import spark.implicits._
+    // 20 docs all carrying the same 6-token boilerplate tail; docs 1/2 are
+    // genuine near-dups of each other; docs 3..20 share ONLY boilerplate
+    val boiler = "copyright all rights reserved worldwide inc"
+    val rows = (1L to 20L).map { i =>
+      val body =
+        if (i == 1L) "alpha beta gamma delta epsilon"
+        else if (i == 2L) "alpha beta gamma delta epsilon zeta"
+        else s"distinct content number$i"
+      (i, s"$body $boiler")
+    }
+    val d = rows.toDF("doc_id", "text")
+    // the capped universe really is capped (the self-join bucket bound)
+    val maxDf = Dedup.cappedShingles(d, 5)
+      .groupBy("shingle").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= 5L)
+    def pairs(cap: Long) =
+      Dedup.ngramJaccardPairs(d, 0.2, maxShingleDf = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: every boilerplate-only pair crosses the threshold (4 shared
+    // boiler shingles of 7 → jac 0.4); capped: exactly the real near-dup
+    assert(pairs(1000000L).size > 100)
+    assert(pairs(5L) === Set((1L, 2L)))
+    // the sf fixture sits below the production default — default-cap gate
+    // results are the uncapped results at this scale
+    val fixtureMax = Dedup.shingles(docs)
+      .groupBy("shingle").count().agg(max("count")).head().getLong(0)
+    assert(fixtureMax <= Dedup.MaxShingleDf)
   }
 
   test("simhash: near-identical docs land at small hamming distance") {
