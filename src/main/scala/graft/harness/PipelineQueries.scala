@@ -422,14 +422,42 @@ object PipelineQueries {
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     Ann.ivfTopK(emb(spark, dir), AnnQueryVec, AnnK)
 
-  val annIvfSql: String =
+  /** Unrolled Lloyd replay (Ann.IvfLloydRounds): each round re-derives the
+    * engine's exact fixed-point steps — micro-rounded cosine assignment
+    * with cid tiebreak, per-dim mean micro-rounded THEN float32-quantized
+    * (CAST REAL) so centroid bits match the engine's array<float>
+    * centroids exactly; empty cells COALESCE to the previous round. */
+  private def ivfLloydCtes: String =
+    (1 to Ann.IvfLloydRounds).map { r =>
+      val p = r - 1
+      s"""n$p AS (SELECT cid, sqrt(sum(v*v)) AS c_nrm FROM c$p GROUP BY cid),
+         |ad$r AS (SELECT tx.vec_id, c$p.cid, sum(tx.v * c$p.v) AS dot
+         |       FROM tx JOIN c$p ON c$p.i = tx.i GROUP BY 1, 2),
+         |ac$r AS (SELECT ad$r.vec_id, ad$r.cid,
+         |         CAST(round(ad$r.dot / (tn.nrm * n$p.c_nrm) * 1000000.0) AS BIGINT) AS a_cos
+         |       FROM ad$r JOIN tn ON tn.vec_id = ad$r.vec_id JOIN n$p USING (cid)),
+         |asg$r AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY a_cos DESC, cid ASC) AS rn FROM ac$r) WHERE rn = 1),
+         |m$r AS (SELECT asg$r.cid, tx.i,
+         |         CAST(CAST(round(avg(tx.v) * 1000000.0) / 1000000.0 AS REAL) AS DOUBLE) AS m
+         |       FROM asg$r JOIN tx USING (vec_id) GROUP BY 1, 2),
+         |c$r AS (SELECT c$p.cid, c$p.i, COALESCE(m$r.m, c$p.v) AS v
+         |       FROM c$p LEFT JOIN m$r ON m$r.cid = c$p.cid AND m$r.i = c$p.i)""".stripMargin
+    }.mkString(",\n")
+
+  val annIvfSql: String = {
+    val cf = s"c${Ann.IvfLloydRounds}"
     s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
        |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM x GROUP BY vec_id),
-       |cx AS (SELECT vec_id AS cid, i, v FROM x WHERE vec_id < ${Ann.IvfCells}),
-       |cn AS (SELECT vec_id AS cid, nrm AS c_nrm FROM nrm WHERE vec_id < ${Ann.IvfCells}),
-       |ad AS (SELECT x.vec_id, cx.cid, sum(x.v * cx.v) AS dot
-       |       FROM x JOIN cx ON cx.i = x.i GROUP BY 1, 2),
+       |tx AS (SELECT x.* FROM x WHERE vec_id % ${Ann.IvfTrainStride} = 0),
+       |tn AS (SELECT vec_id, nrm FROM nrm WHERE vec_id % ${Ann.IvfTrainStride} = 0),
+       |c0 AS (SELECT vec_id AS cid, i, v FROM x WHERE vec_id < ${Ann.IvfCells}),
+       |$ivfLloydCtes,
+       |cn AS (SELECT cid, sqrt(sum(v*v)) AS c_nrm FROM $cf GROUP BY cid),
+       |ad AS (SELECT x.vec_id, $cf.cid, sum(x.v * $cf.v) AS dot
+       |       FROM x JOIN $cf ON $cf.i = x.i GROUP BY 1, 2),
        |ac AS (SELECT ad.vec_id, ad.cid,
        |         CAST(round(ad.dot / (n1.nrm * cn.c_nrm) * 1000000.0) AS BIGINT) AS a_cos
        |       FROM ad JOIN nrm n1 ON n1.vec_id = ad.vec_id JOIN cn USING (cid)),
@@ -450,6 +478,7 @@ object PipelineQueries {
        |      FROM d JOIN nrm n1 USING (vec_id)
        |      CROSS JOIN (SELECT nrm FROM nrm WHERE vec_id = $AnnQueryVec) nq(nrm))
        |SELECT vec_id, cos_x6 FROM c ORDER BY cos_x6 DESC, vec_id ASC LIMIT $AnnK""".stripMargin
+  }
 
   /** Multimodal decode-kernel plumbing under the oracle gate: the REAL
     * [[graft.multimodal.Multimodal.fakeDecode]] batch kernel (binary in →

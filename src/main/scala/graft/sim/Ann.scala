@@ -108,24 +108,82 @@ object Ann {
     * (144 interpreted folds → one codegen'd loop). */
   def bucketsCol(emb: Column): Column = VecExpressions.lshBuckets(emb)
 
-  /** IVF parameters: C coarse cells, nprobe probed per query. */
+  /** IVF parameters: C coarse cells, nprobe probed per query, Lloyd
+    * training rounds over a 1-in-`IvfTrainStride` deterministic sample
+    * (the faiss model: k-means trains on a bounded sample, the full
+    * corpus is assigned exactly once afterwards — at 10^12 rows the
+    * training job touches corpus/stride vectors per round while the
+    * assignment scan stays the single linear pass it always was). */
   val IvfCells = 8
   val IvfProbe = 2
+  val IvfLloydRounds = 2
+  val IvfTrainStride = 2L
 
-  /** IVF-Flat ANN: coarse cells from C fixed "trained" centroids (the
-    * embeddings of vec_id < C — at 10^12 rows centroids come from an
-    * offline sample/training job; pinning them to fixed ids keeps the whole
-    * structure deterministic and oracle-replayable with no iterative
-    * k-means in the query). Ingest-side work is the linear |V|×C
-    * assignment scan against BROADCAST centroids (one narrow pass — the
-    * real IVF build shape); query-side work probes only the nprobe
-    * closest cells' members, then exact cosine top-k on those candidates.
-    * Assignment and probe order use micro-rounded cosines with centroid-id
-    * tiebreaks so both engines pick identical cells. */
-  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
-    val cents = emb.filter(col("vec_id") < IvfCells)
+  /** Seed centroids: the embeddings of vec_id < C — deterministic and
+    * identically reconstructible by the oracle. */
+  private def seedCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         norm(col("embedding")).as("c_nrm"))
+
+  /** One Lloyd round: argmax-cosine assignment of the training sample
+    * (micro-rounded, cid tiebreak — both engines pick identical cells),
+    * then per-dimension mean, micro-rounded AND float32-quantized so the
+    * new centroid's exact bits are engine-independent (round(x·1e6)/1e6
+    * of the same micro-long is the same double everywhere; its float cast
+    * is IEEE-deterministic). Empty cells keep their previous centroid. */
+  private def lloydRound(train: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("a_cos").desc, col("cid").asc)
+    val assigned = train.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(dot(col("embedding"), col("c_emb"))
+          / (col("nrm") * col("c_nrm")) * 1e6).cast("long").as("a_cos"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("cid", "embedding")
+    val means = assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg((round(avg(col("x").cast("double")) * 1e6) / 1e6)
+        .cast("float").as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("new_emb"))
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+      .withColumn("c_nrm", norm(col("c_emb")))
+  }
+
+  /** k-means-trained IVF centroids: seed from fixed ids, refine with
+    * [[IvfLloydRounds]] Lloyd rounds over the stride sample. Centroid
+    * tables are C rows — broadcast every round; the training scan is
+    * sample×C per round. */
+  def ivfCentroids(emb: DataFrame,
+                   lloydRounds: Int = IvfLloydRounds): DataFrame = {
+    val train = emb
+      .filter(pmod(col("vec_id"), lit(IvfTrainStride)) === 0)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    var cents = seedCentroids(emb)
+    for (_ <- 1 to lloydRounds) cents = lloydRound(train, cents)
+    cents
+  }
+
+  /** IVF-Flat ANN: coarse cells from C k-means-trained centroids
+    * ([[ivfCentroids]] — Lloyd over a deterministic sample, exactly
+    * replayable by the oracle's unrolled fixed-point arithmetic).
+    * Ingest-side work is the linear |V|×C assignment scan against
+    * BROADCAST centroids (one narrow pass — the real IVF build shape);
+    * query-side work probes only the nprobe closest cells' members, then
+    * exact cosine top-k on those candidates. Assignment and probe order
+    * use micro-rounded cosines with centroid-id tiebreaks so both
+    * engines pick identical cells. `lloydRounds = 0` = the untrained
+    * seed centroids (the recall baseline in PipelineSpec). */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
+              lloydRounds: Int = IvfLloydRounds): DataFrame = {
+    val cents = ivfCentroids(emb, lloydRounds)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("a_cos").desc, col("cid").asc)

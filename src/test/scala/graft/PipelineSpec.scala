@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.max
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.harness.PipelineQueries
@@ -32,18 +32,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall brute=$brute lsh=$lsh")
   }
 
-  test("IVF ANN: cells partition the corpus; probed top-k has recall vs brute") {
+  test("IVF ANN: Lloyd-trained cells; probed top-k has recall vs brute") {
     val brute = Ann.bruteTopK(emb, 0L, 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ivf = Ann.ivfTopK(emb, 0L, 10).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallAt(rounds: Int): (Double, Map[Long, Long]) = {
+      val ivf = Ann.ivfTopK(emb, 0L, 10, lloydRounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ((brute.keySet intersect ivf.keySet).size.toDouble / brute.size, ivf)
+    }
+    val (rT, ivf) = recallAt(Ann.IvfLloydRounds)
     assert(ivf.nonEmpty)
     // probing 2 of 8 cells: the query's own cell holds its near neighbours
-    val recall = (brute.keySet intersect ivf.keySet).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall=$recall brute=${brute.keySet} ivf=${ivf.keySet}")
+    assert(rT >= 0.3, s"recall=$rT brute=${brute.keySet} ivf=${ivf.keySet}")
     // shared hits carry identical exact cosines
     (brute.keySet intersect ivf.keySet).foreach(id =>
       assert(brute(id) === ivf(id)))
+    // Lloyd training improves the quantization objective — the mean
+    // best-cell cosine over the whole corpus (Lloyd's guarantee; measured
+    // here 0.187 → 0.246 untrained → 2 rounds). The fixture embeddings
+    // are near-uniform (cells 53..71 of 500 pre-training) so top-k recall
+    // can't showcase training at this scale — the sweep over 20 queries
+    // shows mean recall flat (0.545 → 0.540) with WORST-case recall up
+    // (0.0 → 0.1); on clustered real embeddings the objective gain is
+    // what buys recall.
+    def objective(rounds: Int): Double = emb
+      .select(col("vec_id"), col("embedding"),
+        Ann.norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(Ann.ivfCentroids(emb, rounds)))
+      .select(col("vec_id"),
+        round(Ann.dot(col("embedding"), col("c_emb"))
+          / (col("nrm") * col("c_nrm")) * 1e6).cast("long").as("a_cos"))
+      .groupBy("vec_id").agg(max("a_cos").as("best"))
+      .agg(avg("best")).head().getDouble(0)
+    val (o0, oT) = (objective(0), objective(Ann.IvfLloydRounds))
+    assert(oT > o0 * 1.1,
+      s"Lloyd training did not improve the quantizer: $o0 -> $oT")
+    // trained centroids: still exactly C cells
+    assert(Ann.ivfCentroids(emb).collect().length === Ann.IvfCells)
   }
 
   test("LSH hit scores match brute-force scores for shared vec_ids") {
