@@ -54,6 +54,22 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Fixed single-thread calibration spin (2^27 xorshift steps): identical
+    * work every call, so its wall time moves ONLY with host contention /
+    * CPU starvation. Sampled at the start of every phase and again after
+    * the latency loop — each headline number in the JSON line carries the
+    * contention context it was measured under (the round-4 ask: a
+    * storm-struck p95 is self-labeling, readers need not guess). */
+  private def calibMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) print("") // keep the loop live
+    dt
+  }
+
   /** Stage the deterministic input corpus ONCE (untimed): in a real
     * deployment the input_hint Iceberg table exists before any index build
     * — the build's work starts at READING it, so datagen does not belong in
@@ -118,6 +134,7 @@ object Bench {
     val scaleDocs = benchDocs
     val corpus = ensureCorpus(benchDocs)
     val scaleCorpus = ensureCorpus(scaleDocs)
+    val calibScaling = calibMs()
     buildRun(nBig, cpus * 2, ensureCorpus(benchDocs / 10), benchDocs / 10, "warmup")
     // FIXED best-of-k per level (k=3, alternating N/4N rounds): host
     // contention on this shared VM only ever slows a run down (identical
@@ -148,13 +165,15 @@ object Bench {
     // while quiet-window capability measured 48-56k) when it was a single
     // sample. The tag is constant so the last run's index is what phase 3
     // serves from — every run builds identical content.
-    var (dpsPeak, wallPeak) = (0.0, 0.0)
+    val calibPeak = calibMs()
+    var (dpsPeak, wallPeak, workPeak) = (0.0, 0.0, 0.0)
     for (_ <- 0 until BestOf) {
       val r = buildRun(cpus, cpus * 2, corpus, benchDocs, s"peak$cpus")
-      if (r._1 > dpsPeak) { dpsPeak = r._1; wallPeak = r._2 }
+      if (r._1 > dpsPeak) { dpsPeak = r._1; wallPeak = r._2; workPeak = r._3 }
     }
 
     // ---- 2. per-query timings over the sf tables --------------------------
+    val calibQueries = calibMs()
     val sparkQ = session(cpus)
     // untimed: the on-disk fixture indexes the bm25_wand / fielded queries
     // read (snapshot-cached across JVMs — a cold target/ would otherwise
@@ -174,6 +193,7 @@ object Bench {
     sparkQ.stop()
 
     // ---- 3. query latency p95 against the full (peak-build) index ---------
+    val calibLatency = calibMs()
     val sparkL = session(cpus)
     val idxDir = s"${sys.props("user.dir")}/target/bench-idx/peak$cpus"
     // resident query-server handle (stats + term dictionary loaded once);
@@ -197,8 +217,14 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum("postings_bytes"))
       .head().getLong(0)
     sparkL.stop()
+    val calibLatencyEnd = calibMs()
     val p95 = lats(math.min(lats.length - 1, (lats.length * 0.95).toInt))
     val p50 = lats(lats.length / 2)
+    // peak-build utilization: Σ task time / (wall × cores). ≈1 = the build
+    // kept every core busy; well below 1 = serialization or queueing. (OS
+    // CPU steal inflates task time too — the calib numbers carry that.)
+    val peakUtil =
+      if (wallPeak > 0) workPeak / (wallPeak * cpus) else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -215,6 +241,14 @@ object Bench {
         s""""task_time_n_sec":${f"$workN%.1f"},"task_time_4n_sec":${f"$work4N%.1f"},""" +
         s""""work_ratio":${f"$workRatio%.3f"},""" +
         s""""saturated_cores":$cpus,"saturated_docs_per_sec":${f"$dpsPeak%.1f"}},""" +
-        s""""query_latency_ms":{"p50":${f"$p50%.1f"},"p95":${f"$p95%.1f"}}}""")
+        s""""peak_task_time_sec":${f"$workPeak%.1f"},""" +
+        s""""peak_utilization":${f"$peakUtil%.3f"},""" +
+        s""""calib_ms":{"scaling":${f"$calibScaling%.0f"},""" +
+        s""""peak":${f"$calibPeak%.0f"},"queries":${f"$calibQueries%.0f"},""" +
+        s""""latency":${f"$calibLatency%.0f"},""" +
+        s""""latency_end":${f"$calibLatencyEnd%.0f"}},""" +
+        s""""query_latency_ms":{"p50":${f"$p50%.1f"},"p95":${f"$p95%.1f"},""" +
+        s""""calib_before_ms":${f"$calibLatency%.0f"},""" +
+        s""""calib_after_ms":${f"$calibLatencyEnd%.0f"}}}""")
   }
 }

@@ -391,6 +391,32 @@ object FieldedQueries {
       .select(col("pattern"), col("doi")).orderBy("pattern", "doi")
   }
 
+  /** ES function_score: the tie-heavy match re-ranked by a gauss recency
+    * decay on year (origin 2004, scale 5, decay 0.5) × a constant weight
+    * × a sqrt field_value_factor — all three function kinds in one
+    * multiply chain, multiply boost_mode (the classic recency boost). */
+  val FScoreGaussOrigin = 2004.0
+  val FScoreGaussScale = 5.0
+  val FScoreGaussDecay = 0.5
+  val FScoreWeight = 1.2
+  val FScoreFactor = 0.05
+  val FScoreK = 10
+
+  def fieldFScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    import FieldedIndex.ScoreFunction._
+    FieldedIndex.functionScore(spark, dir, spec("title"), SearchAfterText,
+      Seq(
+        Gauss(spec("year"), FScoreGaussOrigin, FScoreGaussScale,
+          decay = FScoreGaussDecay),
+        Weight(FScoreWeight),
+        FieldValueFactor(spec("year"), FScoreFactor, "sqrt")),
+      FScoreK)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   /** ES regexp queries on the keyword DOI field: an alternation (no sound
     * literal prefix — full dictionary automaton walk, 3 dois) and a
     * bounded-repeat quantifier (literal-prefix-pruned, 99/999). */
@@ -1236,6 +1262,58 @@ object FieldedQueries {
        |  SELECT 'wildcard' AS pattern, DOI AS doi FROM src
        |  WHERE lower(DOI) LIKE '$wild')
        |SELECT pattern, doi FROM rows ORDER BY pattern, doi""".stripMargin
+  }
+
+  /** function_score replay: the match's full BM25 ordering (the
+    * pagedRankSql machinery) with each hit's score multiplied by
+    * gauss(year) × weight × factor·sqrt(year); σ² and −2σ² embedded as
+    * round-trip-exact double literals so both engines evaluate the same
+    * IEEE expression; micro-rounded before ranking like every score. */
+  def fieldFScoreSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(SearchAfterText)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val sigma2 = -FScoreGaussScale * FScoreGaussScale /
+      (2.0 * math.log(FScoreGaussDecay))
+    s"""WITH src0 AS (SELECT DOI AS doi, title,
+       |         CAST((${Oracle.yearCase("")}) AS DOUBLE) AS y
+       |       FROM (${fixtureSrc(dateCols)})),
+       |src AS (SELECT doi, title, y FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |dist AS (SELECT s.doi, s.score,
+       |         greatest(abs(v.y - $FScoreGaussOrigin) - 0.0, 0.0) AS d, v.y
+       |       FROM scored s JOIN src v USING (doi)),
+       |fs AS (SELECT doi,
+       |         score * (exp((d * d) / (-2 * $sigma2)) * $FScoreWeight
+       |                  * ($FScoreFactor * sqrt(y))) AS score
+       |       FROM dist),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                            doi ASC) AS rnk
+       |  FROM fs)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $FScoreK ORDER BY rnk""".stripMargin
   }
 
   /** regexp replay: DuckDB regexp_matches with the engine's exact anchored

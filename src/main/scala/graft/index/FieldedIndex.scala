@@ -1245,6 +1245,107 @@ object FieldedIndex {
       .select(col("rnk"), col("doc_id"), col("score_x6"))
   }
 
+  /** One ES function_score function. Field-based functions require a
+    * single-valued keyword field (same contract as the term_stats aggs —
+    * refuse loudly otherwise). */
+  sealed trait ScoreFunction
+  object ScoreFunction {
+    /** ES field_value_factor: factor · modifier(value); docs missing the
+      * field use `missing`. Modifiers follow ES: "none", "log1p"
+      * (log10(1+v) — ES logs are COMMON logarithms), "sqrt". */
+    final case class FieldValueFactor(field: FieldSpec, factor: Double,
+        modifier: String = "none", missing: Double = 1.0)
+      extends ScoreFunction
+    /** ES gauss decay on a numeric field:
+      * exp(−max(0, |v−origin|−offset)² / (2σ²)), σ² = −scale²/(2·ln decay);
+      * docs missing the field decay to 1.0 (the ES contract). */
+    final case class Gauss(field: FieldSpec, origin: Double, scale: Double,
+        offset: Double = 0.0, decay: Double = 0.5) extends ScoreFunction
+    /** ES weight: a constant function value. */
+    final case class Weight(weight: Double) extends ScoreFunction
+  }
+
+  /** ES `function_score` over a match query: every matching doc's BM25
+    * score is combined with the function values — functions can reorder
+    * the ENTIRE match (a decay can sink the text-best hit), so the
+    * re-rank runs over the full distributed score list, never a top-N
+    * window (that would be `rescore`, a different ES operator). Function
+    * values combine under `scoreMode` (multiply | sum | max | min | avg),
+    * then meet the query score under `boostMode` (multiply | sum |
+    * replace). Scale shape: one doc-sharded score list, LEFT-joined to
+    * the needed fields' slim (doc_id, value) doc-values projections
+    * (co-partitioned after one value-sized exchange), row-local function
+    * math, TakeOrdered(k) — no corpus-sized window, no driver loop.
+    * Returns (rnk, doc_id, score_x6). */
+  def functionScore(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                    text: String, functions: Seq[ScoreFunction], k: Int,
+                    scoreMode: String = "multiply",
+                    boostMode: String = "multiply"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(functions.nonEmpty, "function_score needs at least one function")
+    val h = handleFor(spark, indexDir, spec.field)
+    var cur = Searcher.contribs(h, termWeights(spec, text))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("qscore"))
+    def joinValues(fs: FieldSpec, name: String): Unit = {
+      requireSingleValued(fs, "function_score")
+      val dv = docValues(spark, indexDir, fs.field)
+        .select(col("doc_id"),
+          expr("try_cast(value AS DOUBLE)").as(name))
+      cur = cur.join(dv, Seq("doc_id"), "left")
+    }
+    val fcols = functions.zipWithIndex.map { case (f, i) =>
+      val name = s"_f$i"
+      f match {
+        case ScoreFunction.Weight(w) =>
+          cur = cur.withColumn(name, lit(w))
+        case ScoreFunction.FieldValueFactor(fs, factor, modifier, missing) =>
+          joinValues(fs, s"${name}_v")
+          val v = coalesce(col(s"${name}_v"), lit(missing))
+          val m = modifier match {
+            case "none" => v
+            case "log1p" => log(10.0, v + lit(1.0))
+            case "sqrt" => sqrt(v)
+            case other => throw new IllegalArgumentException(
+              s"unknown field_value_factor modifier '$other'")
+          }
+          cur = cur.withColumn(name, lit(factor) * m).drop(s"${name}_v")
+        case ScoreFunction.Gauss(fs, origin, scale, offset, decay) =>
+          require(scale > 0 && decay > 0 && decay < 1,
+            "gauss needs scale > 0 and decay in (0, 1)")
+          joinValues(fs, s"${name}_v")
+          val v = col(s"${name}_v")
+          val sigma2 = -scale * scale / (2.0 * math.log(decay))
+          val dist = greatest(abs(v - lit(origin)) - lit(offset), lit(0.0))
+          cur = cur.withColumn(name,
+            when(v.isNull, lit(1.0))
+              .otherwise(exp(dist * dist / lit(-2.0 * sigma2))))
+            .drop(s"${name}_v")
+      }
+      col(name)
+    }
+    val fscore = scoreMode match {
+      case "multiply" => fcols.reduce(_ * _)
+      case "sum" => fcols.reduce(_ + _)
+      case "avg" => fcols.reduce(_ + _) / lit(fcols.length.toDouble)
+      case "max" => if (fcols.size == 1) fcols.head else greatest(fcols: _*)
+      case "min" => if (fcols.size == 1) fcols.head else least(fcols: _*)
+      case other => throw new IllegalArgumentException(
+        s"unknown score_mode '$other'")
+    }
+    val combined = boostMode match {
+      case "multiply" => col("qscore") * fscore
+      case "sum" => col("qscore") + fscore
+      case "replace" => fscore
+      case other => throw new IllegalArgumentException(
+        s"unknown boost_mode '$other'")
+    }
+    cur.select(col("doc_id"), TextIndex.microRound(combined).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** ES term suggester against one field (`suggest_mode: missing`, the
     * default): corrections for analyzed input terms absent from the
     * field's dictionary, AUTO edit budgets, Lucene DirectSpellChecker's

@@ -514,6 +514,43 @@ class FieldedSpec extends AnyFunSuite {
     }
   }
 
+  test("function_score: modes, modifiers, decay law, missing-field = 1.0") {
+    import FieldedIndex.ScoreFunction._
+    val t = spec("title"); val y = spec("year")
+    def fs(fns: Seq[FieldedIndex.ScoreFunction], sm: String, bm: String) =
+      FieldedIndex.functionScore(spark, idx, t, "record 7", fns, 5, sm, bm)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // boost_mode replace + constant weight: every hit scores the constant
+    val repl = fs(Seq(Weight(2.0)), "multiply", "replace")
+    assert(repl.values.toSet === Set(2000000L))
+    // score_mode sum/max/min over two constants
+    assert(fs(Seq(Weight(2.0), Weight(3.0)), "sum", "replace")
+      .values.toSet === Set(5000000L))
+    assert(fs(Seq(Weight(2.0), Weight(3.0)), "max", "replace")
+      .values.toSet === Set(3000000L))
+    assert(fs(Seq(Weight(2.0), Weight(3.0)), "min", "replace")
+      .values.toSet === Set(2000000L))
+    // boost_mode multiply with weight 1.0 == the plain match scores
+    val plain = FieldedIndex.searchField(spark, idx, t,
+      Seq(1 -> "record 7"), 5).collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(fs(Seq(Weight(1.0)), "multiply", "multiply") === plain)
+    // field_value_factor log1p is ES's COMMON log: under replace every
+    // value must be 0.5·log10(1+year) for some fixture year 1990..2019
+    val f7 = fs(Seq(FieldValueFactor(y, 0.5, "log1p")), "multiply", "replace")
+    val lawful = (1990 to 2019).map(yr =>
+      math.round(0.5 * math.log10(1.0 + yr) * 1e6)).toSet
+    assert(f7.values.forall(lawful.contains), s"got ${f7.values.toSet}")
+    // gauss decay: origin-year docs score exactly the full query score
+    // (decay 1.0); a doc |v-origin| = scale away scores decay× that
+    val g = fs(Seq(Gauss(y, 1997.0, 5.0, decay = 0.5)), "multiply", "replace")
+    assert(g.values.exists(_ == 1000000L)) // some hit sits AT the origin
+    // bad knobs refuse loudly
+    intercept[IllegalArgumentException](fs(Seq(Weight(1.0)), "nope", "sum"))
+    intercept[IllegalArgumentException](
+      fs(Seq(FieldValueFactor(t, 1.0)), "multiply", "multiply"))
+  }
+
   test("scroll: walk to exhaustion equals the absolute ranking, then closes") {
     val y = spec("year")
     // 1997 cohort = 34 docs (i ≡ 7 mod 30): pages of 10 → 10,10,10,4
