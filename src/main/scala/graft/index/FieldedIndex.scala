@@ -1263,7 +1263,23 @@ object FieldedIndex {
         offset: Double = 0.0, decay: Double = 0.5) extends ScoreFunction
     /** ES weight: a constant function value. */
     final case class Weight(weight: Double) extends ScoreFunction
+    /** ES script_score, Spark-native: the "script" is a Column expression
+      * over `_score` (the query score) and `field("name")` doc values —
+      * compiled into the same codegen plan as every other function (a
+      * Painless interpreter would be a per-row black box; a Column IS the
+      * engine's script language). Fields referenced must be declared in
+      * `fields` so their doc-values projections join in. */
+    final case class Script(expr: Column, fields: Seq[FieldSpec] = Seq.empty)
+      extends ScoreFunction
   }
+
+  /** The query score column inside a [[ScoreFunction.Script]]. */
+  def scriptScore: Column = col("qscore")
+
+  /** A field's doc value inside a [[ScoreFunction.Script]] (double; null
+    * for docs missing the field — guard with coalesce in the script). */
+  def scriptField(spec: FieldSpec): Column =
+    col(s"_sv_${spec.field}")
 
   /** ES `function_score` over a match query: every matching doc's BM25
     * score is combined with the function values — functions can reorder
@@ -1320,6 +1336,12 @@ object FieldedIndex {
             when(v.isNull, lit(1.0))
               .otherwise(exp(dist * dist / lit(-2.0 * sigma2))))
             .drop(s"${name}_v")
+        case ScoreFunction.Script(scriptExpr, fieldSpecs) =>
+          fieldSpecs.foreach { fs =>
+            val c = s"_sv_${fs.field}"
+            if (!cur.columns.contains(c)) joinValues(fs, c)
+          }
+          cur = cur.withColumn(name, scriptExpr.cast("double"))
       }
       col(name)
     }

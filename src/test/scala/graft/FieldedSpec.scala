@@ -545,6 +545,14 @@ class FieldedSpec extends AnyFunSuite {
     // (decay 1.0); a doc |v-origin| = scale away scores decay× that
     val g = fs(Seq(Gauss(y, 1997.0, 5.0, decay = 0.5)), "multiply", "replace")
     assert(g.values.exists(_ == 1000000L)) // some hit sits AT the origin
+    // script_score: a Column over _score and doc values compiles into the
+    // same plan — qscore + 0.1·year as a script ≡ the fvf/sum formulation
+    val viaScript = fs(Seq(Script(
+      FieldedIndex.scriptScore +
+        lit(0.1) * coalesce(FieldedIndex.scriptField(y), lit(1.0)),
+      Seq(y))), "multiply", "replace")
+    val viaFvf = fs(Seq(FieldValueFactor(y, 0.1, "none")), "multiply", "sum")
+    assert(viaScript === viaFvf)
     // bad knobs refuse loudly
     intercept[IllegalArgumentException](fs(Seq(Weight(1.0)), "nope", "sum"))
     intercept[IllegalArgumentException](
