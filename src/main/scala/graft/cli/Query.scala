@@ -59,7 +59,7 @@ object Query {
     if (rest.isEmpty) throw Cli.CliError(
       "usage: graft.cli.Query [--index-dir DIR] [--field F] [--k N] " +
         "[--type match|match_and|phrase|phrase_prefix|fuzzy|qstring|term|" +
-        "prefix|wildcard|range|suggest|count] QUERY...")
+        "prefix|wildcard|range|regexp|suggest|count|scroll] QUERY...")
     Args(indexDir, field, k, master, rest.mkString(" "), qtype)
   }
 
