@@ -417,10 +417,18 @@ object PipelineQueries {
        |  AND uniq_ratio_x6 >= $CleanMinUniqX6
        |ORDER BY doc_id""".stripMargin
 
-  /** IVF-Flat ANN (deterministic cells from fixed-id centroids): same
-    * oracle gate as the LSH variant — the whole structure replays in SQL. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame =
-    Ann.ivfTopK(emb(spark, dir), AnnQueryVec, AnnK)
+  /** IVF-Flat ANN through the PERSISTED index (the faiss lifecycle the
+    * engine serves at scale: Lloyd training + corpus assignment run once
+    * at ingest via [[Ann.ensureIvf]], the query probes nprobe
+    * cell PARTITIONS — parquet partition pruning, no training cost per
+    * query). Same results as the inline [[Ann.ivfTopK]] (spec-pinned);
+    * the oracle replays the whole lifecycle in SQL. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cache = s"${sys.props("user.dir")}/target/ivf-cache/" +
+      new java.io.File(dir).getName
+    Ann.ensureIvf(spark, emb(spark, dir), cache)
+    Ann.ivfProbe(spark, cache, AnnQueryVec, AnnK)
+  }
 
   /** Unrolled Lloyd replay (Ann.IvfLloydRounds): each round re-derives the
     * engine's exact fixed-point steps — micro-rounded cosine assignment

@@ -1096,7 +1096,12 @@ object FieldedIndex {
     * ([[handleFor]]): the cache retires superseded handles on a 60 s
     * grace, which a long bulk export can outlive — the scroll context
     * must control its own lifetime (ES scroll keep-alive), closing on
-    * exhaustion or [[Scroll.close]]. Each page is one repeated
+    * exhaustion or [[Scroll.close]]. Residency mechanism: open
+    * materializes the shard indexes into a persisted MEMORY_AND_DISK RDD,
+    * so later pages never re-read the (possibly swapped-away) files —
+    * the one failure mode is lineage replay after executor loss, which
+    * fails loudly like an expired ES scroll context (spec-pinned:
+    * FieldedSpec rebuilds the directory mid-scroll). Each page is one repeated
     * search_after step against the pinned handle: the match's distributed
     * score list, cursor-filtered, TakeOrdered(pageSize) — cost is
     * CONSTANT per page at any depth (never from+size), the property that

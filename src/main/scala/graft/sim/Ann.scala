@@ -181,13 +181,15 @@ object Ann {
     * use micro-rounded cosines with centroid-id tiebreaks so both
     * engines pick identical cells. `lloydRounds = 0` = the untrained
     * seed centroids (the recall baseline in PipelineSpec). */
-  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
-              lloydRounds: Int = IvfLloydRounds): DataFrame = {
-    val cents = ivfCentroids(emb, lloydRounds)
+  /** Argmax-cosine cell assignment of every vector (micro-rounded, cid
+    * tiebreak — engine-independent): (vec_id, embedding, nrm, cid). The
+    * linear |V|×C scan against BROADCAST centroids — the IVF build's one
+    * corpus pass. */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("a_cos").desc, col("cid").asc)
-    val assigned = emb
+    emb
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
@@ -196,6 +198,12 @@ object Ann {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select("vec_id", "embedding", "nrm", "cid")
+  }
+
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
+              lloydRounds: Int = IvfLloydRounds): DataFrame = {
+    val cents = ivfCentroids(emb, lloydRounds)
+    val assigned = assignCells(emb, cents)
     val qCells = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       .crossJoin(broadcast(cents))
@@ -209,6 +217,68 @@ object Ann {
       .select(col("vec_id"),
         round(dot(col("embedding"), col("q_emb"))
           / (col("nrm") * col("q_nrm")) * 1e6).cast("long").as("cos_x6"))
+      .orderBy(col("cos_x6").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Ingest-side IVF index build (the faiss lifecycle: train once, assign
+    * the corpus once, PERSIST — queries never pay training): centroids
+    * (C rows) plus the assignments written `partitionBy("cid")`, so a
+    * query's nprobe cell probe is parquet PARTITION PRUNING at the
+    * source — at nlist = 65536 a 2-probe query reads 2/65536 of the
+    * corpus directly off the directory layout, no filter scan, no index
+    * lookup. Idempotent via the _ivf_done marker. */
+  def ensureIvf(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+                dir: String, lloydRounds: Int = IvfLloydRounds): String = {
+    val done = new java.io.File(s"$dir/_ivf_done")
+    if (!done.exists()) {
+      val cents = ivfCentroids(emb, lloydRounds)
+      cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      assignCells(emb, cents)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+      done.createNewFile()
+    }
+    dir
+  }
+
+  /** Same left-to-right float→double fold as the codegen DotExpr kernel —
+    * the driver-side probe ordering must reproduce the engine's cosine
+    * bits exactly. */
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Serving-side IVF query against a persisted index ([[ensureIvf]]):
+    * centroids collect to the driver (C rows — the coarse quantizer IS
+    * driver-resident in every IVF serving design), probe order =
+    * micro-rounded cosine desc / cid asc (identical to [[ivfTopK]] and
+    * the oracle), then exact cosine top-k over ONLY the probed cells'
+    * partitions. Returns (vec_id, cos_x6) — same contract as
+    * [[ivfTopK]], same results (spec-pinned). */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+               queryVecId: Long, k: Int): DataFrame = {
+    val cells = spark.read.parquet(s"$dir/cells")
+    val q = cells.filter(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("nrm")).head()
+    val qEmb = q.getSeq[Float](0).toArray
+    val qNrm = q.getDouble(1)
+    val probed = spark.read.parquet(s"$dir/centroids").collect()
+      .map { r =>
+        val cid = r.getAs[Long]("cid")
+        val cEmb = r.getAs[scala.collection.Seq[Float]]("c_emb").toArray
+        val cNrm = r.getAs[Double]("c_nrm")
+        (math.round(dotF(qEmb, cEmb) / (qNrm * cNrm) * 1e6), cid)
+      }
+      .sortBy { case (cos, cid) => (-cos, cid) }
+      .take(IvfProbe).map(_._2).toSeq
+    cells.filter(col("cid").isin(probed: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(dot(col("embedding"), typedlit(qEmb.toSeq))
+          / (col("nrm") * lit(qNrm)) * 1e6).cast("long").as("cos_x6"))
       .orderBy(col("cos_x6").desc, col("vec_id").asc)
       .limit(k)
   }

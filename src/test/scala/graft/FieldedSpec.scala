@@ -581,6 +581,31 @@ class FieldedSpec extends AnyFunSuite {
     assert(!empty.hasMore && empty.next().isEmpty)
   }
 
+  test("scroll: snapshot pinned across a mid-scroll directory swap") {
+    import spark.implicits._
+    val dir = s"${sys.props("user.dir")}/target/scroll-swap-idx"
+    val t = FieldedIndex.FieldSpec("title", Analyzer.TextStop)
+    def corpus(tag: String) = (0 until 8).map(i =>
+      (s"k$i", Seq(s"$tag doc $i"))).toDF("k", "title")
+    new TableIO(dir).deleteAll()
+    FieldedIndex.build(spark, corpus("alpha"), dir, Seq(t), keyCol = "k")
+    // the full expected ordering, captured BEFORE any swap
+    val want = FieldedIndex.searchField(spark, dir, t, Seq(1 -> "alpha doc"), 8)
+      .orderBy("rnk").collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val sc = FieldedIndex.scroll(spark, dir, t, "alpha doc", 3)
+    val page1 = sc.next()
+    // the swap: compaction's observable effect — the directory's contents
+    // are REPLACED (different corpus, different vocabulary)
+    new TableIO(dir).deleteAll()
+    FieldedIndex.build(spark, corpus("beta"), dir, Seq(t), keyCol = "k")
+    // later pages still serve the PINNED snapshot: the walk equals the
+    // pre-swap ordering, though "alpha" no longer exists on disk
+    val walked = (page1 +: Iterator.continually(sc.next())
+      .takeWhile(_.nonEmpty).toSeq).flatten.map(r => (r._2, r._3))
+    assert(walked === want)
+    new TableIO(dir).deleteAll()
+  }
+
   test("pagination: page slices the absolute ranking; deep from is empty") {
     val t = spec("title")
     val q = Seq(1 -> "second 7 record")

@@ -71,6 +71,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Ann.ivfCentroids(emb).collect().length === Ann.IvfCells)
   }
 
+  test("persisted IVF index: probe == inline query, cells partition-pruned") {
+    val dir = s"${sys.props("user.dir")}/target/test-ivf-idx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Ann.ensureIvf(spark, emb, dir)
+    val probe = Ann.ivfProbe(spark, dir, 0L, 10)
+    // identical results to the inline (train-in-query) formulation — the
+    // persisted lifecycle changes WHERE the work runs, never the answer
+    val inline = Ann.ivfTopK(emb, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === inline)
+    // the probe reads only the nprobe cells: partition pruning reaches the
+    // cells scan (cid is a directory partition column)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no partition pruning in:\n$plan")
+    // idempotent ensure: second call must not rebuild (marker present)
+    val marker = new java.io.File(s"$dir/_ivf_done")
+    val stamp = marker.lastModified()
+    Ann.ensureIvf(spark, emb, dir)
+    assert(marker.lastModified() === stamp)
+  }
+
   test("LSH hit scores match brute-force scores for shared vec_ids") {
     val brute = Ann.bruteTopK(emb, 0L, 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
