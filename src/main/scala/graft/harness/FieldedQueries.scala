@@ -417,6 +417,37 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** ES boosting query: the tie-heavy match with 1997-cohort docs demoted
+    * ×0.4 — positive scores untouched otherwise (ES demote-don't-exclude). */
+  val BoostingNegYear = "1997"
+  val BoostingNb = 0.4
+
+  def fieldBoosting(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.boostingQuery(spark, dir, spec("title"), SearchAfterText,
+      spec("year"), BoostingNegYear, BoostingNb, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
+  /** ES range aggregation: three declared year buckets incl. open ends
+    * and an empty bucket (ES emits declared ranges even at 0). */
+  val RangeAggBuckets: Seq[(Option[Long], Option[Long])] = Seq(
+    (None, Some(1995L)), (Some(1995L), Some(2005L)), (Some(2005L), None),
+    (Some(3000L), None))
+
+  def fieldAggRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.rangeAgg(spark, dir, spec("year"), RangeAggBuckets)
+  }
+
+  /** ES percentiles aggregation (exact form) over year. */
+  def fieldAggPct(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.percentilesAgg(spark, dir, spec("year"))
+  }
+
   /** ES regexp queries on the keyword DOI field: an alternation (no sound
     * literal prefix — full dictionary automaton walk, 3 dois) and a
     * bounded-repeat quantifier (literal-prefix-pruned, 99/999). */
@@ -1314,6 +1345,84 @@ object FieldedQueries {
        |  FROM fs)
        |SELECT CAST(rnk AS BIGINT) AS rnk, doi, score_x6
        |FROM ranked WHERE rnk <= $FScoreK ORDER BY rnk""".stripMargin
+  }
+
+  /** boosting replay: the match's BM25 ordering with the 1997 cohort's
+    * scores × negative_boost before the final micro-round. */
+  def fieldBoostingSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(SearchAfterText)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title,
+       |         CAST((${Oracle.yearCase("")}) AS BIGINT) AS y
+       |       FROM (${fixtureSrc(dateCols)})),
+       |src AS (SELECT doi, title, y FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |fs AS (SELECT s.doi,
+       |         CASE WHEN v.y = $BoostingNegYear THEN s.score * $BoostingNb
+       |              ELSE s.score END AS score
+       |       FROM scored s JOIN src v USING (doi)),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                            doi ASC) AS rnk
+       |  FROM fs)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** range-agg replay: declared buckets LEFT-join the per-doc years so
+    * empty buckets emit 0 (the ES declared-ranges contract). */
+  def fieldAggRangeSql: String = {
+    val buckets = RangeAggBuckets.zipWithIndex.map { case ((f, t), i) =>
+      def v(o: Option[Long]) =
+        o.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
+      s"(CAST($i AS BIGINT), ${v(f)}, ${v(t)})"
+    }.mkString(", ")
+    s"""WITH src AS (${fixtureSrc(dateCols)}),
+       |y0 AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src),
+       |y AS (SELECT y FROM y0 WHERE y IS NOT NULL),
+       |b(bucket_idx, from_v, to_v) AS (VALUES $buckets)
+       |SELECT b.bucket_idx, b.from_v, b.to_v, count(y.y)::BIGINT AS doc_count
+       |FROM b LEFT JOIN y ON (b.from_v IS NULL OR y.y >= b.from_v)
+       |                  AND (b.to_v IS NULL OR y.y < b.to_v)
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
+
+  /** percentiles replay: quantile_cont over the per-doc years — the same
+    * (n−1)·p linear interpolation as Spark's exact `percentile`. */
+  def fieldAggPctSql: String = {
+    // quantile_cont demands a CONSTANT percentile — one branch per p
+    val branches = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99).map { p =>
+      s"""SELECT CAST(${math.round(p * 1e6)} AS BIGINT) AS pct_x6,
+         |       CAST(round(quantile_cont(y, $p) * 1000000.0) AS BIGINT) AS value_x6
+         |FROM y""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH src AS (${fixtureSrc(dateCols)}),
+       |y0 AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src),
+       |y AS (SELECT y FROM y0 WHERE y IS NOT NULL)
+       |$branches
+       |ORDER BY pct_x6""".stripMargin
   }
 
   /** regexp replay: DuckDB regexp_matches with the engine's exact anchored

@@ -949,6 +949,63 @@ object FieldedIndex {
         col("sum_value").cast("double") / col("value_count"))
   }
 
+  /** ES `range` aggregation over a single-valued numeric keyword field:
+    * explicit [from, to) buckets (ES half-open semantics; None = open
+    * end), doc_count per bucket — like [[histogramAgg]] a vocab-sized
+    * term_stats scan, each bucket one predicate over (term_num, df), no
+    * corpus work at any scale. Empty buckets emit doc_count 0 (the ES
+    * contract: declared ranges always appear). Returns
+    * (bucket_idx, from_v, to_v, doc_count) in declaration order; open
+    * ends surface as NULL like the ES response omits them. */
+  def rangeAgg(spark: SparkSession, indexDir: String, spec: FieldSpec,
+               ranges: Seq[(Option[Long], Option[Long])]): DataFrame = {
+    import spark.implicits._
+    require(ranges.nonEmpty, "range aggregation needs at least one range")
+    requireSingleValued(spec, "range")
+    val ts = termStatsNum(spark, indexDir, spec.field)
+      .where(col("term_num").isNotNull)
+    // one job: the (tiny, declared) range table broadcast-joins the
+    // vocab-sized stats scan; LEFT join back so empty buckets emit 0
+    val rdf = ranges.zipWithIndex
+      .map { case ((f, t), i) => (i.toLong, f, t) }
+      .toDF("bucket_idx", "from_v", "to_v")
+    val counts = ts.crossJoin(broadcast(rdf))
+      .where((col("from_v").isNull || col("term_num") >= col("from_v")) &&
+        (col("to_v").isNull || col("term_num") < col("to_v")))
+      .groupBy(col("bucket_idx")).agg(sum(col("df")).as("doc_count"))
+    rdf.join(counts, Seq("bucket_idx"), "left")
+      .select(col("bucket_idx"), col("from_v"), col("to_v"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+      .orderBy("bucket_idx")
+  }
+
+  /** ES `percentiles` aggregation over a single-valued numeric keyword
+    * field, EXACT: Spark's `percentile` aggregate with the term_stats
+    * `df` column as the frequency weight — linear interpolation over the
+    * value distribution without expanding to doc rows, so the agg is
+    * vocab-sized work like every term_stats agg (ES itself serves
+    * t-digest APPROXIMATIONS at this shape; the exact form is the
+    * oracle-checkable one, and `percentile_approx` is the documented
+    * corpus-scale swap). Returns (pct_x6, value_x6) per requested
+    * percentile, declaration order. */
+  def percentilesAgg(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                     percents: Seq[Double] = Seq(0.01, 0.05, 0.25, 0.5,
+                       0.75, 0.95, 0.99)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 1),
+      "percentiles must lie in [0, 1]")
+    requireSingleValued(spec, "percentiles")
+    val pArr = percents.map(p => s"${p}D").mkString(", ")
+    val vals = termStatsNum(spark, indexDir, spec.field)
+      .where(col("term_num").isNotNull)
+      .agg(expr(s"percentile(term_num, array($pArr), df)").as("vs"))
+      .select(posexplode(col("vs")).as(Seq("i", "v")))
+    vals.select(
+        element_at(typedlit(percents.map(p => math.round(p * 1e6))),
+          col("i") + 1).as("pct_x6"),
+        TextIndex.microRound(col("v")).as("value_x6"))
+      .orderBy("pct_x6")
+  }
+
   /** Parsed form of an ES `simple_query_string` body (the subset of its
     * flagged syntax clients actually type): bare token = optional (should)
     * clause, leading `+` = required (must) clause, leading `-` = excluded
@@ -1244,6 +1301,37 @@ object FieldedIndex {
           coalesce(col("phrase_score"), lit(0.0)) * lit(rescoreWeight))
       .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
     combined
+      .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_x6"))
+  }
+
+  /** ES `boosting` query: hits of the positive match, score ×
+    * `negativeBoost` for docs ALSO matching the negative query (ES demotes
+    * instead of excluding — `must_not` is the exclusion shape). The
+    * negative side is membership only (its score never matters — the ES
+    * contract), so it joins as a distinct doc set: positive's distributed
+    * score list LEFT-joined to negative-match ids, row-local demotion,
+    * TakeOrdered(k). Returns (rnk, doc_id, score_x6). */
+  def boostingQuery(spark: SparkSession, indexDir: String,
+                    posSpec: FieldSpec, posText: String,
+                    negSpec: FieldSpec, negText: String,
+                    negativeBoost: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(negativeBoost >= 0 && negativeBoost <= 1,
+      "negative_boost must be in [0, 1]")
+    val pos = Searcher.contribs(handleFor(spark, indexDir, posSpec.field),
+        termWeights(posSpec, posText))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("qscore"))
+    val negTerms = termWeights(negSpec, negText).keys.toSeq
+    val neg = Searcher.termDocs(handleFor(spark, indexDir, negSpec.field),
+        negTerms)
+      .select(col("doc_id")).distinct().withColumn("_neg", lit(1))
+    pos.join(neg, Seq("doc_id"), "left")
+      .select(col("doc_id"), TextIndex.microRound(
+        when(col("_neg").isNotNull, col("qscore") * lit(negativeBoost))
+          .otherwise(col("qscore"))).as("score_x6"))
       .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))

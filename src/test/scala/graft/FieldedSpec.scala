@@ -559,6 +559,63 @@ class FieldedSpec extends AnyFunSuite {
       fs(Seq(FieldValueFactor(t, 1.0)), "multiply", "multiply"))
   }
 
+  test("boosting query: negative cohort demoted, never excluded") {
+    val t = spec("title"); val y = spec("year")
+    val plain = FieldedIndex.searchField(spark, idx, t,
+      Seq(1 -> "record 7"), 1000).collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val demoted = FieldedIndex.boostingQuery(spark, idx, t, "record 7",
+      y, "1997", 0.5, 1000).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // every positive hit survives (demote-don't-exclude)
+    assert(demoted.length === plain.size)
+    // the 1997 cohort (34 docs) carries exactly halved scores; the rest
+    // are untouched
+    val years = FieldedIndex.termQuery(spark, idx, y, Seq("1997"))
+      .collect().map(_.getLong(1)).toSet
+    demoted.foreach { case (d, s) =>
+      val want = if (years.contains(d))
+        math.round(plain(d) / 1e6 * 0.5 * 1e6) else plain(d)
+      // halving a micro-rounded long can differ 1 micro-unit from halving
+      // the raw double; allow that slack only on demoted docs
+      if (years.contains(d)) assert(math.abs(s - want) <= 1L, s"doc $d")
+      else assert(s === want, s"doc $d")
+    }
+    intercept[IllegalArgumentException](FieldedIndex.boostingQuery(
+      spark, idx, t, "record", y, "1997", 1.5, 5))
+  }
+
+  test("range agg: half-open buckets, open ends, declared-empty emits 0") {
+    // years 1990..2019, ~34/33 docs each
+    val rows = FieldedIndex.rangeAgg(spark, idx, spec("year"), Seq(
+      (None, Some(1995L)), (Some(1995L), Some(2005L)), (Some(2005L), None),
+      (Some(3000L), None))).collect()
+    assert(rows.map(_.getLong(3)).sum === 1000L + rows.last.getLong(3))
+    // half-open: 1990..1994 = 5 cohorts; boundaries never double-count
+    assert(rows(0).getLong(3) + rows(1).getLong(3) + rows(2).getLong(3)
+      === 1000L)
+    assert(rows(3).getLong(3) === 0L) // declared bucket beyond the data
+    assert(rows(0).isNullAt(1) && rows(2).isNullAt(2)) // open ends NULL
+    intercept[IllegalArgumentException](
+      FieldedIndex.rangeAgg(spark, idx, spec("title"), Seq((None, None))))
+  }
+
+  test("percentiles agg: exact weighted percentiles, monotone, median pinned") {
+    val rows = FieldedIndex.percentilesAgg(spark, idx, spec("year"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSeq ===
+      Seq(10000L, 50000L, 250000L, 500000L, 750000L, 950000L, 990000L))
+    // values ascend with the percentile and live inside the data range
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    assert(rows.head._2 >= 1990L * 1000000L &&
+      rows.last._2 <= 2019L * 1000000L)
+    // median of the 1000 fixture years (1990..1999 ×34, 2000..2019 ×33):
+    // exact (n−1)·p interpolated value from the sorted multiset
+    val years = (0 until 1000).map(i => 1990 + i % 30).sorted
+    val mid = (years(499) + years(500)) / 2.0
+    assert(rows(3)._2 === math.round(mid * 1e6))
+  }
+
   test("scroll: walk to exhaustion equals the absolute ranking, then closes") {
     val y = spec("year")
     // 1997 cohort = 34 docs (i ≡ 7 mod 30): pages of 10 → 10,10,10,4
