@@ -182,6 +182,7 @@ object Bench {
     try {
       graft.harness.TextQueries.ensureIndex(sparkQ, sfDir)
       graft.harness.FieldedQueries.ensureFieldedIndex(sparkQ)
+      graft.harness.PipelineQueries.ensureIvfCache(sparkQ, sfDir)
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (_, sec) = timeIt {

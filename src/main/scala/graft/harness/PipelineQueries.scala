@@ -423,12 +423,18 @@ object PipelineQueries {
     * cell PARTITIONS — parquet partition pruning, no training cost per
     * query). Same results as the inline [[Ann.ivfTopK]] (spec-pinned);
     * the oracle replays the whole lifecycle in SQL. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Build the persisted IVF index for `dir`'s embeddings if absent —
+    * ingest-side work, pre-warmed UNTIMED by the bench like the text and
+    * fielded index ensures (build cost is phase-1's measurement, never a
+    * query's). Returns the cache dir. */
+  def ensureIvfCache(spark: SparkSession, dir: String): String = {
     val cache = s"${sys.props("user.dir")}/target/ivf-cache/" +
       new java.io.File(dir).getName
     Ann.ensureIvf(spark, emb(spark, dir), cache)
-    Ann.ivfProbe(spark, cache, AnnQueryVec, AnnK)
   }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Ann.ivfProbe(spark, ensureIvfCache(spark, dir), AnnQueryVec, AnnK)
 
   /** Unrolled Lloyd replay (Ann.IvfLloydRounds): each round re-derives the
     * engine's exact fixed-point steps — micro-rounded cosine assignment
