@@ -1158,9 +1158,9 @@ object FieldedIndex {
     * so later pages never re-read the (possibly swapped-away) files —
     * the one failure mode is lineage replay after executor loss, which
     * fails loudly like an expired ES scroll context (spec-pinned:
-    * FieldedSpec rebuilds the directory mid-scroll). Each page is one repeated
-    * search_after step against the pinned handle: the match's distributed
-    * score list, cursor-filtered, TakeOrdered(pageSize) — cost is
+    * FieldedSpec rebuilds the directory mid-scroll). The match is scored
+    * once (page 1 persists the frozen score list — see [[Scroll.next]]);
+    * each page is one cursor-filtered TakeOrdered(pageSize) over it —
     * CONSTANT per page at any depth (never from+size), the property that
     * makes scroll the bulk-export path. `snapshotToken` is the pinned
     * manifest uuid (the ES scroll_id analogue). */
@@ -1170,26 +1170,39 @@ object FieldedIndex {
     private var after: Option[(Long, Long)] = None
     private var exhausted = tw.isEmpty
     private var closed = false
+    private var scored: DataFrame = null
     def hasMore: Boolean = !exhausted
 
     /** Release the pinned snapshot (idempotent; ES DELETE _search/scroll).
       * Called automatically once the walk exhausts. */
     def close(): Unit = {
       exhausted = true
-      if (!closed) { closed = true; h.close() }
+      if (!closed) {
+        closed = true
+        if (scored != null) scored.unpersist(blocking = false)
+        h.close()
+      }
     }
     if (exhausted) close() // analyzer dropped every term: born-empty scroll
 
     /** Next page: (rnk within page 1.., doc_id, score_x6), at most
       * pageSize rows (ES returns no absolute ranks on cursor pages);
-      * empty once the match is exhausted. */
+      * empty once the match is exhausted. The match is SCORED EXACTLY
+      * ONCE: page 1 materializes the (doc_id, score_x6) list — 16 B/hit,
+      * persisted MEMORY_AND_DISK, the frozen ordering an ES scroll
+      * context holds — and every page is a cursor-filtered
+      * TakeOrdered(pageSize) over the persisted list, so a deep export
+      * costs one scoring pass + pages × top-k, never pages × re-scores. */
     def next(): Seq[(Long, Long, Long)] = {
       if (exhausted) { close(); return Seq.empty }
-      val base = Searcher.contribs(h, tw)
-        .groupBy(col("doc_id"))
-        .agg(sum(col("contrib")).as("score"))
-        .select(col("doc_id"),
-          TextIndex.microRound(col("score")).as("score_x6"))
+      if (scored == null)
+        scored = Searcher.contribs(h, tw)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib")).as("score"))
+          .select(col("doc_id"),
+            TextIndex.microRound(col("score")).as("score_x6"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = scored
       val filtered = after match {
         case Some((s6, d)) =>
           base.where(col("score_x6") < s6 ||
