@@ -417,6 +417,16 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** ES _explain: the BM25 decomposition of doc 7 under the tie-heavy
+    * match — "record" (corpus-wide df) and "7" (df 1, tf 2) rows. */
+  val ExplainKey = "10.1/nd.7"
+
+  def fieldExplain(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.explainMatch(spark, dir, spec("title"), SearchAfterText,
+      ExplainKey)
+  }
+
   /** ES boosting query: the tie-heavy match with 1997-cohort docs demoted
     * ×0.4 — positive scores untouched otherwise (ES demote-don't-exclude). */
   val BoostingNegYear = "1997"
@@ -1345,6 +1355,42 @@ object FieldedQueries {
        |  FROM fs)
        |SELECT CAST(rnk AS BIGINT) AS rnk, doi, score_x6
        |FROM ranked WHERE rnk <= $FScoreK ORDER BY rnk""".stripMargin
+  }
+
+  /** _explain replay: the per-term decomposition for one doi, every
+    * component micro-rounded; contrib parenthesized (w·idf)·tfNorm like
+    * the engine's pre-multiplied cursor idf. */
+  def fieldExplainSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val qvals = Analyzer.analyzeStop(SearchAfterText)
+      .groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val idf = "ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+    val tfn = "(tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))"
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals)
+       |SELECT q.term, q.w AS weight, tf.tf, dft.df, dl.dl,
+       |       CAST(round(($idf) * 1000000.0) AS BIGINT) AS idf_x6,
+       |       CAST(round(($tfn) * 1000000.0) AS BIGINT) AS tf_norm_x6,
+       |       CAST(round(((q.w * $idf) * $tfn) * 1000000.0) AS BIGINT) AS contrib_x6
+       |FROM q
+       |JOIN tf ON tf.term = q.term AND tf.doi = '$ExplainKey'
+       |JOIN dft ON dft.term = q.term
+       |JOIN dl ON dl.doi = tf.doi
+       |CROSS JOIN stats s
+       |ORDER BY q.term""".stripMargin
   }
 
   /** boosting replay: the match's BM25 ordering with the 1997 cohort's

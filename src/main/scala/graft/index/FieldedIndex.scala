@@ -1320,6 +1320,38 @@ object FieldedIndex {
       .select(col("rnk"), col("doc_id"), col("score_x6"))
   }
 
+  /** ES `_explain`: why a document scores what it scores for a match
+    * query — one row per query term PRESENT in the doc, with the full
+    * BM25 decomposition (tf, df, dl, idf, tfNorm, contribution), all
+    * value components micro-rounded for exact cross-engine compare. The
+    * Σ of contrib_x6's raw doubles micro-rounds to exactly the hit score
+    * the search paths serve (same Bm25 calls, same FP order). `key` is
+    * the external doc identity (the ES _id). Returns
+    * (term, weight, tf, df, dl, idf_x6, tf_norm_x6, contrib_x6) in term
+    * order; an absent key or a doc matching no term explains to zero
+    * rows (ES returns matched=false). */
+  def explainMatch(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                   text: String, key: String): DataFrame = {
+    val dm = docMap(spark, indexDir)
+    val keyCol = dm.columns.filter(_ != "doc_id").head
+    val ids = dm.filter(col(keyCol) === key)
+      .select(col("doc_id")).collect()
+    if (ids.isEmpty) // matched=false: unknown _id → zero rows, full schema
+      return spark.range(0)
+        .select(lit("").as("term"), lit(0).as("weight"),
+          lit(0L).as("tf"), lit(0L).as("df"), lit(0L).as("dl"),
+          lit(0L).as("idf_x6"), lit(0L).as("tf_norm_x6"),
+          lit(0L).as("contrib_x6"))
+    Searcher.explainDoc(handleFor(spark, indexDir, spec.field),
+        termWeights(spec, text), ids.head.getLong(0))
+      .select(col("term"), col("weight"),
+        col("tf"), col("df"), col("dl"),
+        TextIndex.microRound(col("idf")).as("idf_x6"),
+        TextIndex.microRound(col("tf_norm")).as("tf_norm_x6"),
+        TextIndex.microRound(col("contrib")).as("contrib_x6"))
+      .orderBy("term")
+  }
+
   /** ES `boosting` query: hits of the positive match, score ×
     * `negativeBoost` for docs ALSO matching the negative query (ES demotes
     * instead of excluding — `must_not` is the exclusion shape). The

@@ -779,6 +779,44 @@ object Searcher {
     }.toDF("doc_id", "contrib")
   }
 
+  /** ES `_explain` backbone: the per-term BM25 decomposition of ONE doc
+    * under this handle's stats — (term, weight, tf, df, dl, idf, tf_norm,
+    * contrib) for each query term present in the doc. The doubles are the
+    * kernel's own [[Bm25]] calls in the kernel's FP order
+    * ((w·idf)·tfNorm), so Σ contrib micro-rounds to exactly the score
+    * every query path serves. Distributed lookup (the doc lives in one
+    * shard; block min/max prune the decode), driver receives ≤ |terms|
+    * rows. */
+  def explainDoc(h: Handle, termWeights: Map[String, Int],
+                 docId: Long): DataFrame = {
+    import h.spark.implicits._
+    val dfByTerm = resolveDfs(h, termWeights.keys.toArray)
+    val n = h.stats.n_docs
+    val avgdl = h.stats.avgdl
+    val terms = termWeights.toArray.collect {
+      case (t, w) if dfByTerm.contains(t) => (t, w, dfByTerm(t))
+    }
+    h.shards.flatMap { si =>
+      terms.iterator.flatMap { case (t, w, df) =>
+        val tp = si.terms.get(t)
+        if (tp == null) Iterator.empty
+        else tp.blocks.iterator
+          .filter(b => b.first_doc_id <= docId && docId <= b.last_doc_id)
+          .flatMap { b =>
+            val ids = graft.index.Codec.decodeDocIds(b.doc_ids, b.n)
+            val tfs = graft.index.Codec.decodeTfs(b.tfs, b.n)
+            val dls = graft.index.Codec.decodeTfs(b.dls, b.n)
+            (0 until b.n).iterator.filter(i => ids(i) == docId).map { i =>
+              val idf = Bm25.idf(n, df)
+              val tfn = Bm25.tfNorm(tfs(i).toDouble, dls(i).toDouble, avgdl)
+              (t, w, tfs(i).toLong, df, dls(i).toLong, idf, tfn,
+                (w * idf) * tfn)
+            }
+          }
+      }
+    }.toDF("term", "weight", "tf", "df", "dl", "idf", "tf_norm", "contrib")
+  }
+
   /** Full per-doc phrase score list against this handle's index — the
     * naive twin of a phrase CLAUSE: every conjunction doc is position-
     * confirmed and scored (exact but unpruned; the production path is the

@@ -559,6 +559,30 @@ class FieldedSpec extends AnyFunSuite {
       fs(Seq(FieldValueFactor(t, 1.0)), "multiply", "multiply"))
   }
 
+  test("_explain: per-term decomposition sums to the served hit score") {
+    val t = spec("title")
+    val rows = FieldedIndex.explainMatch(spark, idx, t, "record 7",
+      "10.1/nd.7").collect()
+    // doc 7's title = ["Record 7 title", "second title 7"]: "7" tf=2 df=1,
+    // "record" tf=1 df=1000; term order
+    assert(rows.map(_.getString(0)).toSeq === Seq("7", "record"))
+    val seven = rows.head
+    assert(seven.getLong(2) === 2L && seven.getLong(3) === 1L)
+    val served = FieldedIndex.searchField(spark, idx, t,
+      Seq(1 -> "record 7"), 1).collect().head.getLong(3)
+    val sumContrib = rows.map(_.getLong(7)).sum
+    // summing per-term micro-rounded contribs can differ from rounding
+    // the raw sum by at most (#terms) half-units
+    assert(math.abs(sumContrib - served) <= rows.length,
+      s"decomposition $sumContrib vs served $served")
+    // unknown _id: matched=false → zero rows, full schema
+    val none = FieldedIndex.explainMatch(spark, idx, t, "record", "nope")
+    assert(none.count() === 0L && none.columns.length === 8)
+    // a term absent from the doc contributes no row
+    assert(FieldedIndex.explainMatch(spark, idx, t, "999", "10.1/nd.7")
+      .count() === 0L)
+  }
+
   test("boosting query: negative cohort demoted, never excluded") {
     val t = spec("title"); val y = spec("year")
     val plain = FieldedIndex.searchField(spark, idx, t,
