@@ -17,17 +17,18 @@ import graft.query.Searcher
   * from the field's sub-index. `--type` selects the ES query kind:
   * `match` (default), `match_and`, `phrase`, `phrase_prefix`, `fuzzy`,
   * `qstring` (simple_query_string flags), `term`, `prefix`, `wildcard`,
-  * `range` (two bounds: GTE LTE), `suggest`, `count`. Ranked types print
-  * one `rank key score_x6` line per hit. */
+  * `range` (two bounds: GTE LTE), `span_near` (ordered proximity;
+  * `--slop N`), `suggest`, `count`. Ranked types print one
+  * `rank key score_x6` line per hit. */
 object Query {
 
   /** Every ES query type the engine serves, selectable via `--type`. */
   val Types: Set[String] = Set("match", "match_and", "phrase",
     "phrase_prefix", "fuzzy", "qstring", "term", "prefix", "wildcard",
-    "range", "regexp", "suggest", "count", "scroll")
+    "range", "regexp", "span_near", "suggest", "count", "scroll")
 
   final case class Args(indexDir: String, field: String, k: Int,
-      master: String, query: String, qtype: String = "match")
+      master: String, query: String, qtype: String = "match", slop: Int = 0)
 
   def parse(argv: Array[String]): Args = {
     var indexDir = "./graft-index"
@@ -35,6 +36,7 @@ object Query {
     var k = 10
     var master = "local[*]"
     var qtype = "match"
+    var slop = 0
     val rest = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     def value(flag: String): String = {
@@ -49,6 +51,13 @@ object Query {
         case "--k" => k = value("--k").toInt
         case "--master" => master = value("--master")
         case "--type" => qtype = value("--type")
+        case "--slop" =>
+          slop =
+            try value("--slop").toInt
+            catch {
+              case _: NumberFormatException =>
+                throw Cli.CliError("--slop expects an integer")
+            }
         case f if f.startsWith("--") => throw Cli.CliError(s"unknown flag $f")
         case w => rest += w
       }
@@ -59,8 +68,9 @@ object Query {
     if (rest.isEmpty) throw Cli.CliError(
       "usage: graft.cli.Query [--index-dir DIR] [--field F] [--k N] " +
         "[--type match|match_and|phrase|phrase_prefix|fuzzy|qstring|term|" +
-        "prefix|wildcard|range|regexp|suggest|count|scroll] QUERY...")
-    Args(indexDir, field, k, master, rest.mkString(" "), qtype)
+        "prefix|wildcard|range|regexp|span_near|suggest|count|scroll] " +
+        "[--slop N] QUERY...")
+    Args(indexDir, field, k, master, rest.mkString(" "), qtype, slop)
   }
 
   /** Run one query; returns (rank, key, score_x6) rows. Separated from
@@ -144,6 +154,9 @@ object Query {
         keyed(FieldedIndex.rangeQuery(spark, a.indexDir, spec,
           gte = Some(gteB), lte = Some(lteB)),
           Seq("term"), Seq("term", "_key"))
+      case "span_near" =>
+        keyed(FieldedIndex.spanNear(spark, a.indexDir, spec,
+          Seq((1, a.query, a.slop)), a.k), Seq("rnk"), ranked)
       case "suggest" =>
         FieldedIndex.termSuggest(spark, a.indexDir, spec, a.query, a.k)
           .collect().map(_.toSeq.mkString(" ")).toSeq

@@ -249,6 +249,27 @@ object FieldedQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** span_near (in_order) queries over the positioned title field
+    * (["Record $i title", "second title $i"], value-2 offset 103): a
+    * one-gap proximity mass tie, an adjacent selective pair, a value-2
+    * tail pair needing one slop, the cross-value pair one short of the
+    * gap (must be EMPTY — the position_increment_gap contract), and the
+    * same pair at exactly gap cost (bridges, weight 1/101). */
+  val SpanNearQueries: Seq[(Int, String, Int)] = Seq(
+    (1, "record title", 1),
+    (2, "record 42", 0),
+    (3, "second 7", 1),
+    (4, "title second", 99),
+    (5, "title second", 100))
+
+  def fieldSpanNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.spanNear(spark, dir, spec("title"), SpanNearQueries, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Bool-with-phrase clauses (Lucene bool-over-phrase): qid 1 sums the
     * citation match leg with a MASS phrase clause ("second title" — every
     * doc, pf=1, scores split only by dl — a hard tie-break exercise); qid 2
@@ -907,6 +928,80 @@ object FieldedQueries {
          |  CROSS JOIN stats s CROSS JOIN q${qid}_sidf si)""".stripMargin
     }
     val unionScored = PhraseQueries.map { case (qid, _) =>
+      s"SELECT qid, doi, score FROM q${qid}_scored" }.mkString(" UNION ALL ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |vals AS (SELECT doi, v, string_split(lower(el), ' ') AS toks FROM
+       |          (SELECT doi, unnest(title) AS el,
+       |                  unnest(range(len(title))) AS v FROM src) u),
+       |offs AS (SELECT doi, v, toks,
+       |    coalesce(sum(len(toks) + $gap) OVER (PARTITION BY doi ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM vals),
+       |tok0 AS (SELECT doi, off + unnest(range(len(toks))) AS pos,
+       |                unnest(toks) AS term FROM offs),
+       |tok AS (SELECT doi, pos, term FROM tok0
+       |        WHERE term <> '' AND term NOT IN ($stopIn)),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |${blocks.mkString(",\n")},
+       |scored AS ($unionScored),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** span_near replay: positions from the phrase oracle's tok CTE; the
+    * greedy minimal ordered completion unrolls as chained correlated
+    * min-subqueries (p_j = first clause-j position past p_{j−1});
+    * slopUsed = span length − clause count; per-match weight
+    * round(1e6/(1+slopUsed)) summed as a BIGINT before the single /1e6 —
+    * the engine's order-independent quantized sloppyFreq, bit-identical
+    * here. idf sums over clause rows (duplicates included). */
+  def fieldSpanNearSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val gap = Analyzer.PositionIncrementGap
+    val blocks = SpanNearQueries.map { case (qid, q, slop) =>
+      val ts = Analyzer.analyzeStop(q)
+      require(ts.nonEmpty, s"span_near $qid analyzed to nothing")
+      val n = ts.length
+      val qterms = ts.map(t => s"('$t')").mkString(", ")
+      val steps = (1 until n).map { j =>
+        val guard = if (j == 1) "" else s" WHERE s.p${j - 1} IS NOT NULL"
+        val prevs = (0 until j).map(i => s"s.p$i").mkString(", ")
+        s"""q${qid}_s$j AS (SELECT s.doi, $prevs,
+           |    (SELECT min(t.pos) FROM tok t WHERE t.doi = s.doi
+           |       AND t.term = '${ts(j)}' AND t.pos > s.p${j - 1}) AS p$j
+           |  FROM q${qid}_s${j - 1} s$guard)""".stripMargin
+      }
+      val last = s"p${n - 1}"
+      val slExpr = s"($last - p0 + 1) - $n"
+      (s"""q${qid}_t(term) AS (VALUES $qterms),
+          |q${qid}_sidf AS (
+          |  SELECT sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS sidf
+          |  FROM q${qid}_t q JOIN dft ON dft.term = q.term CROSS JOIN stats s),
+          |q${qid}_s0 AS (SELECT doi, pos AS p0 FROM tok WHERE term = '${ts(0)}')""" +
+        (if (steps.isEmpty) "" else ",\n" + steps.mkString(",\n")) + s""",
+          |q${qid}_m AS (SELECT doi, $slExpr AS sl FROM q${qid}_s${n - 1}
+          |  WHERE $last IS NOT NULL AND $slExpr <= $slop),
+          |q${qid}_pf AS (SELECT doi,
+          |    sum(CAST(round(1000000.0 / (1 + sl)) AS BIGINT)) AS fx6
+          |  FROM q${qid}_m GROUP BY doi),
+          |q${qid}_scored AS (SELECT $qid AS qid, pf.doi,
+          |    si.sidf * ((pf.fx6 / 1000000.0) /
+          |      ((pf.fx6 / 1000000.0) + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+          |  FROM q${qid}_pf pf
+          |  JOIN dl ON dl.doi = pf.doi
+          |  CROSS JOIN stats s CROSS JOIN q${qid}_sidf si)""").stripMargin
+    }
+    val unionScored = SpanNearQueries.map { case (qid, _, _) =>
       s"SELECT qid, doi, score FROM q${qid}_scored" }.mkString(" UNION ALL ")
     s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
        |src AS (SELECT doi, title FROM src0

@@ -166,6 +166,102 @@ object Phrase {
     heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
   }
 
+  // ---- SpanNear (ordered proximity with slop — ES span_near) -------------
+
+  /** Score one ordered span_near (clauses = the analyzed tokens in query
+    * order, each a span_term; duplicates allowed) against one shard's
+    * blocks — ES `span_near` with `in_order: true`.
+    *
+    * Match law: a match starts at each lead-clause position p0 whose
+    * MINIMAL ordered completion p0 < p1 < … < p_{n−1} (p_j from clause
+    * j's positions) uses slopUsed = (p_{n−1} − p0 + 1) − n ≤ slop. The
+    * greedy completion (each p_j = the first clause-j position past
+    * p_{j−1}) IS the minimum: taking the earliest feasible position never
+    * shrinks later choices (SpanNearPropertySpec proves greedy ≡
+    * exhaustive-min on random corpora). Gaps survive arithmetic untouched,
+    * so bridging the multi-value position_increment_gap costs ≥ gap slop
+    * — the ES contract.
+    *
+    * Scoring (Lucene SloppyPhraseScorer's sloppyFreq law, quantized):
+    * each match weighs 1/(1 + slopUsed); the engine accumulates
+    * round(1e6 · weight) as an INTEGER so the per-doc frequency is
+    * order-independent and bit-identical across engines (the repo's
+    * micro-unit convention applied to Lucene's float accumulation —
+    * documented deviation), then freq = fx6/1e6 feeds the usual
+    * sumIdf · tfNorm(freq, dl, avgdl). A single-clause query degrades to
+    * freq = tf exactly. Returns up to k (doc_id, score), unordered. */
+  def scoreShardSpanNear(blocksByTerm: String => Array[PostingBlock],
+                         terms: Array[String], slop: Int, sumIdf: Double,
+                         avgdl: Double, k: Int): Array[(Long, Double)] = {
+    if (terms.isEmpty) return Array.empty
+    val uniq = terms.distinct
+    val tps = uniq.map(blocksByTerm)
+    if (tps.exists(_ == null)) return Array.empty // conjunction: all clauses
+    val iterByTerm = uniq.zip(tps.map(new PosIter(_))).toMap
+    val clauses: Array[PosIter] = terms.map(iterByTerm)
+    val iters = iterByTerm.values.toArray
+
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by[(Long, Long, Double), (Long, Long)] { case (x6, d, _) => (-x6, d) }
+    val heap = mutable.PriorityQueue.empty[(Long, Long, Double)]
+    def offer(doc: Long, s: Double): Unit = {
+      val x6 = math.round(s * 1e6)
+      if (heap.size < k) heap.enqueue((x6, doc, s))
+      else {
+        val (hx6, hdoc, _) = heap.head
+        if (x6 > hx6 || (x6 == hx6 && doc < hdoc)) {
+          heap.dequeue(); heap.enqueue((x6, doc, s))
+        }
+      }
+    }
+
+    // leapfrog conjunction over the UNIQUE terms' cursors
+    var d = 0L
+    var i = 0
+    while (i < iters.length) {
+      val c = iters(i).curDoc
+      if (c > d) d = c
+      i += 1
+    }
+    while (d != Long.MaxValue) {
+      var m = d
+      i = 0
+      while (i < iters.length) {
+        iters(i).advanceTo(d)
+        val c = iters(i).curDoc
+        if (c > m) m = c
+        i += 1
+      }
+      if (m == d) {
+        val pos: Array[Array[Int]] = clauses.map(_.positions)
+        val lead = pos(0)
+        var fx6 = 0L
+        i = 0
+        while (i < lead.length) {
+          var prev = lead(i)
+          var ok = true
+          var j = 1
+          while (ok && j < pos.length) {
+            val pj = pos(j)
+            var idx = java.util.Arrays.binarySearch(pj, prev + 1)
+            if (idx < 0) idx = -idx - 1
+            if (idx >= pj.length) ok = false else prev = pj(idx)
+            j += 1
+          }
+          if (ok) {
+            val sl = (prev - lead(i) + 1) - pos.length
+            if (sl <= slop) fx6 += math.round(1e6 / (1 + sl))
+          }
+          i += 1
+        }
+        if (fx6 > 0) offer(d, sumIdf * Bm25.tfNorm(fx6 / 1e6,
+          iters(0).dl.toDouble, avgdl))
+        d += 1
+      } else d = m
+    }
+    heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
+  }
+
   // ---- MultiPhrase (term-set slots — the match_phrase_prefix rewrite) ----
 
   /** Union cursor over several terms' iterators — one MultiPhraseQuery

@@ -879,6 +879,42 @@ object Searcher {
     topKFrame(h.spark, merged)
   }
 
+  /** ES span_near (in_order) — ordered proximity: each query is (qid, raw
+    * text, slop); the analyzed tokens in order are the span_term clauses.
+    * Same distributed shape as [[phraseSearch]] (the conjunction over the
+    * rarest clause's postings is the selective step; positions decode only
+    * on conjunction docs), the kernel is
+    * [[Phrase.scoreShardSpanNear]]'s greedy-minimal ordered matcher. idf
+    * sums over clause terms, duplicates included (SpanWeight collects
+    * from every clause). Returns (qid, rnk, doc_id, score_x6). */
+  def spanNearSearch(h: Handle, rawQueries: Seq[(Int, String, Int)], k: Int,
+      chain: String => Array[String]): DataFrame = {
+    val analyzed: Seq[(Int, Array[String], Int)] =
+      rawQueries.map { case (qid, q, slop) => (qid, chain(q), slop) }
+    val uniqueTerms = analyzed.flatMap(_._2).distinct.toArray
+    val dfByTerm = resolveDfs(h, uniqueTerms)
+    val nDocs = h.stats.n_docs
+    val avgdl = h.stats.avgdl
+    val kk = k
+    val pqs: Array[(Int, Array[String], Int, Double)] = analyzed.collect {
+      case (qid, ts, slop) if ts.nonEmpty && ts.forall(dfByTerm.contains) =>
+        (qid, ts, slop,
+          ts.iterator.map(t => Bm25.idf(nDocs, dfByTerm(t))).sum)
+    }.toArray
+
+    val merged = treeTopK(h.shards, kk) { si =>
+      pqs.iterator.flatMap { case (qid, ts, slop, sumIdf) =>
+        val lookup: String => Array[PostingBlock] = t => {
+          val tp = si.terms.get(t)
+          if (tp == null) null else tp.blocks
+        }
+        Phrase.scoreShardSpanNear(lookup, ts, slop, sumIdf, avgdl, kk)
+          .iterator.map { case (doc, s) => (qid, doc, s) }
+      }
+    }
+    topKFrame(h.spark, merged)
+  }
+
   /** ES match_phrase_prefix (Lucene MultiPhrasePrefixQuery rewritten to a
     * MultiPhraseQuery): the phrase's LAST token position becomes a slot of
     * up to max_expansions dictionary terms sharing its prefix (supplied by

@@ -132,6 +132,14 @@ class CliSpec extends AnyFunSuite {
     assert(lines("prefix", "DOI", "10.1/nd.99").size === 11)
     assert(lines("qstring", "title", "+record 42 -999")
       .head.startsWith("1 10.1/nd.42 "))
+    // span_near: --slop widens the ordered proximity window
+    assert(graft.cli.Query.runAny(spark, qa.copy(qtype = "span_near",
+      field = "title", query = "record 42", slop = 0))
+      .head.startsWith("1 10.1/nd.42 "))
+    assert(graft.cli.Query.parse(Array("--index-dir", idxDir,
+      "--type", "span_near", "--slop", "2", "record", "42")).slop === 2)
+    assert(intercept[graft.cli.Cli.CliError](graft.cli.Query.parse(
+      Array("--slop", "x", "q"))).getMessage.contains("integer"))
     // scroll: deep export walks the 1997 cohort (34 docs) in pages of 3
     val scrolled = lines("scroll", "year", "1997")
     assert(scrolled.size === 34)

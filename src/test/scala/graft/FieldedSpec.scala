@@ -182,6 +182,45 @@ class FieldedSpec extends AnyFunSuite {
     assert(h("d4") !== h("d2")) // different dl AND different pf
   }
 
+  test("span_near: ordered slop, gap bridging, quantized sloppyFreq") {
+    import spark.implicits._
+    val dir = s"${sys.props("user.dir")}/target/test-idx/spannear"
+    new TableIO(dir).deleteAll()
+    val body = FieldedIndex.FieldSpec("body", Analyzer.TextStop)
+    val docs = Seq(
+      ("d1", Seq("alpha beta")), // adjacent: slopUsed 0
+      ("d2", Seq("alpha x beta")), // one intervening token: slopUsed 1
+      ("d3", Seq("beta alpha")), // reversed — in_order never matches
+      ("d4", Seq("alpha", "beta")), // across values: slopUsed = gap
+      ("d5", Seq("alpha x x x beta")) // slopUsed 3
+    ).toDF("k", "body")
+    FieldedIndex.build(spark, docs, dir, Seq(body), "k",
+      graft.index.PostingsBuilder.Config(shardSize = 16))
+    def hits(q: String, slop: Int): Map[String, Long] =
+      FieldedIndex.spanNear(spark, dir, body, Seq((1, q, slop)), 10)
+        .join(spark.read.parquet(s"$dir/doc_map"), "doc_id").collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[Long]("score_x6")).toMap
+    assert(hits("alpha beta", 0).keySet === Set("d1"))
+    assert(hits("alpha beta", 1).keySet === Set("d1", "d2"))
+    assert(hits("alpha beta", 3).keySet === Set("d1", "d2", "d5"))
+    // the multi-value gap is NOT bridged one slop short of it…
+    assert(hits("alpha beta", 99).keySet === Set("d1", "d2", "d5"))
+    // …and IS at exactly gap cost; d3 (reversed) never matches in_order
+    assert(hits("alpha beta", 100).keySet === Set("d1", "d2", "d4", "d5"))
+    // quantized sloppyFreq orders by proximity at equal term sets
+    val h3 = hits("alpha beta", 3)
+    assert(h3("d1") > h3("d2") && h3("d2") > h3("d5"))
+    // slop=0 on a gap-free two-term query ≡ match_phrase, score-identical
+    val ph = FieldedIndex.phraseMatch(spark, dir, body,
+      Seq(1 -> "alpha beta"), 10)
+      .join(spark.read.parquet(s"$dir/doc_map"), "doc_id").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("score_x6")).toMap
+    assert(hits("alpha beta", 0) === ph)
+    // single-clause span: freq degrades to exactly tf (matches the match
+    // query's per-doc tfNorm input)
+    assert(hits("alpha", 0).keySet === Set("d1", "d2", "d3", "d4", "d5"))
+  }
+
   test("phrase against a positionless index fails loudly, not wrongly") {
     // the webtext-style body index stores index_options docs/freqs (no
     // positions) — a phrase query must surface the configuration error
