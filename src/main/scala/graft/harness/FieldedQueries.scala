@@ -270,6 +270,19 @@ object FieldedQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** match_bool_prefix: "second" + "42" score BM25; trailing "99" is the
+    * prefix clause (+1.0 to the 11 docs whose number starts with 99) —
+    * doc 42 tops on idf, the prefix cohort fills the tail by the union. */
+  val BoolPrefixText = "second 42 99"
+
+  def fieldBoolPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.matchBoolPrefix(spark, dir, spec("title"), BoolPrefixText, K)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   /** Bool-with-phrase clauses (Lucene bool-over-phrase): qid 1 sums the
     * citation match leg with a MASS phrase clause ("second title" — every
     * doc, pf=1, scores split only by dl — a hard tie-break exercise); qid 2
@@ -1030,6 +1043,55 @@ object FieldedQueries {
        |  FROM scored)
        |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
        |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** match_bool_prefix replay: BM25 sum over the full terms FULL-OUTER
+    * unioned with the prefix cohort's constant 1.0 — expansions capped in
+    * term order (the engine's Lucene collection order) BEFORE resolving
+    * docs, zero-filled sums on both union sides. */
+  def fieldBoolPrefixSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val toks = Analyzer.analyzeStop(BoolPrefixText)
+    val full = toks.dropRight(1)
+    val prefix = toks.last
+    val qvals = full.groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy(_._1)
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |el AS (SELECT doi, unnest(title) AS el FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(el), ' ')) AS t FROM el)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(term, w) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT tf.doi, sum(q.w * ${Oracle.bm25Expr}) AS score
+       |  FROM q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  GROUP BY tf.doi),
+       |exps AS (SELECT term FROM (SELECT DISTINCT term FROM tok)
+       |         WHERE term LIKE '$prefix%' ORDER BY term LIMIT 50),
+       |pdocs AS (SELECT DISTINCT tf.doi, 1.0 AS p
+       |          FROM tf JOIN exps USING (term)),
+       |unioned AS (
+       |  SELECT coalesce(s.doi, p.doi) AS doi,
+       |         coalesce(s.score, 0.0) + coalesce(p.p, 0.0) AS score
+       |  FROM scored s FULL OUTER JOIN pdocs p ON s.doi = p.doi),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                       doi ASC) AS rnk
+       |  FROM unioned)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
 
   /** Bool-with-phrase replay: the bibliographic leg CTE block (field stats

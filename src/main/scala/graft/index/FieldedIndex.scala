@@ -1394,6 +1394,54 @@ object FieldedIndex {
       .select(col("rnk"), col("doc_id"), col("score_x6"))
   }
 
+  /** ES `match_bool_prefix` (the search-as-you-type query): the analyzed
+    * tokens become a bool/should — every token but the LAST is a scored
+    * term clause (BM25 under the field's stats, repeated tokens weighting
+    * like any match), the last is a `prefix` clause. The prefix clause
+    * scores as Lucene's constant-score multi-term rewrite: +1.0 for any
+    * doc posting ANY of its ≤ maxExpansions dictionary expansions (term
+    * order, the Lucene collection order), never idf — so typing the next
+    * character can only refine, not reshuffle, the completed-term ranking.
+    * bool/should is a UNION: a doc matching only the prefix still ranks
+    * (at 1.0), and an absent full term just contributes nothing.
+    *
+    * Shape at scale: the scored side is the distributed per-doc score
+    * list (no top-k before the union — a doc outside the term-leg top-k
+    * can enter the final top-k via the +1.0), full-outer-joined on doc_id
+    * with the prefix doc set, then one TakeOrdered(k). Same cost class as
+    * [[boostingQuery]]/[[functionScore]] — corpus-sized exchange only for
+    * corpus-sized matches. Returns (rnk, doc_id, score_x6). */
+  def matchBoolPrefix(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                      text: String, k: Int,
+                      maxExpansions: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Analyzer.analyzeChain(spec.chain, text)
+    require(toks.nonEmpty, "match_bool_prefix: query analyzed to nothing")
+    val full = toks.dropRight(1)
+    val prefix = toks.last
+    val h = handleFor(spark, indexDir, spec.field)
+    val pdocs = Searcher.termDocs(h,
+        prefixTerms(spark, indexDir, spec, prefix, maxExpansions).map(_._1))
+      .select(col("doc_id")).distinct().withColumn("_p", lit(1.0))
+    val scored =
+      if (full.isEmpty) pdocs.select(col("doc_id"), col("_p").as("score"))
+      else {
+        val tw = full.groupBy(identity).view.mapValues(_.length).toMap
+        Searcher.contribs(h, tw)
+          .groupBy(col("doc_id")).agg(sum(col("contrib")).as("qscore"))
+          .join(pdocs, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("qscore"), lit(0.0)) +
+              coalesce(col("_p"), lit(0.0))).as("score"))
+      }
+    scored
+      .select(col("doc_id"), TextIndex.microRound(col("score")).as("score_x6"))
+      .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_x6"))
+  }
+
   /** One ES function_score function. Field-based functions require a
     * single-valued keyword field (same contract as the term_stats aggs —
     * refuse loudly otherwise). */

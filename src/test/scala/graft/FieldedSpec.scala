@@ -622,6 +622,32 @@ class FieldedSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("match_bool_prefix: scored terms union a constant-score prefix") {
+    val t = spec("title")
+    def run(q: String, k: Int = 20): Seq[(String, Long)] =
+      FieldedIndex.matchBoolPrefix(spark, idx, t, q, k)
+        .join(spark.read.parquet(s"$idx/doc_map"), "doc_id")
+        .orderBy("rnk").collect()
+        .map(r => r.getAs[String]("doi") -> r.getAs[Long]("score_x6")).toSeq
+    // full term "42" dominates on idf; the "99" prefix cohort (11 docs)
+    // fills in at bm25(second) + 1.0
+    val r = run("second 42 99")
+    assert(r.head._1 === "10.1/nd.42")
+    assert(r.map(_._1).contains("10.1/nd.99"))
+    // single-token query = pure prefix: constant score 1.0, 11 docs
+    val pure = run("99")
+    assert(pure.size === 11 && pure.forall(_._2 === 1000000L))
+    // bool/should is a union: an absent full term contributes nothing but
+    // kills nothing
+    assert(run("zzzabsent 99").map(_._1) === pure.map(_._1))
+    // prefix expanding to nothing leaves the scored clauses alone
+    assert(run("42 zzzabsent").head._1 === "10.1/nd.42")
+    // analyzed-to-nothing refuses loudly
+    assertThrows[IllegalArgumentException] {
+      FieldedIndex.matchBoolPrefix(spark, idx, t, "the of", 5)
+    }
+  }
+
   test("boosting query: negative cohort demoted, never excluded") {
     val t = spec("title"); val y = spec("year")
     val plain = FieldedIndex.searchField(spark, idx, t,
