@@ -283,6 +283,23 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** more_like_this seed: doc 123's bibliographic term vector selects
+    * {123, 223, 23, 1993} by tf·idf under (mtf 1, mdf 2, max 4) — doc 23
+    * shares "123" (its page) and "23" ×3, doc 223 shares "223" and the
+    * volume — the engine must surface exactly those as most-alike. */
+  val MltKey = "10.1/nd.123"
+  val MltParams = (1, 2, 4, 30) // minTermFreq, minDocFreq, maxQueryTerms, msm%
+
+  def fieldMlt(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    val (mtf, mdf, mqt, pct) = MltParams
+    FieldedIndex.moreLikeThis(spark, dir, spec("bibliographic"), MltKey, K,
+      mtf, mdf, mqt, pct)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
   /** Bool-with-phrase clauses (Lucene bool-over-phrase): qid 1 sums the
     * citation match leg with a MASS phrase clause ("second title" — every
     * doc, pf=1, scores split only by dl — a hard tie-break exercise); qid 2
@@ -1091,6 +1108,56 @@ object FieldedQueries {
        |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
        |                       doi ASC) AS rnk
        |  FROM unioned)
+       |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
+  }
+
+  /** more_like_this replay over the reconstructed bibliographic field:
+    * candidate terms from the seed doc's tf rows filtered by (mtf, mdf),
+    * ranked by micro-rounded tf·idf with term tie-break, capped; the
+    * chosen terms replay as a weight-1 BM25 bool/should with
+    * HAVING count(DISTINCT term) ≥ the same floor(n·pct/100) (min 1) the
+    * engine computes, seed doc excluded. */
+  def fieldMltSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val (mtf, mdf, mqt, pct) = MltParams
+    val idf = "ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'author':'STRUCT(given VARCHAR, family VARCHAR, sequence VARCHAR)[]',
+       |    'container-title':'VARCHAR[]','short-container-title':'VARCHAR[]',
+       |    'volume':'VARCHAR','issue':'VARCHAR','page':'VARCHAR'$dateCols})),
+       |base AS (SELECT DOI AS doi, ${Oracle.bibliographicExpr} AS bib FROM src),
+       |tok AS (SELECT doi, t AS term FROM
+       |          (SELECT doi, unnest(string_split(lower(bib), ' ')) AS t FROM base)
+       |        WHERE t <> '' AND t NOT IN ($stopIn)),
+       |tf AS (SELECT doi, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+       |dl AS (SELECT doi, count(*)::BIGINT AS dl FROM tok GROUP BY doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |cand AS (
+       |  SELECT tf.term,
+       |         CAST(round(tf.tf * ($idf) * 1000000.0) AS BIGINT) AS sx6
+       |  FROM tf JOIN dft USING (term) CROSS JOIN stats s
+       |  WHERE tf.doi = '$MltKey' AND tf.tf >= $mtf AND dft.df >= $mdf),
+       |chosen AS (SELECT term FROM cand ORDER BY sx6 DESC, term ASC LIMIT $mqt),
+       |msm AS (SELECT greatest(1,
+       |    CAST(floor(count(*) * $pct / 100.0) AS BIGINT)) AS m FROM chosen),
+       |scored AS (
+       |  SELECT tf.doi, sum(1 * ${Oracle.bm25Expr}) AS score
+       |  FROM chosen q
+       |  JOIN tf ON tf.term = q.term
+       |  JOIN dft ON dft.term = q.term
+       |  JOIN dl ON dl.doi = tf.doi
+       |  CROSS JOIN stats s
+       |  WHERE tf.doi <> '$MltKey'
+       |  GROUP BY tf.doi
+       |  HAVING count(DISTINCT tf.term) >= (SELECT m FROM msm)),
+       |ranked AS (
+       |  SELECT doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |    row_number() OVER (ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC,
+       |                       doi ASC) AS rnk
+       |  FROM scored)
        |SELECT rnk, doi, score_x6 FROM ranked WHERE rnk <= $K ORDER BY rnk""".stripMargin
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 
 import graft.analysis.Analyzer
 import graft.io.TableIO
-import graft.query.Searcher
+import graft.query.{Bm25, Searcher}
 
 /** Per-field inverted indexing + fielded queries — the reference's
   * 12-field → 4-analyzer mapping (elastic/settings.go:87-138) as a
@@ -1439,6 +1439,62 @@ object FieldedIndex {
       .orderBy(col("score_x6").desc, col("doc_id").asc).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_x6"))
+  }
+
+  /** ES `more_like_this` with `like` = one indexed document: fetch the
+    * source doc's term vector (ONE nested-pruned doc_terms row — the ES
+    * coordinating-node term-vector fetch, compaction-gated like every
+    * doc-values read), select representative terms the Lucene MLT way —
+    * keep terms with tf ≥ minTermFreq and df ≥ minDocFreq, rank by
+    * tf·idf (micro-rounded, ties by term — deterministic across engines),
+    * keep the top maxQueryTerms — then run them as a bool/should of term
+    * clauses through the combined-bound WAND kernel (one leg per term, so
+    * minimum_should_match counts distinct matched terms; ES expresses the
+    * 30%-default the same way). The source doc itself is excluded from
+    * the hits (ES include=false default): the kernel fetches k+1 and the
+    * driver renumbers after dropping it. A selection that filters to
+    * nothing returns zero rows (ES: no terms, no hits). Returns
+    * (rnk, doc_id, score_x6). */
+  def moreLikeThis(spark: SparkSession, indexDir: String, spec: FieldSpec,
+                   key: String, k: Int, minTermFreq: Int = 2,
+                   minDocFreq: Int = 5, maxQueryTerms: Int = 25,
+                   minShouldMatchPct: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dm = docMap(spark, indexDir)
+    val keyCol = dm.columns.filter(_ != "doc_id").head
+    val ids = dm.filter(col(keyCol) === key).select(col("doc_id")).collect()
+    require(ids.nonEmpty, s"more_like_this: unknown _id $key")
+    val srcId = ids.head.getLong(0)
+    requireCompacted(indexDir, "more_like_this term-vector fetch")
+    val tv: Array[(String, Long)] = spark.read
+      .parquet(s"${fieldDir(indexDir, spec.field)}/doc_terms")
+      .filter(col("doc_id") === srcId)
+      .select(explode(col("tfs")).as("e"))
+      .select(col("e.term"), col("e.tf").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h = handleFor(spark, indexDir, spec.field)
+    val dfByTerm = Searcher.termDfs(h, tv.map(_._1))
+    val n = h.stats.n_docs
+    val selected: Array[String] = tv.iterator.collect {
+      case (t, tf) if tf >= minTermFreq &&
+          dfByTerm.getOrElse(t, 0L) >= minDocFreq =>
+        (t, math.round(tf * Bm25.idf(n, dfByTerm(t)) * 1e6))
+    }.toArray.sortBy { case (t, sx6) => (-sx6, t) }
+      .take(maxQueryTerms).map(_._1)
+    if (selected.isEmpty)
+      return spark.range(0).select(col("id").as("rnk"),
+        col("id").as("doc_id"), col("id").as("score_x6"))
+    val msm = math.max(1, selected.length * minShouldMatchPct / 100)
+    val legs = selected.toSeq.map(t =>
+      Searcher.MultiLeg(spec.field, Map(t -> 1)))
+    val mh = multiHandleFor(spark, indexDir, Seq(spec.field))
+    Searcher.multiSearch(mh, legs, k + 1, minShouldMatch = msm)
+      .filter(col("doc_id") =!= srcId)
+      .select(col("doc_id"), col("score_x6"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x6").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
       .select(col("rnk"), col("doc_id"), col("score_x6"))
   }
 

@@ -715,6 +715,13 @@ object Searcher {
     finally h.close()
   }
 
+  /** Bounded public df lookup (the [[resolveDfs]] cache path) for query
+    * planners that rank candidate terms by idf before building the real
+    * query (more_like_this term selection). Input size is the caller's
+    * contract — here always one document's distinct terms. */
+  def termDfs(h: Handle, terms: Array[String]): Map[String, Long] =
+    resolveDfs(h, terms)
+
   /** Query-sized df lookup for cache misses only: |terms| hash lookups per
     * shard, Σ over shards (skipped entirely once the handle has served the
     * terms before). Returns only terms with df > 0. */

@@ -648,6 +648,28 @@ class FieldedSpec extends AnyFunSuite {
     }
   }
 
+  test("more_like_this: tf·idf term selection finds the alike cohort") {
+    val b = spec("bibliographic")
+    def run(key: String, mdf: Int = 2, mqt: Int = 4): Seq[String] =
+      FieldedIndex.moreLikeThis(spark, idx, b, key, 10,
+        minTermFreq = 1, minDocFreq = mdf, maxQueryTerms = mqt,
+        minShouldMatchPct = 30)
+        .join(spark.read.parquet(s"$idx/doc_map"), "doc_id")
+        .orderBy("rnk").collect().map(_.getAs[String]("doi")).toSeq
+    // doc 123 selects {123, 223, 23, 1993}: doc 23 (shares "123" + 3×"23")
+    // and doc 223 (shares "223" + volume 23) are the most alike
+    val r = run("10.1/nd.123")
+    assert(r.take(2).toSet === Set("10.1/nd.23", "10.1/nd.223"))
+    // the seed doc itself is excluded (ES include=false)
+    assert(!r.contains("10.1/nd.123"))
+    // a min_doc_freq too high for every candidate → no terms, zero rows
+    assert(run("10.1/nd.123", mdf = 2000).isEmpty)
+    // unknown _id refuses loudly
+    assertThrows[IllegalArgumentException] {
+      FieldedIndex.moreLikeThis(spark, idx, b, "nope", 10)
+    }
+  }
+
   test("boosting query: negative cohort demoted, never excluded") {
     val t = spec("title"); val y = spec("year")
     val plain = FieldedIndex.searchField(spark, idx, t,
