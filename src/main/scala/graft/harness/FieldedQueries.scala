@@ -574,6 +574,12 @@ object FieldedQueries {
       spec("volume"), 10)
   }
 
+  /** ES terms + stats sub-agg: year buckets, numeric stats over volume. */
+  def fieldTermsStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.termsStatsAgg(spark, dir, spec("year"), spec("volume"), 10)
+  }
+
   /** ES from/size pagination: absolute ranks (3, 7] of the title queries
     * (the deep tie-broken tails make off-by-one slicing visible). */
   val PageFrom = 3
@@ -2280,6 +2286,24 @@ object FieldedQueries {
 
   /** terms+cardinality replay: per year term (keyword-fold of digits =
     * identity), doc count + distinct volume values, ES tie-break. */
+  /** terms+stats sub-agg replay: per-year buckets with exact integer
+    * count/min/max/sum over volume and the single-division avg
+    * micro-rounded; unparseable/missing metric values drop on both
+    * engines (TRY_CAST ≡ the engine's cast+isNotNull). */
+  def fieldTermsStatsSql: String =
+    s"""WITH src AS (SELECT CAST((${Oracle.yearCase("")}) AS VARCHAR) AS term,
+       |    TRY_CAST(nullif(coalesce(volume, ''), '') AS BIGINT) AS m
+       |  FROM (SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'volume':'VARCHAR'$dateCols})))
+       |SELECT term, count(*)::BIGINT AS doc_count,
+       |       count(m)::BIGINT AS m_count,
+       |       min(m) AS m_min, max(m) AS m_max,
+       |       CAST(sum(m) AS BIGINT) AS m_sum,
+       |       CAST(round(avg(m) * 1000000.0) AS BIGINT) AS m_avg_x6
+       |FROM src
+       |GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT 10""".stripMargin
+
   def fieldAggCardSql: String =
     s"""WITH src AS (SELECT CAST((${Oracle.yearCase("")}) AS VARCHAR) AS term,
        |    coalesce(volume, '') AS vol

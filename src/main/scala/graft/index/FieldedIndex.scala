@@ -1795,4 +1795,37 @@ object FieldedIndex {
       .orderBy(col("doc_count").desc, col("term").asc)
       .limit(size)
   }
+
+  /** ES `terms` aggregation with a numeric `stats` SUB-aggregation (the
+    * canonical bucket+metric composition: `{terms: {field: A}, aggs:
+    * {stats: {field: B}}}`). Same two-slim-doc-values-projections shape as
+    * [[termsCardinalityAgg]]: the bucket field LEFT-joins the metric so
+    * docs missing the metric still count in doc_count (ES contract), and
+    * the stats visit VALUES (multi-valued metrics contribute each value —
+    * ES stats semantics). Metric values must parse as longs; unparseable
+    * values are dropped exactly like missing fields (TRY_CAST on both
+    * engines). count/min/max/sum stay exact integers; avg micro-rounds
+    * (one division over an exact integer sum — bit-identical across
+    * engines); an all-missing bucket serves NULL stats, the ES empty-stats
+    * shape. Returns (term, doc_count, m_count, m_min, m_max, m_sum,
+    * m_avg_x6) by doc_count desc, term asc, top `size`. */
+  def termsStatsAgg(spark: SparkSession, indexDir: String,
+                    bucketSpec: FieldSpec, metricSpec: FieldSpec,
+                    size: Int): DataFrame = {
+    val buckets = docValues(spark, indexDir, bucketSpec.field)
+    val metric = docValues(spark, indexDir, metricSpec.field)
+      .select(col("doc_id"),
+        expr("try_cast(value AS BIGINT)").as("m")) // ANSI-safe: null, not throw
+      .filter(col("m").isNotNull)
+    buckets.join(metric, Seq("doc_id"), "left")
+      .groupBy(col("value").as("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_count"),
+        count(col("m")).as("m_count"),
+        min(col("m")).as("m_min"),
+        max(col("m")).as("m_max"),
+        sum(col("m")).as("m_sum"),
+        TextIndex.microRound(avg(col("m"))).as("m_avg_x6"))
+      .orderBy(col("doc_count").desc, col("term").asc)
+      .limit(size)
+  }
 }

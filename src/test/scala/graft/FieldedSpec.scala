@@ -648,6 +648,35 @@ class FieldedSpec extends AnyFunSuite {
     }
   }
 
+  test("terms+stats sub-agg: missing metrics drop from stats, not doc_count") {
+    import spark.implicits._
+    val dir = s"${sys.props("user.dir")}/target/test-idx/termsstats"
+    new TableIO(dir).deleteAll()
+    val cat = FieldedIndex.FieldSpec("cat", Analyzer.Keyword)
+    val num = FieldedIndex.FieldSpec("num", Analyzer.Keyword)
+    val docs = Seq(
+      ("a1", Seq("x"), Seq("10")),
+      ("a2", Seq("x"), Seq.empty[String]), // metric missing: counts in bucket
+      ("a3", Seq("y"), Seq("5", "7")), // multi-valued: both values in stats
+      ("a4", Seq("z"), Seq("oops")) // unparseable drops like missing
+    ).toDF("k", "cat", "num")
+    FieldedIndex.build(spark, docs, dir, Seq(cat, num), "k",
+      graft.index.PostingsBuilder.Config(shardSize = 16))
+    val rows = FieldedIndex.termsStatsAgg(spark, dir, cat, num, 10).collect()
+    assert(rows.map(_.getAs[String]("term")).toSeq === Seq("x", "y", "z"))
+    val byTerm = rows.map(r => r.getAs[String]("term") -> r).toMap
+    val x = byTerm("x")
+    assert(x.getAs[Long]("doc_count") === 2L && x.getAs[Long]("m_count") === 1L)
+    assert(x.getAs[Long]("m_sum") === 10L && x.getAs[Long]("m_avg_x6") === 10000000L)
+    val y = byTerm("y")
+    assert(y.getAs[Long]("doc_count") === 1L && y.getAs[Long]("m_count") === 2L)
+    assert(y.getAs[Long]("m_min") === 5L && y.getAs[Long]("m_max") === 7L)
+    assert(y.getAs[Long]("m_avg_x6") === 6000000L)
+    val z = byTerm("z") // all-missing bucket: ES empty-stats shape (nulls)
+    assert(z.getAs[Long]("doc_count") === 1L && z.getAs[Long]("m_count") === 0L)
+    assert(z.isNullAt(z.fieldIndex("m_min")) && z.isNullAt(z.fieldIndex("m_avg_x6")))
+  }
+
   test("more_like_this: tf·idf term selection finds the alike cohort") {
     val b = spec("bibliographic")
     def run(key: String, mdf: Int = 2, mqt: Int = 4): Seq[String] =
