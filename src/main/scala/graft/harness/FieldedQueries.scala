@@ -580,6 +580,24 @@ object FieldedQueries {
     FieldedIndex.termsStatsAgg(spark, dir, spec("year"), spec("volume"), 10)
   }
 
+  /** ES filter agg: volume stats over the year-1997 cohort only. */
+  def fieldFilterAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.filterStatsAgg(spark, dir, spec("year"), Seq("1997"),
+      spec("volume"))
+  }
+
+  /** ES composite agg page: (year, volume) tuple buckets in key order,
+    * resumed past the ("1992", "30") cursor (string-lexicographic — the
+    * keyword source order, so "4" > "30"). */
+  val CompositeAfter = Seq("1992", "30")
+
+  def fieldComposite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.compositeAgg(spark, dir,
+      Seq(spec("year"), spec("volume")), 10, Some(CompositeAfter))
+  }
+
   /** ES from/size pagination: absolute ranks (3, 7] of the title queries
     * (the deep tie-broken tails make off-by-one slicing visible). */
   val PageFrom = 3
@@ -2303,6 +2321,40 @@ object FieldedQueries {
        |       CAST(round(avg(m) * 1000000.0) AS BIGINT) AS m_avg_x6
        |FROM src
        |GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT 10""".stripMargin
+
+  /** filter-agg replay: the 1997 cohort's volume stats, one row; the same
+    * exact-integer/micro-rounded-avg law as the terms+stats oracle. */
+  def fieldFilterAggSql: String =
+    s"""WITH src AS (SELECT CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y,
+       |    TRY_CAST(nullif(coalesce(volume, ''), '') AS BIGINT) AS m
+       |  FROM (SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'volume':'VARCHAR'$dateCols}))),
+       |f AS (SELECT m FROM src WHERE y = '1997')
+       |SELECT count(*)::BIGINT AS doc_count,
+       |       count(m)::BIGINT AS m_count,
+       |       min(m) AS m_min, max(m) AS m_max,
+       |       CAST(sum(m) AS BIGINT) AS m_sum,
+       |       CAST(round(avg(m) * 1000000.0) AS BIGINT) AS m_avg_x6
+       |FROM f""".stripMargin
+
+  /** composite replay: (year, volume) tuples in composite-key order past
+    * the cursor — the lexicographic after-predicate written identically. */
+  def fieldCompositeSql: String = {
+    val Seq(a1, a2) = CompositeAfter
+    s"""WITH src AS (SELECT CAST((${Oracle.yearCase("")}) AS VARCHAR) AS y,
+       |    coalesce(volume, '') AS v
+       |  FROM (SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR','title':'VARCHAR[]',
+       |    'volume':'VARCHAR'$dateCols}))),
+       |rows AS (SELECT y, v FROM src WHERE y <> '' AND v <> ''),
+       |agg AS (SELECT y AS k_year, v AS k_volume, count(*)::BIGINT AS doc_count
+       |        FROM rows GROUP BY 1, 2),
+       |paged AS (SELECT * FROM agg
+       |          WHERE k_year > '$a1' OR (k_year = '$a1' AND k_volume > '$a2'))
+       |SELECT k_year, k_volume, doc_count FROM paged
+       |ORDER BY k_year, k_volume LIMIT 10""".stripMargin
+  }
 
   def fieldAggCardSql: String =
     s"""WITH src AS (SELECT CAST((${Oracle.yearCase("")}) AS VARCHAR) AS term,

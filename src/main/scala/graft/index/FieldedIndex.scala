@@ -1796,6 +1796,70 @@ object FieldedIndex {
       .limit(size)
   }
 
+  /** ES `filter` aggregation with a numeric `stats` sub-aggregation
+    * (`{filter: {term: …}, aggs: {stats: {field: …}}}`): the stats of
+    * [[termsStatsAgg]] computed over only the docs matching a keyword term
+    * filter (filter context — membership, never scores). The filter doc
+    * set stays distributed (postings of a term are corpus-sized at scale)
+    * and semi-joins the slim metric projection; ES always returns the
+    * bucket, so an empty filter serves one row of doc_count 0 with NULL
+    * stats. Returns (doc_count, m_count, m_min, m_max, m_sum,
+    * m_avg_x6) — one row. */
+  def filterStatsAgg(spark: SparkSession, indexDir: String,
+                     filterSpec: FieldSpec, filterValues: Seq[String],
+                     metricSpec: FieldSpec): DataFrame = {
+    val allowed = termQuery(spark, indexDir, filterSpec, filterValues)
+      .select(col("doc_id")).distinct()
+    val metric = docValues(spark, indexDir, metricSpec.field)
+      .select(col("doc_id"), expr("try_cast(value AS BIGINT)").as("m"))
+      .filter(col("m").isNotNull)
+    allowed.join(metric, Seq("doc_id"), "left")
+      .agg(countDistinct(col("doc_id")).as("doc_count"),
+        count(col("m")).as("m_count"),
+        min(col("m")).as("m_min"),
+        max(col("m")).as("m_max"),
+        sum(col("m")).as("m_sum"),
+        TextIndex.microRound(avg(col("m"))).as("m_avg_x6"))
+  }
+
+  /** ES `composite` aggregation — the SCALABLE bucket pagination API (ES's
+    * own answer to deep terms-agg paging): buckets are the distinct value
+    * TUPLES of the source fields (docs missing any source drop —
+    * missing_bucket=false, the ES default), streamed in composite-key
+    * order with an `after` cursor. Each page is one
+    * inner-join-of-slim-projections + hash agg + key-ordered
+    * TakeOrdered(size); the cursor is a row-local lexicographic predicate
+    * pushed BELOW the aggregation (buckets past the page are never
+    * ranked), so paging N buckets costs N/size bounded scans, never a
+    * deep global sort — constant memory per page at any depth. Returns
+    * (one column per source, doc_count) in key order. */
+  def compositeAgg(spark: SparkSession, indexDir: String,
+                   sources: Seq[FieldSpec], size: Int,
+                   after: Option[Seq[String]] = None): DataFrame = {
+    require(sources.nonEmpty, "composite aggregation needs ≥ 1 source")
+    require(after.forall(_.length == sources.length),
+      "after cursor must carry one value per source")
+    val keyCols = sources.map(s => s"k_${s.field}")
+    val joined = sources.zip(keyCols).map { case (s, kc) =>
+      docValues(spark, indexDir, s.field).select(col("doc_id"),
+        col("value").as(kc))
+    }.reduce(_.join(_, Seq("doc_id")))
+    // lexicographic "composite key > after": (k1 > a1) OR (k1 = a1 AND …)
+    val paged = after match {
+      case None => joined
+      case Some(vals) =>
+        val cond = keyCols.zip(vals).foldRight(lit(false): Column) {
+          case ((kc, v), rest) =>
+            (col(kc) > lit(v)) || (col(kc) === lit(v) && rest)
+        }
+        joined.filter(cond)
+    }
+    paged.groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+      .orderBy(keyCols.map(col(_).asc): _*)
+      .limit(size)
+  }
+
   /** ES `terms` aggregation with a numeric `stats` SUB-aggregation (the
     * canonical bucket+metric composition: `{terms: {field: A}, aggs:
     * {stats: {field: B}}}`). Same two-slim-doc-values-projections shape as

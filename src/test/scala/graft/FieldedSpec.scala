@@ -677,6 +677,47 @@ class FieldedSpec extends AnyFunSuite {
     assert(z.isNullAt(z.fieldIndex("m_min")) && z.isNullAt(z.fieldIndex("m_avg_x6")))
   }
 
+  test("filter agg: stats over the filter cohort only; empty filter serves zeros") {
+    val r = FieldedIndex.filterStatsAgg(spark, idx, spec("year"),
+      Seq("1997"), spec("volume")).collect().head
+    // 1997 cohort = i ≡ 7 (mod 30), 34 docs; volumes are i % 50
+    assert(r.getAs[Long]("doc_count") === 34L)
+    assert(r.getAs[Long]("m_count") === 34L)
+    val vols = (0 until 1000).filter(_ % 30 == 7).map(_ % 50)
+    assert(r.getAs[Long]("m_min") === vols.min.toLong)
+    assert(r.getAs[Long]("m_max") === vols.max.toLong)
+    assert(r.getAs[Long]("m_sum") === vols.sum.toLong)
+    // ES always returns the bucket: no matching docs → doc_count 0, NULL stats
+    val e = FieldedIndex.filterStatsAgg(spark, idx, spec("year"),
+      Seq("1234"), spec("volume")).collect().head
+    assert(e.getAs[Long]("doc_count") === 0L && e.isNullAt(e.fieldIndex("m_min")))
+  }
+
+  test("composite agg: cursor pages reconstruct the full key-ordered stream") {
+    val srcs = Seq(spec("year"), spec("volume"))
+    val all = FieldedIndex.compositeAgg(spark, idx, srcs, 10000)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // every (year, volume) pair of the fixture, keyword-lexicographic order
+    assert(all.map(t => (t._1, t._2)) === all.map(t => (t._1, t._2)).sorted)
+    assert(all.map(_._3).sum === 1000L)
+    // walk pages of 7 through after-cursors — concatenation == the stream
+    val walked = Iterator.iterate(
+      (Seq.empty[(String, String, Long)], Option.empty[Seq[String]], true)) {
+      case (acc, after, _) =>
+        val page = FieldedIndex.compositeAgg(spark, idx, srcs, 7, after)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        (acc ++ page,
+          page.lastOption.map(t => Seq(t._1, t._2)), page.nonEmpty)
+    }.dropWhile(_._3).next()._1
+    assert(walked === all)
+    // cursor mid-key-1: "4" > "30" lexicographically (keyword source order)
+    val after = FieldedIndex.compositeAgg(spark, idx, srcs, 5,
+      Some(Seq("1992", "30"))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(after.forall { case (y, v) => y > "1992" || (y == "1992" && v > "30") })
+    assert(after === after.sorted)
+  }
+
   test("more_like_this: tf·idf term selection finds the alike cohort") {
     val b = spec("bibliographic")
     def run(key: String, mdf: Int = 2, mqt: Int = 4): Seq[String] =
