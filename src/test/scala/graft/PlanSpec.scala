@@ -200,6 +200,40 @@ class PlanSpec extends AnyFunSuite {
       s"numeric range not pushed onto the shadow column:\n$pn")
   }
 
+  test("composite agg pushes the after-cursor below the aggregation") {
+    val idx = graft.harness.FieldedQueries.ensureFieldedIndex(spark)
+    def fs(f: String) =
+      graft.index.FieldedIndex.CrossrefMapping.find(_.field == f).get
+    val page = graft.index.FieldedIndex.compositeAgg(spark, idx,
+      Seq(fs("year"), fs("volume")), 10, Some(Seq("1992", "30")))
+    val p = planString(page)
+    // the cursor is a row-local Filter evaluated BEFORE the hash agg (plan
+    // prints top-down, so deeper = later): buckets past the page are never
+    // built, let alone ranked — the constant-memory-per-page claim
+    val aggAt = p.indexOf("HashAggregate")
+    val filterAt = p.indexOf("1992")
+    assert(aggAt >= 0 && filterAt > aggAt,
+      s"after-cursor not evaluated below the aggregation:\n$p")
+    // page ranking is a TakeOrdered of `size` buckets, never a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"composite page ranks through a global sort:\n$p")
+  }
+
+  test("match_bool_prefix unions through joins + TakeOrdered — no UDF, no sort") {
+    val idx = graft.harness.FieldedQueries.ensureFieldedIndex(spark)
+    def fs(f: String) =
+      graft.index.FieldedIndex.CrossrefMapping.find(_.field == f).get
+    val df = graft.index.FieldedIndex.matchBoolPrefix(spark, idx,
+      fs("title"), "second 42 99", 10)
+    val p = planString(df)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"bool_prefix fell off codegen:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bool_prefix plans a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bool_prefix top-k is a global sort, not TakeOrdered:\n$p")
+  }
+
   test("doc-values projections prune the doc_terms scan to the term subfield") {
     val idx = graft.harness.FieldedQueries.ensureFieldedIndex(spark)
     val agg = graft.index.FieldedIndex.termsCardinalityAgg(spark, idx,
