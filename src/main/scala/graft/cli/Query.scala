@@ -25,7 +25,8 @@ object Query {
   /** Every ES query type the engine serves, selectable via `--type`. */
   val Types: Set[String] = Set("match", "match_and", "phrase",
     "phrase_prefix", "fuzzy", "qstring", "term", "prefix", "wildcard",
-    "range", "regexp", "span_near", "suggest", "count", "scroll")
+    "range", "regexp", "span_near", "span_near_unordered", "suggest",
+    "count", "scroll")
 
   final case class Args(indexDir: String, field: String, k: Int,
       master: String, query: String, qtype: String = "match", slop: Int = 0)
@@ -157,6 +158,10 @@ object Query {
       case "span_near" =>
         keyed(FieldedIndex.spanNear(spark, a.indexDir, spec,
           Seq((1, a.query, a.slop)), a.k), Seq("rnk"), ranked)
+      case "span_near_unordered" =>
+        keyed(FieldedIndex.spanNear(spark, a.indexDir, spec,
+          Seq((1, a.query, a.slop)), a.k, inOrder = false),
+          Seq("rnk"), ranked)
       case "suggest" =>
         FieldedIndex.termSuggest(spark, a.indexDir, spec, a.query, a.k)
           .collect().map(_.toSeq.mkString(" ")).toSeq

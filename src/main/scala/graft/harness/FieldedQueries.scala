@@ -283,6 +283,24 @@ object FieldedQueries {
       .orderBy("rnk")
   }
 
+  /** Unordered span_near queries: reversed clause order must still match
+    * (the whole point of in_order: false) — "7 second" finds doc 7's
+    * value-2 tail at one slop, "42 record" finds the adjacent pair at
+    * zero, and "title record" mass-ties at one. */
+  val SpanNearUnorderedQueries: Seq[(Int, String, Int)] = Seq(
+    (1, "7 second", 1),
+    (2, "42 record", 0),
+    (3, "title record", 1))
+
+  def fieldSpanUnordered(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.spanNear(spark, dir, spec("title"),
+      SpanNearUnorderedQueries, K, inOrder = false)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("qid"), col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("qid", "rnk")
+  }
+
   /** more_like_this seed: doc 123's bibliographic term vector selects
     * {123, 223, 23, 1993} by tf·idf under (mtf 1, mdf 2, max 4) — doc 23
     * shares "123" (its page) and "23" ×3, doc 223 shares "223" and the
@@ -1056,6 +1074,89 @@ object FieldedQueries {
           |  CROSS JOIN stats s CROSS JOIN q${qid}_sidf si)""").stripMargin
     }
     val unionScored = SpanNearQueries.map { case (qid, _, _) =>
+      s"SELECT qid, doi, score FROM q${qid}_scored" }.mkString(" UNION ALL ")
+    s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
+       |src AS (SELECT doi, title FROM src0
+       |        WHERE len(list_filter(title, t -> t IS NOT NULL AND t <> '')) > 0),
+       |vals AS (SELECT doi, v, string_split(lower(el), ' ') AS toks FROM
+       |          (SELECT doi, unnest(title) AS el,
+       |                  unnest(range(len(title))) AS v FROM src) u),
+       |offs AS (SELECT doi, v, toks,
+       |    coalesce(sum(len(toks) + $gap) OVER (PARTITION BY doi ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM vals),
+       |tok0 AS (SELECT doi, off + unnest(range(len(toks))) AS pos,
+       |                unnest(toks) AS term FROM offs),
+       |tok AS (SELECT doi, pos, term FROM tok0
+       |        WHERE term <> '' AND term NOT IN ($stopIn)),
+       |dl AS (SELECT s.doi, count(t.term)::BIGINT AS dl
+       |       FROM src s LEFT JOIN tok t USING (doi) GROUP BY s.doi),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(DISTINCT doi)::BIGINT AS df FROM tok GROUP BY term),
+       |${blocks.mkString(",\n")},
+       |scored AS ($unionScored),
+       |ranked AS (
+       |  SELECT qid, doi, CAST(round(score * 1000000.0) AS BIGINT) AS score_x6,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doi ASC) AS rnk
+       |  FROM scored)
+       |SELECT CAST(qid AS BIGINT) AS qid, rnk, doi, score_x6
+       |FROM ranked WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Unordered span_near replay: every clause occurrence anchors a window
+    * whose other members are each clause's first position ≥ the anchor
+    * (correlated min-subqueries); slopUsed = window − n clamped at 0; the
+    * same quantized-weight BIGINT accumulation as the ordered oracle. */
+  def fieldSpanUnorderedSql: String = {
+    val stopIn = Analyzer.EnglishStopSorted.map(s => s"'$s'").mkString(", ")
+    val gap = Analyzer.PositionIncrementGap
+    val blocks = SpanNearUnorderedQueries.map { case (qid, q, slop) =>
+      val ts = Analyzer.analyzeStop(q)
+      require(ts.nonEmpty, s"span_near_unordered $qid analyzed to nothing")
+      val n = ts.length
+      val qterms = ts.map(t => s"('$t')").mkString(", ")
+      val anchorBlocks = ts.indices.map { c =>
+        val others = ts.indices.filter(_ != c)
+        val mCols = others.zipWithIndex.map { case (j, mi) =>
+          s"""    (SELECT min(t.pos) FROM tok t WHERE t.doi = a.doi
+             |       AND t.term = '${ts(j)}' AND t.pos >= a.p) AS m$mi""".stripMargin
+        }.mkString(",\n")
+        val notNull = others.indices.map(mi => s"m$mi IS NOT NULL")
+          .mkString(" AND ")
+        val hiArgs = ("p" +: others.indices.map(mi => s"m$mi")).mkString(", ")
+        val guard = if (others.isEmpty) "" else s"\n  WHERE $notNull"
+        val uBody =
+          if (others.isEmpty)
+            s"SELECT doi, p FROM (SELECT doi, pos AS p FROM tok WHERE term = '${ts(c)}') a"
+          else
+            s"""SELECT a.doi, a.p,
+               |$mCols
+               |  FROM (SELECT doi, pos AS p FROM tok WHERE term = '${ts(c)}') a""".stripMargin
+        s"""q${qid}_u$c AS ($uBody),
+           |q${qid}_m$c AS (SELECT doi,
+           |    greatest(0, greatest($hiArgs) - p + 1 - $n) AS sl
+           |  FROM q${qid}_u$c$guard)""".stripMargin
+      }
+      val unionM = ts.indices.map(c => s"SELECT doi, sl FROM q${qid}_m$c")
+        .mkString(" UNION ALL ")
+      s"""q${qid}_t(term) AS (VALUES $qterms),
+         |q${qid}_sidf AS (
+         |  SELECT sum(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))) AS sidf
+         |  FROM q${qid}_t q JOIN dft ON dft.term = q.term CROSS JOIN stats s),
+         |${anchorBlocks.mkString(",\n")},
+         |q${qid}_all AS (SELECT doi, sl FROM ($unionM) WHERE sl <= $slop),
+         |q${qid}_pf AS (SELECT doi,
+         |    sum(CAST(round(1000000.0 / (1 + sl)) AS BIGINT)) AS fx6
+         |  FROM q${qid}_all GROUP BY doi),
+         |q${qid}_scored AS (SELECT $qid AS qid, pf.doi,
+         |    si.sidf * ((pf.fx6 / 1000000.0) /
+         |      ((pf.fx6 / 1000000.0) + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+         |  FROM q${qid}_pf pf
+         |  JOIN dl ON dl.doi = pf.doi
+         |  CROSS JOIN stats s CROSS JOIN q${qid}_sidf si)""".stripMargin
+    }
+    val unionScored = SpanNearUnorderedQueries.map { case (qid, _, _) =>
       s"SELECT qid, doi, score FROM q${qid}_scored" }.mkString(" UNION ALL ")
     s"""WITH src0 AS (SELECT DOI AS doi, title FROM (${fixtureSrc()})),
        |src AS (SELECT doi, title FROM src0

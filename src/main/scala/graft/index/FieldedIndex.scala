@@ -271,16 +271,18 @@ object FieldedIndex {
     Searcher.phraseSearch(handleFor(spark, indexDir, spec.field), rawQueries,
       k, Analyzer.analyzeChainPos(spec.chain, _))
 
-  /** ES span_near (in_order: true) against one field: the text analyzes
-    * with the field's chain and its surviving tokens, in order, become the
-    * span_term clauses; a doc matches where an ordered alignment fits in
-    * `slop` extra positions (per-query slop; bridging the multi-value
-    * position_increment_gap costs ≥ gap — same contract as phrases).
-    * Returns (qid, rnk, doc_id, score_x6). */
+  /** ES span_near against one field: the text analyzes with the field's
+    * chain and its surviving tokens become the span_term clauses; a doc
+    * matches where an alignment fits in `slop` extra positions — ordered
+    * when `inOrder` (the default), anchored-minimal-window when not
+    * (per-query slop; bridging the multi-value position_increment_gap
+    * costs ≥ gap — same contract as phrases). Returns
+    * (qid, rnk, doc_id, score_x6). */
   def spanNear(spark: SparkSession, indexDir: String, spec: FieldSpec,
-               rawQueries: Seq[(Int, String, Int)], k: Int): DataFrame =
+               rawQueries: Seq[(Int, String, Int)], k: Int,
+               inOrder: Boolean = true): DataFrame =
     Searcher.spanNearSearch(handleFor(spark, indexDir, spec.field),
-      rawQueries, k, Analyzer.analyzeChain(spec.chain, _))
+      rawQueries, k, Analyzer.analyzeChain(spec.chain, _), inOrder)
 
   /** ES term-query against one field (exact match under the field's chain,
     * filter context): (term, doc_id) for each analyzed value. */

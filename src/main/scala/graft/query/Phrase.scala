@@ -262,6 +262,101 @@ object Phrase {
     heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
   }
 
+  /** Score one UNORDERED span_near (ES `span_near` with `in_order: false`)
+    * against one shard's blocks.
+    *
+    * Match law (this engine's deterministic contract, inspired by Lucene's
+    * NearSpansUnordered but defined set-wise so both engines replay it
+    * bit-identically — Lucene's own enumeration is a stateful pointer
+    * race whose tie order is queue-internal): every clause occurrence
+    * (c, p) anchors at most one window — each OTHER clause contributes its
+    * FIRST position ≥ p (so p is the window's minimum by construction);
+    * the window matches iff slopUsed = max(window) − p + 1 − n, clamped at
+    * 0 for overlapping duplicate positions, is ≤ slop. Weights accumulate
+    * micro-quantized exactly like the ordered kernel. A clause term absent
+    * from a doc kills that doc (conjunction), and order never matters:
+    * "b a" finds "a b". Single-clause queries degrade to freq = tf. */
+  def scoreShardSpanNearUnordered(blocksByTerm: String => Array[PostingBlock],
+                                  terms: Array[String], slop: Int,
+                                  sumIdf: Double, avgdl: Double,
+                                  k: Int): Array[(Long, Double)] = {
+    if (terms.isEmpty) return Array.empty
+    val uniq = terms.distinct
+    val tps = uniq.map(blocksByTerm)
+    if (tps.exists(_ == null)) return Array.empty
+    val iterByTerm = uniq.zip(tps.map(new PosIter(_))).toMap
+    val clauses: Array[PosIter] = terms.map(iterByTerm)
+    val iters = iterByTerm.values.toArray
+
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by[(Long, Long, Double), (Long, Long)] { case (x6, d, _) => (-x6, d) }
+    val heap = mutable.PriorityQueue.empty[(Long, Long, Double)]
+    def offer(doc: Long, s: Double): Unit = {
+      val x6 = math.round(s * 1e6)
+      if (heap.size < k) heap.enqueue((x6, doc, s))
+      else {
+        val (hx6, hdoc, _) = heap.head
+        if (x6 > hx6 || (x6 == hx6 && doc < hdoc)) {
+          heap.dequeue(); heap.enqueue((x6, doc, s))
+        }
+      }
+    }
+
+    var d = 0L
+    var i = 0
+    while (i < iters.length) {
+      val c = iters(i).curDoc
+      if (c > d) d = c
+      i += 1
+    }
+    while (d != Long.MaxValue) {
+      var m = d
+      i = 0
+      while (i < iters.length) {
+        iters(i).advanceTo(d)
+        val c = iters(i).curDoc
+        if (c > m) m = c
+        i += 1
+      }
+      if (m == d) {
+        val pos: Array[Array[Int]] = clauses.map(_.positions)
+        var fx6 = 0L
+        var c = 0
+        while (c < pos.length) {
+          val anchor = pos(c)
+          i = 0
+          while (i < anchor.length) {
+            val p = anchor(i)
+            var hi = p
+            var ok = true
+            var j = 0
+            while (ok && j < pos.length) {
+              if (j != c) {
+                val pj = pos(j)
+                // first position ≥ p
+                var idx = java.util.Arrays.binarySearch(pj, p)
+                if (idx < 0) idx = -idx - 1
+                if (idx >= pj.length) ok = false
+                else if (pj(idx) > hi) hi = pj(idx)
+              }
+              j += 1
+            }
+            if (ok) {
+              val sl = math.max(0, (hi - p + 1) - pos.length)
+              if (sl <= slop) fx6 += math.round(1e6 / (1 + sl))
+            }
+            i += 1
+          }
+          c += 1
+        }
+        if (fx6 > 0) offer(d, sumIdf * Bm25.tfNorm(fx6 / 1e6,
+          iters(0).dl.toDouble, avgdl))
+        d += 1
+      } else d = m
+    }
+    heap.dequeueAll.map((e: (Long, Long, Double)) => (e._2, e._3)).toArray
+  }
+
   // ---- MultiPhrase (term-set slots — the match_phrase_prefix rewrite) ----
 
   /** Union cursor over several terms' iterators — one MultiPhraseQuery

@@ -891,11 +891,13 @@ object Searcher {
     * Same distributed shape as [[phraseSearch]] (the conjunction over the
     * rarest clause's postings is the selective step; positions decode only
     * on conjunction docs), the kernel is
-    * [[Phrase.scoreShardSpanNear]]'s greedy-minimal ordered matcher. idf
+    * [[Phrase.scoreShardSpanNear]]'s greedy-minimal ordered matcher
+    * (`inOrder = false` swaps in the anchored-window unordered matcher,
+    * [[Phrase.scoreShardSpanNearUnordered]]). idf
     * sums over clause terms, duplicates included (SpanWeight collects
     * from every clause). Returns (qid, rnk, doc_id, score_x6). */
   def spanNearSearch(h: Handle, rawQueries: Seq[(Int, String, Int)], k: Int,
-      chain: String => Array[String]): DataFrame = {
+      chain: String => Array[String], inOrder: Boolean = true): DataFrame = {
     val analyzed: Seq[(Int, Array[String], Int)] =
       rawQueries.map { case (qid, q, slop) => (qid, chain(q), slop) }
     val uniqueTerms = analyzed.flatMap(_._2).distinct.toArray
@@ -909,14 +911,20 @@ object Searcher {
           ts.iterator.map(t => Bm25.idf(nDocs, dfByTerm(t))).sum)
     }.toArray
 
+    val ordered = inOrder
     val merged = treeTopK(h.shards, kk) { si =>
       pqs.iterator.flatMap { case (qid, ts, slop, sumIdf) =>
         val lookup: String => Array[PostingBlock] = t => {
           val tp = si.terms.get(t)
           if (tp == null) null else tp.blocks
         }
-        Phrase.scoreShardSpanNear(lookup, ts, slop, sumIdf, avgdl, kk)
-          .iterator.map { case (doc, s) => (qid, doc, s) }
+        val hits =
+          if (ordered)
+            Phrase.scoreShardSpanNear(lookup, ts, slop, sumIdf, avgdl, kk)
+          else
+            Phrase.scoreShardSpanNearUnordered(lookup, ts, slop, sumIdf,
+              avgdl, kk)
+        hits.iterator.map { case (doc, s) => (qid, doc, s) }
       }
     }
     topKFrame(h.spark, merged)

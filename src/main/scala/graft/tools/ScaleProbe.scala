@@ -92,6 +92,32 @@ object ScaleProbe {
     System.err.println(f"[scale] phrase p50=${pct(phraseMs, 0.5)}%.1fms " +
       f"max=${phraseMs.max}%.1fms (${phrases.size} phrase queries)")
 
+    // span_near latency (ordered + unordered at slop 2): same conjunction
+    // cost class as phrases — the proximity window only changes the
+    // per-candidate position arithmetic, never which blocks decode
+    val spans = Seq("w1 w2", "w3 w7", "w42 w777")
+    spans.foreach { p =>
+      FieldedIndex.spanNear(spark, dir, spec, Seq((1, p, 2)), QuerySet.K)
+        .count()
+      FieldedIndex.spanNear(spark, dir, spec, Seq((1, p, 2)), QuerySet.K,
+        inOrder = false).count()
+    }
+    val spanMs = spans.map { p =>
+      val t = now()
+      FieldedIndex.spanNear(spark, dir, spec, Seq((1, p, 2)), QuerySet.K)
+        .count()
+      secs(t) * 1000.0
+    }
+    val spanUMs = spans.map { p =>
+      val t = now()
+      FieldedIndex.spanNear(spark, dir, spec, Seq((1, p, 2)), QuerySet.K,
+        inOrder = false).count()
+      secs(t) * 1000.0
+    }
+    System.err.println(f"[scale] span_near p50=${pct(spanMs, 0.5)}%.1fms " +
+      f"max=${spanMs.max}%.1fms unordered p50=${pct(spanUMs, 0.5)}%.1fms " +
+      f"max=${spanUMs.max}%.1fms")
+
     val postingsBytes = spark.read.parquet(s"$fdir/lineage")
       .agg(org.apache.spark.sql.functions.sum("postings_bytes"))
       .head().getLong(0)

@@ -138,6 +138,10 @@ class CliSpec extends AnyFunSuite {
       .head.startsWith("1 10.1/nd.42 "))
     assert(graft.cli.Query.parse(Array("--index-dir", idxDir,
       "--type", "span_near", "--slop", "2", "record", "42")).slop === 2)
+    // unordered: reversed clause order still finds the doc
+    assert(graft.cli.Query.runAny(spark, qa.copy(
+      qtype = "span_near_unordered", field = "title", query = "42 record"))
+      .head.startsWith("1 10.1/nd.42 "))
     assert(intercept[graft.cli.Cli.CliError](graft.cli.Query.parse(
       Array("--slop", "x", "q"))).getMessage.contains("integer"))
     // scroll: deep export walks the 1997 cohort (34 docs) in pages of 3

@@ -182,7 +182,8 @@ class FieldedSpec extends AnyFunSuite {
     assert(h("d4") !== h("d2")) // different dl AND different pf
   }
 
-  test("span_near: ordered slop, gap bridging, quantized sloppyFreq") {
+  /** Build-once proximity corpus shared by the span_near tests. */
+  private lazy val spanIdx: String = {
     import spark.implicits._
     val dir = s"${sys.props("user.dir")}/target/test-idx/spannear"
     new TableIO(dir).deleteAll()
@@ -196,6 +197,12 @@ class FieldedSpec extends AnyFunSuite {
     ).toDF("k", "body")
     FieldedIndex.build(spark, docs, dir, Seq(body), "k",
       graft.index.PostingsBuilder.Config(shardSize = 16))
+    dir
+  }
+
+  test("span_near: ordered slop, gap bridging, quantized sloppyFreq") {
+    val dir = spanIdx
+    val body = FieldedIndex.FieldSpec("body", Analyzer.TextStop)
     def hits(q: String, slop: Int): Map[String, Long] =
       FieldedIndex.spanNear(spark, dir, body, Seq((1, q, slop)), 10)
         .join(spark.read.parquet(s"$dir/doc_map"), "doc_id").collect()
@@ -219,6 +226,25 @@ class FieldedSpec extends AnyFunSuite {
     // single-clause span: freq degrades to exactly tf (matches the match
     // query's per-doc tfNorm input)
     assert(hits("alpha", 0).keySet === Set("d1", "d2", "d3", "d4", "d5"))
+  }
+
+  test("span_near unordered: reversed clauses match, ordered stays strict") {
+    val dir = spanIdx
+    val body = FieldedIndex.FieldSpec("body", Analyzer.TextStop)
+    def hits(q: String, slop: Int, inOrder: Boolean): Map[String, Long] =
+      FieldedIndex.spanNear(spark, dir, body, Seq((1, q, slop)), 10, inOrder)
+        .join(spark.read.parquet(s"$dir/doc_map"), "doc_id").collect()
+        .map(r => r.getAs[String]("k") -> r.getAs[Long]("score_x6")).toMap
+    // reuses the span_near corpus: d3 = ["beta alpha"] — reversed clauses
+    // never match ordered, but match unordered at zero slop
+    assert(hits("alpha beta", 0, inOrder = true).keySet === Set("d1"))
+    assert(hits("alpha beta", 0, inOrder = false).keySet === Set("d1", "d3"))
+    // clause order is irrelevant when unordered
+    assert(hits("beta alpha", 1, inOrder = false) ===
+      hits("alpha beta", 1, inOrder = false))
+    // proximity still bounds: d5 (= alpha x x x beta) needs 3 slop
+    assert(!hits("beta alpha", 2, inOrder = false).contains("d5"))
+    assert(hits("beta alpha", 3, inOrder = false).contains("d5"))
   }
 
   test("phrase against a positionless index fails loudly, not wrongly") {

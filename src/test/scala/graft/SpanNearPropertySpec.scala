@@ -131,4 +131,82 @@ class SpanNearPropertySpec extends AnyFunSuite {
     }
     check("span-near-exactness", p)
   }
+
+  // ---- unordered (in_order: false) ----------------------------------------
+
+  /** Set-wise recompute of the anchored-window law from the analyzed maps
+    * (no iterators, no blocks): every clause occurrence anchors a window of
+    * each other clause's first position ≥ it. */
+  private def bruteUnordered(corpus: Seq[Seq[Seq[String]]], raw: String,
+      slop: Int, k: Int): Seq[(Long, Long)] = {
+    val ts = Analyzer.analyzeChain(Analyzer.TextStop, raw)
+    if (ts.isEmpty) return Nil
+    val docs = corpus.map(analyzed)
+    val n = docs.length.toLong
+    val df = ts.distinct.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    if (ts.exists(t => df(t) == 0)) return Nil
+    val avgdl = if (n == 0) 0.0 else docs.map(_._1).sum.toDouble / n
+    val sumIdf = ts.iterator.map(t => Bm25.idf(n, df(t))).sum
+    docs.zipWithIndex.flatMap { case ((dl, terms), id) =>
+      if (ts.exists(t => !terms.contains(t))) None
+      else {
+        val pos: Array[Array[Int]] = ts.map(t => terms(t)._2)
+        var fx6 = 0L
+        for (c <- pos.indices; p <- pos(c)) {
+          val mins = pos.indices.filter(_ != c)
+            .map(j => pos(j).find(_ >= p))
+          if (mins.forall(_.isDefined)) {
+            val hi = (p +: mins.map(_.get)).max
+            val sl = math.max(0, (hi - p + 1) - pos.length)
+            if (sl <= slop) fx6 += math.round(1e6 / (1 + sl))
+          }
+        }
+        if (fx6 == 0) None
+        else Some((id.toLong, math.round(
+          sumIdf * Bm25.tfNorm(fx6 / 1e6, dl.toDouble, avgdl) * 1e6)))
+      }
+    }.sortBy { case (id, x6) => (-x6, id) }.take(k)
+  }
+
+  private def kernelUnordered(corpus: Seq[Seq[Seq[String]]], raw: String,
+      slop: Int, k: Int, shardSize: Int, blockSize: Int): Seq[(Long, Long)] = {
+    val ts = Analyzer.analyzeChain(Analyzer.TextStop, raw)
+    if (ts.isEmpty) return Nil
+    val docs = corpus.map(analyzed)
+    val n = docs.length.toLong
+    val df = ts.distinct.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    if (ts.exists(t => df(t) == 0)) return Nil
+    val avgdl = if (n == 0) 0.0 else docs.map(_._1).sum.toDouble / n
+    val sumIdf = ts.iterator.map(t => Bm25.idf(n, df(t))).sum
+    val rows = docs.zipWithIndex.flatMap { case ((dl, terms), id) =>
+      terms.toSeq.sortBy(_._1).map { case (t, (tf, pos)) =>
+        TfRow(id / shardSize, t, id.toLong, tf, dl, pos)
+      }
+    }
+    val byShard: Map[Int, Map[String, Array[PostingBlock]]] =
+      rows.groupBy(_.doc_shard).map { case (shard, rs) =>
+        val sorted = rs.sortBy(r => (r.term, r.doc_id))
+        val blocks = PostingsBuilder.encodePartition(avgdl, blockSize)(
+          sorted.iterator).toIndexedSeq
+        shard -> blocks.groupBy(_.term).view
+          .mapValues(_.sortBy(_.block_id).toArray).toMap
+      }
+    byShard.toSeq.sortBy(_._1).flatMap { case (_, blocks) =>
+      Phrase.scoreShardSpanNearUnordered(t => blocks.getOrElse(t, null),
+        ts, slop, sumIdf, avgdl, k)
+        .map { case (d, s) => (d, math.round(s * 1e6)) }.toSeq
+    }.sortBy { case (id, x6) => (-x6, id) }.take(k)
+  }
+
+  test("unordered span_near kernel == set-wise anchored-window scorer") {
+    val p = Prop.forAll(corpusGen, queryGen, slopGen, Gen.oneOf(1, 3, 10),
+      Gen.oneOf(3, 8, 64), Gen.oneOf(2, 4)) {
+      (corpus, raw, slop, k, shardSize, blockSize) =>
+        bruteUnordered(corpus, raw, slop, k) ==
+          kernelUnordered(corpus, raw, slop, k, shardSize, blockSize)
+    }
+    check("span-near-unordered-exactness", p)
+  }
 }
