@@ -598,6 +598,17 @@ object FieldedQueries {
     FieldedIndex.termsStatsAgg(spark, dir, spec("year"), spec("volume"), 10)
   }
 
+  /** ES missing agg over a populated field (volume — 0 missing) and the
+    * never-populated abbreviated_journal mapping (all 1000 missing). */
+  def fieldMissing(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.missingAgg(spark, dir, spec("volume"))
+      .withColumn("field", lit("volume"))
+      .unionByName(FieldedIndex.missingAgg(spark, dir,
+        spec("abbreviated_journal")).withColumn("field", lit("abbreviated_journal")))
+      .select(col("field"), col("doc_count")).orderBy("field")
+  }
+
   /** ES filter agg: volume stats over the year-1997 cohort only. */
   def fieldFilterAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureFieldedIndex(spark)
@@ -2422,6 +2433,23 @@ object FieldedQueries {
        |       CAST(round(avg(m) * 1000000.0) AS BIGINT) AS m_avg_x6
        |FROM src
        |GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT 10""".stripMargin
+
+  /** missing-agg replay: docs whose field renders to zero non-empty values
+    * under the mapping's source expression — the exists complement. */
+  def fieldMissingSql: String =
+    s"""WITH src AS (
+       |  SELECT * FROM read_json('${Oracle.fixturesDir}/ndjson_plain.ndjson',
+       |    format='newline_delimited', columns={'DOI':'VARCHAR',
+       |    'volume':'VARCHAR','short-container-title':'VARCHAR[]'}))
+       |SELECT 'abbreviated_journal' AS field,
+       |  count(*) FILTER (WHERE len(list_filter(coalesce("short-container-title", []),
+       |    t -> t IS NOT NULL AND t <> '')) = 0)::BIGINT AS doc_count
+       |FROM src
+       |UNION ALL
+       |SELECT 'volume' AS field,
+       |  count(*) FILTER (WHERE coalesce(volume, '') = '')::BIGINT AS doc_count
+       |FROM src
+       |ORDER BY field""".stripMargin
 
   /** filter-agg replay: the 1997 cohort's volume stats, one row; the same
     * exact-integer/micro-rounded-avg law as the terms+stats oracle. */

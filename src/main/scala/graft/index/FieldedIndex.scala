@@ -493,6 +493,17 @@ object FieldedIndex {
       .where(col("dl") > 0).select("doc_id")
   }
 
+  /** ES `missing` aggregation: doc_count of corpus docs with NO value for
+    * the field — the [[existsQuery]] complement (dl = 0 means every value
+    * was empty/absent under the mapping). One anti-join of two slim
+    * (doc_id)/(doc_id, dl) projections + a count — no corpus-sized
+    * columns move. Returns one row (doc_count). */
+  def missingAgg(spark: SparkSession, indexDir: String,
+                 spec: FieldSpec): DataFrame =
+    docMap(spark, indexDir).select(col("doc_id"))
+      .join(existsQuery(spark, indexDir, spec), Seq("doc_id"), "left_anti")
+      .agg(count(col("doc_id")).as("doc_count"))
+
   /** ES terms aggregation over a field: top-`size` terms by doc_count
     * (df desc, term asc — the ES tie-break), straight off the
     * pre-aggregated term_stats table (exact df — the ES agg is
