@@ -527,6 +527,15 @@ object FieldedQueries {
     FieldedIndex.percentilesAgg(spark, dir, spec("year"))
   }
 
+  /** percentile_ranks probes: below the year range (→ 0%), two interior
+    * years, the max (→ 100%). */
+  val PctRankProbes = Seq(1989L, 1995L, 2004L, 2019L)
+
+  def fieldAggPctRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    FieldedIndex.percentileRanksAgg(spark, dir, spec("year"), PctRankProbes)
+  }
+
   /** ES regexp queries on the keyword DOI field: an alternation (no sound
     * literal prefix — full dictionary automaton walk, 3 dois) and a
     * bounded-repeat quantifier (literal-prefix-pruned, 99/999). */
@@ -1829,6 +1838,21 @@ object FieldedQueries {
        |y AS (SELECT y FROM y0 WHERE y IS NOT NULL)
        |$branches
        |ORDER BY pct_x6""".stripMargin
+  }
+
+  /** percentile_ranks replay: cumulative df fraction ≤ each probe, the
+    * engine's exact (100·le)/tot parenthesization before the micro-round. */
+  def fieldAggPctRanksSql: String = {
+    val branches = PctRankProbes.map { v =>
+      s"""SELECT CAST($v AS BIGINT) AS value,
+         |  CAST(round(((100.0 * (SELECT coalesce(sum(c), 0) FROM yc WHERE y <= $v))
+         |    / (SELECT sum(c) FROM yc)) * 1000000.0) AS BIGINT) AS rank_x6""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH src AS (${fixtureSrc(dateCols)}),
+       |y0 AS (SELECT CAST((${Oracle.yearCase("")}) AS BIGINT) AS y FROM src),
+       |yc AS (SELECT y, count(*)::BIGINT AS c FROM y0 WHERE y IS NOT NULL GROUP BY y)
+       |$branches
+       |ORDER BY value""".stripMargin
   }
 
   /** regexp replay: DuckDB regexp_matches with the engine's exact anchored

@@ -1030,6 +1030,31 @@ object FieldedIndex {
       .orderBy("pct_x6")
   }
 
+  /** ES `percentile_ranks`, exact form (the [[percentilesAgg]] inverse):
+    * for each probe value, the percent of field values ≤ it —
+    * 100 · Σ df[term_num ≤ v] / Σ df, df-weighted off the vocab-sized
+    * term_stats scan (one pass computes every probe's cumulative weight —
+    * no doc-row expansion at any scale). ES itself serves t-digest
+    * interpolations here; this is the exact cumulative-weight form, the
+    * same documented swap as percentilesAgg. Returns (value, rank_x6) by
+    * value ascending. */
+  def percentileRanksAgg(spark: SparkSession, indexDir: String,
+                         spec: FieldSpec, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "percentile_ranks needs ≥ 1 probe value")
+    requireSingleValued(spec, "percentile_ranks")
+    val ts = termStatsNum(spark, indexDir, spec.field)
+      .where(col("term_num").isNotNull)
+    val les = array(values.map(v =>
+      sum(when(col("term_num") <= v, col("df")).otherwise(0L))): _*)
+    ts.agg(les.as("les"), sum(col("df")).as("tot"))
+      .select(col("tot"), posexplode(col("les")).as(Seq("i", "le")))
+      .select(
+        element_at(typedlit(values), col("i") + 1).as("value"),
+        TextIndex.microRound(
+          (lit(100.0) * col("le")) / col("tot")).as("rank_x6"))
+      .orderBy("value")
+  }
+
   /** Parsed form of an ES `simple_query_string` body (the subset of its
     * flagged syntax clients actually type): bare token = optional (should)
     * clause, leading `+` = required (must) clause, leading `-` = excluded

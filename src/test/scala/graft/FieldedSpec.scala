@@ -703,6 +703,23 @@ class FieldedSpec extends AnyFunSuite {
     assert(z.isNullAt(z.fieldIndex("m_min")) && z.isNullAt(z.fieldIndex("m_avg_x6")))
   }
 
+  test("percentile_ranks: cumulative df fractions, 0 below min, 100 at max") {
+    val y = spec("year")
+    val rows = FieldedIndex.percentileRanksAgg(spark, idx, y,
+      Seq(1989L, 1995L, 2004L, 2019L)).collect()
+      .map(r => r.getAs[Long]("value") -> r.getAs[Long]("rank_x6")).toMap
+    assert(rows(1989L) === 0L) // below the 1990..2019 range
+    assert(rows(2019L) === 100000000L) // == 100% in micro-units
+    // fixture years are i%30-uniform: rank(1995) ≈ 6/30, rank(2004) ≈ 15/30
+    assert(rows(1995L) > 19000000L && rows(1995L) < 21000000L)
+    assert(rows(2004L) > 49000000L && rows(2004L) < 51000000L)
+    // monotone in the probe value
+    assert(rows(1995L) < rows(2004L))
+    assertThrows[IllegalArgumentException] {
+      FieldedIndex.percentileRanksAgg(spark, idx, y, Seq.empty)
+    }
+  }
+
   test("filter agg: stats over the filter cohort only; empty filter serves zeros") {
     val r = FieldedIndex.filterStatsAgg(spark, idx, spec("year"),
       Seq("1997"), spec("volume")).collect().head
