@@ -1,0 +1,414 @@
+package graft.api
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.FieldedIndex
+import graft.index.FieldedIndex.FieldSpec
+
+/** The ES `_search` REQUEST BODY, parsed and executed — what the
+  * reference's clients actually POST (SURVEY §3.3: Biblio-Glutton sends a
+  * JSON bool/should of per-field matches). This is the final switch-over
+  * surface: a request body that ran against the reference's Elasticsearch
+  * runs here against the same mapping and returns the same ranking.
+  *
+  * Parsing is STRICT like ES's: an unknown query type, an unknown field,
+  * an unrecognized parameter key, or a malformed clause fails loudly with
+  * the offending path — never silently ignored (ES `parsing_exception`
+  * behavior). Supported query nodes (each dispatches to the gated engine
+  * implementation — this layer adds parsing, never semantics):
+  * match (operator / fuzziness / boost), match_phrase (slop refused with a
+  * pointer at span_near — this engine's proximity contract lives there),
+  * match_phrase_prefix, match_bool_prefix, term, terms, range, prefix,
+  * wildcard, regexp, exists, fuzzy, bool (must / should / filter /
+  * must_not / minimum_should_match), dis_max, span_near (span_term
+  * clauses), more_like_this, boosting, constant_score.
+  *
+  * Scored nodes return the engine's (rnk, doc_id, score_x6); pure filter
+  * nodes at the top level return the ES constant-score shape (every hit
+  * 1.0 × boost, doc order — the tie-break ES applies to equal scores).
+  * `from`/`size` slice the ABSOLUTE ranking (the engine fetches
+  * from + size, then shifts ranks), matching the paged search law. */
+object EsRequest {
+
+  private val mapper = new ObjectMapper()
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"parsing_exception: $msg")
+
+  private def obj(n: JsonNode, where: String): JsonNode = {
+    if (n == null || !n.isObject) fail(s"$where must be a JSON object")
+    n
+  }
+
+  /** Strictness gate: every key of `n` must be in `allowed`. */
+  private def known(n: JsonNode, allowed: Set[String], where: String): Unit = {
+    val bad = n.fieldNames().asScala.filterNot(allowed).toSeq
+    if (bad.nonEmpty)
+      fail(s"unknown key(s) [${bad.mkString(", ")}] in $where " +
+        s"(supported: ${allowed.toSeq.sorted.mkString(", ")})")
+  }
+
+  private def text(n: JsonNode, key: String, where: String): String = {
+    val v = n.get(key)
+    if (v == null || !v.isTextual) fail(s"$where needs a string '$key'")
+    v.asText()
+  }
+
+  private def optInt(n: JsonNode, key: String): Option[Int] =
+    Option(n.get(key)).map { v =>
+      if (!v.canConvertToInt) fail(s"'$key' must be an integer")
+      v.asInt()
+    }
+
+  private def optNum(n: JsonNode, key: String): Option[Double] =
+    Option(n.get(key)).map { v =>
+      if (!v.isNumber) fail(s"'$key' must be a number")
+      v.asDouble()
+    }
+
+  private def optLong(n: JsonNode, key: String): Option[Long] =
+    Option(n.get(key)).map { v =>
+      if (!v.canConvertToLong) fail(s"'$key' must be an integer")
+      v.asLong()
+    }
+
+  /** The single (field → body) entry of a one-field query node. */
+  private def oneField(n: JsonNode, where: String): (String, JsonNode) = {
+    val fields = n.fieldNames().asScala.toSeq
+    if (fields.size != 1) fail(s"$where expects exactly one field, " +
+      s"got [${fields.mkString(", ")}]")
+    (fields.head, n.get(fields.head))
+  }
+
+  /** Clause value that is either a bare scalar or {PARAM-OBJECT}. */
+  private def queryText(v: JsonNode, where: String,
+                        textKey: String = "query"): String =
+    if (v.isTextual || v.isNumber) v.asText()
+    else text(obj(v, where), textKey, where)
+
+  /** ES array-or-single clause lists: `"must": {...}` ≡ `"must": [{...}]`. */
+  private def clauseList(n: JsonNode): Seq[JsonNode] =
+    if (n == null) Nil
+    else if (n.isArray) n.elements().asScala.toSeq
+    else Seq(n)
+
+  /** Run one request body against an index built with `mapping`.
+    * Returns (rnk, doc_id, score_x6) of the requested page. */
+  def run(spark: SparkSession, indexDir: String, body: String,
+          mapping: Seq[FieldSpec] = FieldedIndex.CrossrefMapping): DataFrame = {
+    val root =
+      try mapper.readTree(body)
+      catch { case e: Exception => fail(s"malformed JSON: ${e.getMessage}") }
+    obj(root, "request body")
+    known(root, Set("query", "size", "from"), "request body")
+    val size = optInt(root, "size").getOrElse(10)
+    val from = optInt(root, "from").getOrElse(0)
+    if (size <= 0 || from < 0) fail("size must be > 0 and from ≥ 0")
+    val qn = root.get("query")
+    if (qn == null) fail("request body needs a 'query'")
+    val hits = exec(spark, indexDir, mapping, qn, from + size)
+    if (from == 0) hits
+    else hits.filter(col("rnk") > from)
+      .select((col("rnk") - from).as("rnk"), col("doc_id"), col("score_x6"))
+  }
+
+  private def spec(mapping: Seq[FieldSpec], f: String): FieldSpec =
+    mapping.find(_.field == f)
+      .getOrElse(fail(s"unknown field [$f] (mapped: " +
+        mapping.map(_.field).mkString(", ") + ")"))
+
+  /** Uniform (rnk, doc_id, score_x6) from a (qid, rnk, …) single query. */
+  private def dropQid(df: DataFrame): DataFrame =
+    df.select(col("rnk"), col("doc_id"), col("score_x6"))
+
+  /** ES constant-score hit shape: every match scores boost, doc order. */
+  private def constDocs(docs: DataFrame, k: Int,
+                        boost: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id")).distinct()
+      .orderBy(col("doc_id").asc).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("doc_id").asc)).cast("long"))
+      .select(col("rnk"), col("doc_id"),
+        lit(math.round(boost * 1e6)).as("score_x6"))
+  }
+
+  /** A scored (match / match_phrase) clause for bool/dis_max contexts. */
+  private def scoredClause(mapping: Seq[FieldSpec], n: JsonNode,
+      where: String): (String, FieldSpec, String) = {
+    obj(n, where)
+    val (kind, body) = oneField(n, where)
+    kind match {
+      case "match" | "match_phrase" =>
+        val (f, v) = oneField(obj(body, s"$where.$kind"), s"$where.$kind")
+        if (v.isObject) known(v, Set("query"), s"$where.$kind.$f")
+        (kind, spec(mapping, f), queryText(v, s"$where.$kind.$f"))
+      case other =>
+        fail(s"$where supports match / match_phrase clauses, got [$other]")
+    }
+  }
+
+  /** A filter-context clause: analyzed term values of one field. */
+  private def filterClause(spark: SparkSession, indexDir: String,
+      mapping: Seq[FieldSpec], n: JsonNode,
+      where: String): (FieldSpec, Seq[String]) = {
+    obj(n, where)
+    val (kind, body) = oneField(n, where)
+    kind match {
+      case "term" =>
+        val (f, v) = oneField(obj(body, s"$where.term"), s"$where.term")
+        if (v.isObject) known(v, Set("value"), s"$where.term.$f")
+        (spec(mapping, f), Seq(queryText(v, s"$where.term.$f", "value")))
+      case "terms" =>
+        val (f, v) = oneField(obj(body, s"$where.terms"), s"$where.terms")
+        if (!v.isArray) fail(s"$where.terms.$f must be an array")
+        (spec(mapping, f), v.elements().asScala.map(_.asText()).toSeq)
+      case "range" =>
+        val (f, v) = oneField(obj(body, s"$where.range"), s"$where.range")
+        known(obj(v, s"$where.range.$f"), Set("gte", "lte", "gt", "lt"),
+          s"$where.range.$f")
+        val fs = spec(mapping, f)
+        // rewrite to the capped dictionary expansion (the engine's range
+        // law); terms re-analyze idempotently under the keyword chains
+        (fs, FieldedIndex.rangeTerms(spark, indexDir, fs,
+          optLong(v, "gte"), optLong(v, "lte"),
+          optLong(v, "gt"), optLong(v, "lt")))
+      case other =>
+        fail(s"$where supports term / terms / range filters, got [$other]")
+    }
+  }
+
+  private def exec(spark: SparkSession, indexDir: String,
+      mapping: Seq[FieldSpec], qn: JsonNode, k: Int): DataFrame = {
+    obj(qn, "query")
+    val (kind, body) = oneField(qn, "query")
+    kind match {
+      case "match" =>
+        val (f, v) = oneField(obj(body, "match"), "match")
+        val fs = spec(mapping, f)
+        if (v.isTextual || v.isNumber)
+          return dropQid(FieldedIndex.searchField(spark, indexDir, fs,
+            Seq(1 -> v.asText()), k))
+        known(obj(v, s"match.$f"), Set("query", "operator", "boost",
+          "fuzziness", "max_expansions"), s"match.$f")
+        val q = text(v, "query", s"match.$f")
+        val op = Option(v.get("operator")).map(_.asText()).getOrElse("or")
+        val boost = optNum(v, "boost").getOrElse(1.0)
+        val fuzz = Option(v.get("fuzziness")).map(x =>
+          if (x.isTextual && x.asText() == "AUTO") -1
+          else if (x.canConvertToInt) x.asInt()
+          else fail(s"match.$f.fuzziness must be AUTO or an integer"))
+        if (fuzz.nonEmpty && (op != "or" || boost != 1.0))
+          fail(s"match.$f: fuzziness composes with neither operator nor boost")
+        op match {
+          case "and" =>
+            if (boost != 1.0) fail(s"match.$f: operator=and with boost " +
+              "is not supported — boost legs inside a bool instead")
+            FieldedIndex.matchAnd(spark, indexDir, fs, q, k)
+          case "or" =>
+            fuzz match {
+              case Some(e) => dropQid(FieldedIndex.fuzzyMatch(spark,
+                indexDir, fs, Seq(1 -> q), k, fuzziness = e,
+                maxExpansions = optInt(v, "max_expansions").getOrElse(50)))
+              case None if boost == 1.0 =>
+                dropQid(FieldedIndex.searchField(spark, indexDir, fs,
+                  Seq(1 -> q), k))
+              case None =>
+                FieldedIndex.multiMatchBoost(spark, indexDir,
+                  Seq((fs, q, boost)), k)
+            }
+          case other => fail(s"match.$f.operator must be or/and, got [$other]")
+        }
+
+      case "match_phrase" =>
+        val (f, v) = oneField(obj(body, "match_phrase"), "match_phrase")
+        if (v.isObject) {
+          known(v, Set("query", "slop"), s"match_phrase.$f")
+          if (optInt(v, "slop").exists(_ > 0))
+            fail(s"match_phrase.$f: slop is served by span_near in this " +
+              "engine (quantized sloppyFreq contract) — post a span_near query")
+        }
+        dropQid(FieldedIndex.phraseMatch(spark, indexDir, spec(mapping, f),
+          Seq(1 -> queryText(v, s"match_phrase.$f")), k))
+
+      case "match_phrase_prefix" =>
+        val (f, v) = oneField(obj(body, "match_phrase_prefix"),
+          "match_phrase_prefix")
+        dropQid(FieldedIndex.matchPhrasePrefix(spark, indexDir,
+          spec(mapping, f), Seq(1 -> queryText(v, s"match_phrase_prefix.$f")), k))
+
+      case "match_bool_prefix" =>
+        val (f, v) = oneField(obj(body, "match_bool_prefix"),
+          "match_bool_prefix")
+        FieldedIndex.matchBoolPrefix(spark, indexDir, spec(mapping, f),
+          queryText(v, s"match_bool_prefix.$f"), k)
+
+      case "term" =>
+        val (f, v) = oneField(obj(body, "term"), "term")
+        if (v.isObject) known(v, Set("value"), s"term.$f")
+        dropQid(FieldedIndex.searchField(spark, indexDir, spec(mapping, f),
+          Seq(1 -> queryText(v, s"term.$f", "value")), k))
+
+      case "terms" =>
+        val (fs, vals) = filterClause(spark, indexDir, mapping, qn, "terms")
+        constDocs(FieldedIndex.termQuery(spark, indexDir, fs, vals), k)
+
+      case "range" =>
+        val (fs, terms) = filterClause(spark, indexDir, mapping, qn, "range")
+        constDocs(FieldedIndex.termQuery(spark, indexDir, fs, terms), k)
+
+      case "prefix" =>
+        val (f, v) = oneField(obj(body, "prefix"), "prefix")
+        if (v.isObject) known(v, Set("value"), s"prefix.$f")
+        constDocs(FieldedIndex.prefixQuery(spark, indexDir, spec(mapping, f),
+          queryText(v, s"prefix.$f", "value")), k)
+
+      case "wildcard" =>
+        val (f, v) = oneField(obj(body, "wildcard"), "wildcard")
+        if (v.isObject) known(v, Set("value"), s"wildcard.$f")
+        constDocs(FieldedIndex.wildcardQuery(spark, indexDir,
+          spec(mapping, f), queryText(v, s"wildcard.$f", "value")), k)
+
+      case "regexp" =>
+        val (f, v) = oneField(obj(body, "regexp"), "regexp")
+        if (v.isObject) known(v, Set("value"), s"regexp.$f")
+        constDocs(FieldedIndex.regexpQuery(spark, indexDir, spec(mapping, f),
+          queryText(v, s"regexp.$f", "value")), k)
+
+      case "exists" =>
+        known(obj(body, "exists"), Set("field"), "exists")
+        constDocs(FieldedIndex.existsQuery(spark, indexDir,
+          spec(mapping, text(body, "field", "exists"))), k)
+
+      case "fuzzy" =>
+        val (f, v) = oneField(obj(body, "fuzzy"), "fuzzy")
+        known(obj(v, s"fuzzy.$f"), Set("value", "fuzziness", "max_expansions"),
+          s"fuzzy.$f")
+        val e = Option(v.get("fuzziness")).map(x =>
+          if (x.isTextual && x.asText() == "AUTO") -1 else x.asInt())
+          .getOrElse(-1)
+        dropQid(FieldedIndex.fuzzyMatch(spark, indexDir, spec(mapping, f),
+          Seq(1 -> text(v, "value", s"fuzzy.$f")), k, fuzziness = e,
+          maxExpansions = optInt(v, "max_expansions").getOrElse(50)))
+
+      case "bool" =>
+        known(obj(body, "bool"), Set("must", "should", "filter", "must_not",
+          "minimum_should_match"), "bool")
+        val must = clauseList(body.get("must"))
+          .map(scoredClause(mapping, _, "bool.must"))
+        val should = clauseList(body.get("should"))
+          .map(scoredClause(mapping, _, "bool.should"))
+        val filters = clauseList(body.get("filter"))
+          .map(filterClause(spark, indexDir, mapping, _, "bool.filter"))
+        val nots = clauseList(body.get("must_not"))
+          .map(filterClause(spark, indexDir, mapping, _, "bool.must_not"))
+        if (filters.size > 1) fail("bool.filter: one filter clause per bool " +
+          "(compose further filters as terms of the same field)")
+        if (nots.size > 1) fail("bool.must_not: one must_not clause per bool")
+        def split(cs: Seq[(String, FieldSpec, String)]) = (
+          cs.collect { case ("match", fs, t) => (fs, t) },
+          cs.collect { case ("match_phrase", fs, t) => (fs, t) })
+        val (mustM, mustP) = split(must)
+        val (shouldM, shouldP) = split(should)
+        FieldedIndex.esBool(spark, indexDir,
+          must = mustM, should = shouldM,
+          mustPhrases = mustP, shouldPhrases = shouldP,
+          filter = filters.headOption, mustNot = nots.headOption,
+          k = k,
+          minShouldMatch = optInt(body, "minimum_should_match").getOrElse(-1))
+
+      case "dis_max" =>
+        known(obj(body, "dis_max"), Set("queries", "tie_breaker"), "dis_max")
+        val legs = clauseList(body.get("queries"))
+          .map(scoredClause(mapping, _, "dis_max.queries")).map {
+            case ("match", fs, t) => (fs, t)
+            case (other, _, _) =>
+              fail(s"dis_max.queries supports match legs, got [$other]")
+          }
+        if (legs.isEmpty) fail("dis_max needs ≥ 1 query")
+        FieldedIndex.disMax(spark, indexDir, legs, k,
+          optNum(body, "tie_breaker").getOrElse(0.0))
+
+      case "span_near" =>
+        known(obj(body, "span_near"), Set("clauses", "slop", "in_order"),
+          "span_near")
+        val clauses = clauseList(body.get("clauses")).map { c =>
+          val (ck, cb) = oneField(obj(c, "span_near.clauses"),
+            "span_near.clauses")
+          if (ck != "span_term")
+            fail(s"span_near clauses must be span_term, got [$ck]")
+          oneField(obj(cb, "span_term"), "span_term")
+        }
+        if (clauses.isEmpty) fail("span_near needs ≥ 1 clause")
+        val fieldsUsed = clauses.map(_._1).distinct
+        if (fieldsUsed.size != 1)
+          fail(s"span_near clauses must target one field, got " +
+            s"[${fieldsUsed.mkString(", ")}]")
+        val slop = optInt(obj(body, "span_near"), "slop").getOrElse(0)
+        // required, not defaulted: the ordered/unordered kernels differ in
+        // contract — a silently-assumed order would be the worst failure
+        val io = body.get("in_order")
+        if (io == null || !io.isBoolean)
+          fail("span_near needs an explicit boolean in_order")
+        val inOrder = io.asBoolean()
+        dropQid(FieldedIndex.spanNear(spark, indexDir,
+          spec(mapping, fieldsUsed.head),
+          Seq((1, clauses.map(_._2.asText()).mkString(" "), slop)), k,
+          inOrder = inOrder))
+
+      case "more_like_this" =>
+        known(obj(body, "more_like_this"), Set("fields", "like",
+          "min_term_freq", "min_doc_freq", "max_query_terms",
+          "minimum_should_match"), "more_like_this")
+        val fields = clauseList(body.get("fields")).map(_.asText())
+        if (fields.size != 1)
+          fail("more_like_this: exactly one entry in 'fields'")
+        val likes = clauseList(body.get("like"))
+        if (likes.size != 1 || !likes.head.isObject)
+          fail("more_like_this: 'like' must be one {\"_id\": …} document")
+        known(likes.head, Set("_id"), "more_like_this.like")
+        val msmPct = Option(body.get("minimum_should_match")).map { m =>
+          val s = m.asText()
+          if (!s.endsWith("%")) fail(
+            "more_like_this.minimum_should_match must be a percent string")
+          s.dropRight(1).toInt
+        }.getOrElse(30)
+        FieldedIndex.moreLikeThis(spark, indexDir,
+          spec(mapping, fields.head),
+          text(likes.head, "_id", "more_like_this.like"), k,
+          minTermFreq = optInt(body, "min_term_freq").getOrElse(2),
+          minDocFreq = optInt(body, "min_doc_freq").getOrElse(5),
+          maxQueryTerms = optInt(body, "max_query_terms").getOrElse(25),
+          minShouldMatchPct = msmPct)
+
+      case "boosting" =>
+        known(obj(body, "boosting"), Set("positive", "negative",
+          "negative_boost"), "boosting")
+        val (pk, pos, pt) = scoredClause(mapping, body.get("positive"),
+          "boosting.positive")
+        val (nk, neg, nt) = scoredClause(mapping, body.get("negative"),
+          "boosting.negative")
+        if (pk != "match" || nk != "match")
+          fail("boosting supports match positive/negative legs")
+        val nb = optNum(obj(body, "boosting"), "negative_boost")
+          .getOrElse(fail("boosting needs negative_boost"))
+        FieldedIndex.boostingQuery(spark, indexDir, pos, pt, neg, nt, nb, k)
+
+      case "constant_score" =>
+        known(obj(body, "constant_score"), Set("filter", "boost"),
+          "constant_score")
+        val fn = body.get("filter")
+        if (fn == null) fail("constant_score needs a filter")
+        val (fs, vals) = filterClause(spark, indexDir, mapping, fn,
+          "constant_score.filter")
+        constDocs(FieldedIndex.termQuery(spark, indexDir, fs, vals), k,
+          optNum(body, "boost").getOrElse(1.0))
+
+      case other => fail(s"unsupported query type [$other]")
+    }
+  }
+}

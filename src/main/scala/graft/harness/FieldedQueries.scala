@@ -301,6 +301,28 @@ object FieldedQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** The ES request BODY itself, through the strict DSL parser — the
+    * reference's actual client shape (a bool/should of per-field matches)
+    * must parse+execute to the same ranking the typed multiMatch serves,
+    * gated by the SAME oracle SQL as q_field_multi. */
+  val GluttonBody: String =
+    """{"query":{"bool":{"should":[
+      |  {"match":{"bibliographic":"fam123 Record 123 title Journal 123"}},
+      |  {"match":{"year":"1993"}},
+      |  {"match":{"volume":"23"}}]}},
+      | "size":10}""".stripMargin
+
+  def fieldDsl(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureFieldedIndex(spark)
+    graft.api.EsRequest.run(spark, dir, GluttonBody)
+      .join(docMap(spark, dir), "doc_id")
+      .select(col("rnk"), col("doi"), col("score_x6"))
+      .orderBy("rnk")
+  }
+
+  /** DSL replay = the multi-match replay: the body IS MultiLegs. */
+  def fieldDslSql: String = fieldMultiSql
+
   /** more_like_this seed: doc 123's bibliographic term vector selects
     * {123, 223, 23, 1993} by tf·idf under (mtf 1, mdf 2, max 4) — doc 23
     * shares "123" (its page) and "23" ×3, doc 223 shares "223" and the

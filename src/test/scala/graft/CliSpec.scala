@@ -132,6 +132,22 @@ class CliSpec extends AnyFunSuite {
     assert(lines("prefix", "DOI", "10.1/nd.99").size === 11)
     assert(lines("qstring", "title", "+record 42 -999")
       .head.startsWith("1 10.1/nd.42 "))
+    // the request-body endpoint: a JSON body through the strict DSL
+    val body = """{"query":{"match":{"title":"title 42"}},"size":3}"""
+    val dsl = graft.cli.Search.run(spark,
+      graft.cli.Search.parse(Array("--index-dir", idxDir, body)))
+    assert(dsl.head.startsWith("1 10.1/nd.42 "))
+    // '-' reads the body from stdin
+    assert(graft.cli.Search.parse(Array("--index-dir", idxDir, "-"),
+      stdin = body).body === body)
+    assert(intercept[graft.cli.Cli.CliError] {
+      graft.cli.Search.run(spark, graft.cli.Search.parse(
+        Array("--index-dir", idxDir, """{"query":{"nope":{}}}""")))
+    }.getMessage.contains("unsupported query type"))
+    assert(intercept[graft.cli.Cli.CliError](
+      graft.cli.Search.parse(Array("--index-dir", idxDir)))
+      .getMessage.contains("usage"))
+
     // span_near: --slop widens the ordered proximity window
     assert(graft.cli.Query.runAny(spark, qa.copy(qtype = "span_near",
       field = "title", query = "record 42", slop = 0))
