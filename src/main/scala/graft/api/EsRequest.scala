@@ -97,19 +97,33 @@ object EsRequest {
     else Seq(n)
 
   /** Run one request body against an index built with `mapping`.
-    * Returns (rnk, doc_id, score_x6) of the requested page. */
+    * A `query` body returns (rnk, doc_id, score_x6) of the requested
+    * page; an `aggs` body (one named aggregation, `size: 0` implied — the
+    * standard ES pure-agg request) returns that aggregation's frame. The
+    * two are mutually exclusive here: this layer returns ONE DataFrame,
+    * and a hits+aggs response would need a composite envelope — post two
+    * requests, as ES clients commonly do anyway. */
   def run(spark: SparkSession, indexDir: String, body: String,
           mapping: Seq[FieldSpec] = FieldedIndex.CrossrefMapping): DataFrame = {
     val root =
       try mapper.readTree(body)
       catch { case e: Exception => fail(s"malformed JSON: ${e.getMessage}") }
     obj(root, "request body")
-    known(root, Set("query", "size", "from"), "request body")
+    known(root, Set("query", "size", "from", "aggs"), "request body")
+    val qn = root.get("query")
+    val an = root.get("aggs")
+    if (qn != null && an != null)
+      fail("query and aggs in one body are not combined by this layer — " +
+        "post the aggregation as its own request")
+    if (an != null) {
+      if (optInt(root, "size").exists(_ != 0) || optInt(root, "from").nonEmpty)
+        fail("an aggs body implies size 0 (no hits page)")
+      return aggs(spark, indexDir, mapping, an)
+    }
     val size = optInt(root, "size").getOrElse(10)
     val from = optInt(root, "from").getOrElse(0)
     if (size <= 0 || from < 0) fail("size must be > 0 and from ≥ 0")
-    val qn = root.get("query")
-    if (qn == null) fail("request body needs a 'query'")
+    if (qn == null) fail("request body needs a 'query' or 'aggs'")
     val hits = exec(spark, indexDir, mapping, qn, from + size)
     if (from == 0) hits
     else hits.filter(col("rnk") > from)
@@ -408,7 +422,158 @@ object EsRequest {
         constDocs(FieldedIndex.termQuery(spark, indexDir, fs, vals), k,
           optNum(body, "boost").getOrElse(1.0))
 
+      case "function_score" =>
+        known(obj(body, "function_score"), Set("query", "functions",
+          "score_mode", "boost_mode"), "function_score")
+        val inner = body.get("query")
+        if (inner == null) fail("function_score needs an inner query")
+        val (ik, fs, itext) = scoredClause(mapping, inner,
+          "function_score.query")
+        if (ik != "match") fail("function_score.query must be a match")
+        val fns = clauseList(body.get("functions")).map(parseFunction(mapping, _))
+        if (fns.isEmpty) fail("function_score needs ≥ 1 function")
+        FieldedIndex.functionScore(spark, indexDir, fs, itext, fns, k,
+          scoreMode = Option(body.get("score_mode")).map(_.asText())
+            .getOrElse("multiply"),
+          boostMode = Option(body.get("boost_mode")).map(_.asText())
+            .getOrElse("multiply"))
+
       case other => fail(s"unsupported query type [$other]")
+    }
+  }
+
+  /** One function of a function_score `functions` array. */
+  private def parseFunction(mapping: Seq[FieldSpec],
+      n: JsonNode): FieldedIndex.ScoreFunction = {
+    obj(n, "function_score.functions")
+    val (kind, body) = oneField(n, "function_score.functions")
+    kind match {
+      case "weight" =>
+        if (!body.isNumber) fail("weight must be a number")
+        FieldedIndex.ScoreFunction.Weight(body.asDouble())
+      case "field_value_factor" =>
+        known(obj(body, "field_value_factor"), Set("field", "factor",
+          "modifier", "missing"), "field_value_factor")
+        FieldedIndex.ScoreFunction.FieldValueFactor(
+          spec(mapping, text(body, "field", "field_value_factor")),
+          optNum(body, "factor").getOrElse(1.0),
+          Option(body.get("modifier")).map(_.asText()).getOrElse("none"),
+          optNum(body, "missing").getOrElse(1.0))
+      case "gauss" =>
+        val (f, v) = oneField(obj(body, "gauss"), "gauss")
+        known(obj(v, s"gauss.$f"), Set("origin", "scale", "offset", "decay"),
+          s"gauss.$f")
+        FieldedIndex.ScoreFunction.Gauss(spec(mapping, f),
+          optNum(v, "origin").getOrElse(fail(s"gauss.$f needs origin")),
+          optNum(v, "scale").getOrElse(fail(s"gauss.$f needs scale")),
+          optNum(v, "offset").getOrElse(0.0),
+          optNum(v, "decay").getOrElse(0.5))
+      case other =>
+        fail(s"unsupported function [$other] (weight, field_value_factor, " +
+          "gauss; script_score is the Column-based API, not JSON-expressible)")
+    }
+  }
+
+  /** A pure-aggregation body: exactly ONE named aggregation, dispatched to
+    * the engine's agg calls. Nested `aggs` compose the built composed
+    * forms: terms+cardinality, terms+stats, filter+stats. */
+  private def aggs(spark: SparkSession, indexDir: String,
+      mapping: Seq[FieldSpec], an: JsonNode): DataFrame = {
+    obj(an, "aggs")
+    val (_, node) = oneField(an, "aggs") // the agg's NAME (any string)
+    obj(node, "aggs entry")
+    val subAggs = Option(node.get("aggs"))
+    val kinds = node.fieldNames().asScala.filterNot(_ == "aggs").toSeq
+    if (kinds.size != 1)
+      fail(s"an aggregation needs exactly one type, got [${kinds.mkString(", ")}]")
+    val kind = kinds.head
+    val body = node.get(kind)
+
+    /** The single (kind, field) of a nested metric sub-agg. */
+    def subMetric(): Option[(String, FieldSpec)] = subAggs.map { sn =>
+      val (_, sub) = oneField(obj(sn, "aggs.aggs"), "aggs.aggs")
+      val (sk, sb) = oneField(obj(sub, "sub-aggregation"), "sub-aggregation")
+      known(obj(sb, s"sub $sk"), Set("field"), s"sub $sk")
+      (sk, spec(mapping, text(sb, "field", s"sub $sk")))
+    }
+
+    kind match {
+      case "terms" =>
+        known(obj(body, "terms"), Set("field", "size"), "terms agg")
+        val fs = spec(mapping, text(body, "field", "terms agg"))
+        val size = optInt(body, "size").getOrElse(10)
+        subMetric() match {
+          case None => FieldedIndex.termsAgg(spark, indexDir, fs, size)
+          case Some(("cardinality", sub)) =>
+            FieldedIndex.termsCardinalityAgg(spark, indexDir, fs, sub, size)
+          case Some(("stats", sub)) =>
+            FieldedIndex.termsStatsAgg(spark, indexDir, fs, sub, size)
+          case Some((other, _)) =>
+            fail(s"terms sub-aggregation supports cardinality/stats, got [$other]")
+        }
+      case "histogram" =>
+        known(obj(body, "histogram"), Set("field", "interval"), "histogram agg")
+        FieldedIndex.histogramAgg(spark, indexDir,
+          spec(mapping, text(body, "field", "histogram agg")),
+          optLong(body, "interval").getOrElse(fail("histogram needs interval")))
+      case "stats" =>
+        known(obj(body, "stats"), Set("field"), "stats agg")
+        FieldedIndex.statsAgg(spark, indexDir,
+          spec(mapping, text(body, "field", "stats agg")))
+      case "range" =>
+        known(obj(body, "range"), Set("field", "ranges"), "range agg")
+        val ranges = clauseList(body.get("ranges")).map { r =>
+          known(obj(r, "range agg range"), Set("from", "to"), "range agg range")
+          (optLong(r, "from"), optLong(r, "to"))
+        }
+        FieldedIndex.rangeAgg(spark, indexDir,
+          spec(mapping, text(body, "field", "range agg")), ranges)
+      case "percentiles" =>
+        known(obj(body, "percentiles"), Set("field", "percents"),
+          "percentiles agg")
+        val fs = spec(mapping, text(body, "field", "percentiles agg"))
+        val ps = clauseList(body.get("percents")).map(_.asDouble() / 100.0)
+        if (ps.isEmpty) FieldedIndex.percentilesAgg(spark, indexDir, fs)
+        else FieldedIndex.percentilesAgg(spark, indexDir, fs, ps)
+      case "percentile_ranks" =>
+        known(obj(body, "percentile_ranks"), Set("field", "values"),
+          "percentile_ranks agg")
+        FieldedIndex.percentileRanksAgg(spark, indexDir,
+          spec(mapping, text(body, "field", "percentile_ranks agg")),
+          clauseList(body.get("values")).map(_.asLong()))
+      case "missing" =>
+        known(obj(body, "missing"), Set("field"), "missing agg")
+        FieldedIndex.missingAgg(spark, indexDir,
+          spec(mapping, text(body, "field", "missing agg")))
+      case "filter" =>
+        val (fs, vals) = filterClause(spark, indexDir, mapping, body,
+          "filter agg")
+        subMetric() match {
+          case Some(("stats", sub)) =>
+            FieldedIndex.filterStatsAgg(spark, indexDir, fs, vals, sub)
+          case other => fail("filter agg needs a stats sub-aggregation, " +
+            s"got [${other.map(_._1).getOrElse("none")}]")
+        }
+      case "composite" =>
+        known(obj(body, "composite"), Set("size", "sources", "after"),
+          "composite agg")
+        val sources = clauseList(body.get("sources")).map { s =>
+          val (_, src) = oneField(obj(s, "composite source"),
+            "composite source")
+          val (sk, sb) = oneField(obj(src, "composite source type"),
+            "composite source type")
+          if (sk != "terms") fail(s"composite sources must be terms, got [$sk]")
+          known(obj(sb, "composite terms source"), Set("field"),
+            "composite terms source")
+          spec(mapping, text(sb, "field", "composite terms source"))
+        }
+        val after = Option(body.get("after")).map { a =>
+          obj(a, "composite.after")
+          sources.map(s => text(a, s.field, "composite.after"))
+        }
+        FieldedIndex.compositeAgg(spark, indexDir, sources,
+          optInt(body, "size").getOrElse(10), after)
+      case other => fail(s"unsupported aggregation [$other]")
     }
   }
 }

@@ -145,6 +145,77 @@ class EsDslSpec extends AnyFunSuite {
       spec("title"), "title 7", spec("year"), "1997", 0.4, 10)))
   }
 
+  test("function_score body ≡ typed functions") {
+    val body =
+      """{"query":{"function_score":{
+        |  "query":{"match":{"title":"title 7"}},
+        |  "functions":[
+        |    {"gauss":{"year":{"origin":1997,"scale":10,"decay":0.5}}},
+        |    {"weight":1.2},
+        |    {"field_value_factor":{"field":"volume","factor":0.1,
+        |      "modifier":"sqrt","missing":1.0}}],
+        |  "score_mode":"multiply","boost_mode":"multiply"}}}""".stripMargin
+    import FieldedIndex.ScoreFunction._
+    val typed = FieldedIndex.functionScore(spark, idx, spec("title"),
+      "title 7", Seq(
+        Gauss(spec("year"), 1997, 10, 0.0, 0.5),
+        Weight(1.2),
+        FieldValueFactor(spec("volume"), 0.1, "sqrt", 1.0)),
+      10, "multiply", "multiply")
+    assert(run(body) === rows(typed))
+  }
+
+  test("aggs bodies ≡ typed aggregations") {
+    def agg(body: String): DataFrame = EsRequest.run(spark, idx, body)
+    assert(agg("""{"aggs":{"years":{"terms":{"field":"year","size":10}}}}""")
+      .collect().toSeq ===
+      FieldedIndex.termsAgg(spark, idx, spec("year"), 10).collect().toSeq)
+    assert(agg(
+      """{"aggs":{"y":{"terms":{"field":"year","size":10},
+        |"aggs":{"v":{"stats":{"field":"volume"}}}}}}""".stripMargin)
+      .collect().toSeq ===
+      FieldedIndex.termsStatsAgg(spark, idx, spec("year"), spec("volume"), 10)
+        .collect().toSeq)
+    assert(agg(
+      """{"aggs":{"h":{"histogram":{"field":"year","interval":5}}}}""")
+      .collect().toSeq ===
+      FieldedIndex.histogramAgg(spark, idx, spec("year"), 5).collect().toSeq)
+    assert(agg(
+      """{"aggs":{"p":{"percentile_ranks":{"field":"year","values":[1995,2004]}}}}""")
+      .collect().toSeq ===
+      FieldedIndex.percentileRanksAgg(spark, idx, spec("year"),
+        Seq(1995L, 2004L)).collect().toSeq)
+    assert(agg(
+      """{"aggs":{"c":{"composite":{"size":5,
+        |"sources":[{"y":{"terms":{"field":"year"}}},
+        |           {"v":{"terms":{"field":"volume"}}}],
+        |"after":{"year":"1992","volume":"30"}}}}}""".stripMargin)
+      .collect().toSeq ===
+      FieldedIndex.compositeAgg(spark, idx,
+        Seq(spec("year"), spec("volume")), 5,
+        Some(Seq("1992", "30"))).collect().toSeq)
+    assert(agg(
+      """{"aggs":{"m":{"missing":{"field":"abbreviated_journal"}}}}""")
+      .collect().head.getLong(0) === 1000L)
+    assert(agg(
+      """{"aggs":{"f":{"filter":{"term":{"year":"1997"}},
+        |"aggs":{"v":{"stats":{"field":"volume"}}}}}}""".stripMargin)
+      .collect().toSeq ===
+      FieldedIndex.filterStatsAgg(spark, idx, spec("year"), Seq("1997"),
+        spec("volume")).collect().toSeq)
+    // strictness: query+aggs refuse; two aggs refuse; size!=0 refuses
+    def bad(body: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        EsRequest.run(spark, idx, body).collect() }
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    bad("""{"query":{"match":{"title":"x"}},"aggs":{"a":{"stats":{"field":"year"}}}}""",
+      "not combined")
+    bad("""{"aggs":{"a":{"stats":{"field":"year"}}},"size":5}""", "size 0")
+    bad("""{"aggs":{"a":{"rare_terms":{"field":"year"}}}}""",
+      "unsupported aggregation")
+  }
+
   test("from/size slice the absolute ranking") {
     val all = run("""{"query":{"match":{"title":"title 42"}},"size":7}""")
     val page = run(
