@@ -109,7 +109,8 @@ object EsRequest {
       try mapper.readTree(body)
       catch { case e: Exception => fail(s"malformed JSON: ${e.getMessage}") }
     obj(root, "request body")
-    known(root, Set("query", "size", "from", "aggs"), "request body")
+    known(root, Set("query", "size", "from", "aggs", "sort", "search_after",
+      "collapse", "highlight", "rescore"), "request body")
     val qn = root.get("query")
     val an = root.get("aggs")
     if (qn != null && an != null)
@@ -124,6 +125,86 @@ object EsRequest {
     val from = optInt(root, "from").getOrElse(0)
     if (size <= 0 || from < 0) fail("size must be > 0 and from ≥ 0")
     if (qn == null) fail("request body needs a 'query' or 'aggs'")
+
+    // top-level decorations — each changes the response shape, so exactly
+    // one may appear, and each composes with the query type it decorates
+    val deco = Seq("sort", "search_after", "collapse", "highlight", "rescore")
+      .filter(root.get(_) != null)
+    if (deco.size > 1)
+      fail(s"one of sort/search_after/collapse/highlight/rescore per body, " +
+        s"got [${deco.mkString(", ")}]")
+    if (deco.nonEmpty && from != 0)
+      fail(s"'from' does not compose with ${deco.head} " +
+        "(the cursor/window owns the paging law)")
+    def matchQuery(): (FieldSpec, String) =
+      scoredClause(mapping, qn, "query") match {
+        case ("match", fs, t) => (fs, t)
+        case (other, _, _) =>
+          fail(s"${deco.head} decorates a match query, got [$other]")
+      }
+    deco.headOption match {
+      case Some("sort") =>
+        // sort serves a filter cohort in doc-value order (constant-score
+        // hits never carry a meaningful _score ordering)
+        val entries = clauseList(root.get("sort"))
+        if (entries.size != 1) fail("sort expects exactly one field entry")
+        val (f, v) = oneField(obj(entries.head, "sort"), "sort")
+        if (v.isObject) known(v, Set("order"), s"sort.$f")
+        val order = queryText(v, s"sort.$f", "order")
+        if (order != "asc" && order != "desc")
+          fail(s"sort.$f.order must be asc/desc, got [$order]")
+        val (cohortFs, vals) =
+          filterClause(spark, indexDir, mapping, qn, "query")
+        return FieldedIndex.sortByField(spark, indexDir, cohortFs, vals,
+          spec(mapping, f), descending = order == "desc", size)
+      case Some("search_after") =>
+        val sa = root.get("search_after")
+        if (!sa.isArray || sa.size() != 2)
+          fail("search_after expects [score_x6, doc_id] (the engine's " +
+            "deterministic sort key)")
+        val (fs, t) = matchQuery()
+        return FieldedIndex.searchAfter(spark, indexDir, fs, t, size,
+          sa.get(0).asLong(), sa.get(1).asLong())
+      case Some("collapse") =>
+        known(obj(root.get("collapse"), "collapse"), Set("field"), "collapse")
+        val (fs, t) = matchQuery()
+        return FieldedIndex.collapseSearch(spark, indexDir, fs, t,
+          spec(mapping, text(root.get("collapse"), "field", "collapse")), size)
+      case Some("highlight") =>
+        val hn = obj(root.get("highlight"), "highlight")
+        known(hn, Set("fields"), "highlight")
+        val (hf, hv) = oneField(obj(hn.get("fields"), "highlight.fields"),
+          "highlight.fields")
+        known(obj(hv, s"highlight.fields.$hf"), Set.empty, // ES's {} form
+          s"highlight.fields.$hf")
+        val (fs, t) = matchQuery()
+        if (hf != fs.field)
+          fail(s"highlight.fields.$hf: this engine highlights the matched " +
+            s"field (${fs.field})")
+        return FieldedIndex.highlight(spark, indexDir, fs, Seq(1 -> t), size)
+          .select(col("rnk"), col("doc_id"), col("fragment"))
+      case Some("rescore") =>
+        val rn = obj(root.get("rescore"), "rescore")
+        known(rn, Set("window_size", "query"), "rescore")
+        val rq = obj(rn.get("query"), "rescore.query")
+        known(rq, Set("rescore_query", "query_weight",
+          "rescore_query_weight"), "rescore.query")
+        val (rk, rfs, rt) = scoredClause(mapping, rq.get("rescore_query"),
+          "rescore.query.rescore_query")
+        if (rk != "match_phrase")
+          fail("rescore_query must be a match_phrase (the windowed " +
+            "phrase re-ranker)")
+        val (fs, t) = matchQuery()
+        if (rfs.field != fs.field)
+          fail("rescore_query must target the matched field")
+        return FieldedIndex.rescorePhrase(spark, indexDir, fs, t, rt, size,
+          windowSize = optInt(rn, "window_size")
+            .getOrElse(fail("rescore needs window_size")),
+          queryWeight = optNum(rq, "query_weight").getOrElse(1.0),
+          rescoreWeight = optNum(rq, "rescore_query_weight").getOrElse(1.0))
+      case _ => ()
+    }
+
     val hits = exec(spark, indexDir, mapping, qn, from + size)
     if (from == 0) hits
     else hits.filter(col("rnk") > from)

@@ -46,18 +46,28 @@ object Search {
     Args(indexDir, master, body)
   }
 
-  /** Run one body; returns `rank key score_x6` lines. */
+  /** Run one body; prints the response frame's columns in order, with
+    * doc_id swapped for the external key — `rank key score_x6` for plain
+    * hits, the decoration's own shape (sort_value / collapse_value /
+    * fragment) or the aggregation's frame otherwise. */
   def run(spark: SparkSession, a: Args): Seq[String] = {
     val hits =
       try EsRequest.run(spark, a.indexDir, a.body)
       catch {
         case e: IllegalArgumentException => throw Cli.CliError(e.getMessage)
       }
-    val keyed = hits.join(FieldedIndex.docMap(spark, a.indexDir), "doc_id")
-    val keyName = keyed.columns.last
-    keyed.orderBy("rnk")
-      .select(col("rnk"), col(keyName), col("score_x6"))
-      .collect().map(_.toSeq.mkString(" ")).toSeq
+    val cols = hits.columns.toSeq
+    val out =
+      if (!cols.contains("doc_id")) hits
+      else {
+        val dm = FieldedIndex.docMap(spark, a.indexDir)
+        val keyName = dm.columns.filter(_ != "doc_id").head
+        hits.join(dm, "doc_id")
+          .select(cols.map(c => if (c == "doc_id") col(keyName) else col(c)): _*)
+      }
+    val ordered =
+      if (cols.contains("rnk")) out.orderBy("rnk") else out
+    ordered.collect().map(_.toSeq.mkString(" ")).toSeq
   }
 
   def main(argv: Array[String]): Unit = {

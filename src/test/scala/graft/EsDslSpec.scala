@@ -216,6 +216,61 @@ class EsDslSpec extends AnyFunSuite {
       "unsupported aggregation")
   }
 
+  test("top-level decorations: sort, search_after, collapse, highlight, rescore") {
+    // sort: a term-filter cohort in doc-value order
+    assert(EsRequest.run(spark, idx,
+      """{"query":{"term":{"year":"1997"}},
+        |"sort":[{"volume":{"order":"desc"}}],"size":5}""".stripMargin)
+      .collect().toSeq ===
+      FieldedIndex.sortByField(spark, idx, spec("year"), Seq("1997"),
+        spec("volume"), descending = true, 5).collect().toSeq)
+    // search_after: the cursor law [score_x6, doc_id]
+    val base = run("""{"query":{"match":{"title":"title 7"}},"size":3}""")
+    val (_, d3, s3) = base(2)
+    assert(EsRequest.run(spark, idx,
+      s"""{"query":{"match":{"title":"title 7"}},
+         |"search_after":[$s3,$d3],"size":3}""".stripMargin)
+      .collect().toSeq ===
+      FieldedIndex.searchAfter(spark, idx, spec("title"), "title 7", 3,
+        s3, d3).collect().toSeq)
+    // collapse
+    assert(EsRequest.run(spark, idx,
+      """{"query":{"match":{"title":"title 7"}},
+        |"collapse":{"field":"year"},"size":5}""".stripMargin)
+      .collect().toSeq ===
+      FieldedIndex.collapseSearch(spark, idx, spec("title"), "title 7",
+        spec("year"), 5).collect().toSeq)
+    // highlight serves fragments of the matched field
+    val frags = EsRequest.run(spark, idx,
+      """{"query":{"match":{"title":"title 42"}},
+        |"highlight":{"fields":{"title":{}}},"size":2}""".stripMargin)
+      .collect()
+    assert(frags.nonEmpty &&
+      frags.exists(_.getAs[String]("fragment").contains("<em>")))
+    // rescore: windowed phrase re-rank
+    assert(EsRequest.run(spark, idx,
+      """{"query":{"match":{"title":"second title"}},
+        |"rescore":{"window_size":50,"query":{
+        |  "rescore_query":{"match_phrase":{"title":"title 42"}},
+        |  "query_weight":1.0,"rescore_query_weight":2.0}},
+        |"size":10}""".stripMargin).collect().toSeq ===
+      FieldedIndex.rescorePhrase(spark, idx, spec("title"), "second title",
+        "title 42", 10, 50, 1.0, 2.0).collect().toSeq)
+    // strictness: two decorations refuse; from+cursor refuses; wrong
+    // highlight field refuses
+    def bad(body: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        EsRequest.run(spark, idx, body).collect() }
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    bad("""{"query":{"match":{"title":"x"}},"collapse":{"field":"year"},
+      |"sort":[{"year":{"order":"asc"}}]}""".stripMargin, "one of")
+    bad("""{"query":{"match":{"title":"x"}},"search_after":[1,2],"from":3}""",
+      "does not compose")
+    bad("""{"query":{"match":{"title":"x"}},
+      |"highlight":{"fields":{"year":{}}}}""".stripMargin, "matched")
+  }
+
   test("from/size slice the absolute ranking") {
     val all = run("""{"query":{"match":{"title":"title 42"}},"size":7}""")
     val page = run(
