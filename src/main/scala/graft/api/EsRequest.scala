@@ -119,6 +119,11 @@ object EsRequest {
     if (an != null) {
       if (optInt(root, "size").exists(_ != 0) || optInt(root, "from").nonEmpty)
         fail("an aggs body implies size 0 (no hits page)")
+      val stray = Seq("sort", "search_after", "collapse", "highlight",
+        "rescore").filter(root.get(_) != null)
+      if (stray.nonEmpty) // never silently dropped — the strictness contract
+        fail(s"[${stray.mkString(", ")}] decorate a hits page, " +
+          "not an aggs body")
       return aggs(spark, indexDir, mapping, an)
     }
     val size = optInt(root, "size").getOrElse(10)
@@ -159,9 +164,10 @@ object EsRequest {
           spec(mapping, f), descending = order == "desc", size)
       case Some("search_after") =>
         val sa = root.get("search_after")
-        if (!sa.isArray || sa.size() != 2)
-          fail("search_after expects [score_x6, doc_id] (the engine's " +
-            "deterministic sort key)")
+        if (!sa.isArray || sa.size() != 2 ||
+            !sa.get(0).canConvertToLong || !sa.get(1).canConvertToLong)
+          fail("search_after expects two integers [score_x6, doc_id] " +
+            "(the engine's deterministic sort key)")
         val (fs, t) = matchQuery()
         return FieldedIndex.searchAfter(spark, indexDir, fs, t, size,
           sa.get(0).asLong(), sa.get(1).asLong())

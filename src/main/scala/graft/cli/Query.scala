@@ -69,8 +69,8 @@ object Query {
     if (rest.isEmpty) throw Cli.CliError(
       "usage: graft.cli.Query [--index-dir DIR] [--field F] [--k N] " +
         "[--type match|match_and|phrase|phrase_prefix|fuzzy|qstring|term|" +
-        "prefix|wildcard|range|regexp|span_near|suggest|count|scroll] " +
-        "[--slop N] QUERY...")
+        "prefix|wildcard|range|regexp|span_near|span_near_unordered|" +
+        "suggest|count|scroll] [--slop N] QUERY...")
     Args(indexDir, field, k, master, rest.mkString(" "), qtype, slop)
   }
 

@@ -836,9 +836,13 @@ object FieldedQueries {
     val dir = ensureFieldedIndex(spark)
     val sc = FieldedIndex.scroll(spark, dir, spec("title"),
       SearchAfterText, SearchAfterPage)
-    val rows = (1 to ScrollPages).flatMap { p =>
-      sc.next().map { case (rnk, doc, s6) => (p.toLong, rnk, doc, s6) }
-    }
+    // close() always: the match outlives 3 pages, so without it every run
+    // leaks the scroll's PRIVATE pinned handle (a persisted shard RDD)
+    val rows =
+      try (1 to ScrollPages).flatMap { p =>
+        sc.next().map { case (rnk, doc, s6) => (p.toLong, rnk, doc, s6) }
+      }
+      finally sc.close()
     rows.toDF("page", "rnk", "doc_id", "score_x6")
       .join(docMap(spark, dir), "doc_id")
       .select(col("page"), col("rnk"), col("doi"), col("score_x6"))
@@ -1161,8 +1165,11 @@ object FieldedQueries {
       val anchorBlocks = ts.indices.map { c =>
         val others = ts.indices.filter(_ != c)
         val mCols = others.zipWithIndex.map { case (j, mi) =>
+          // same-term clauses need a DISTINCT occurrence (strictly past
+          // the anchor) — the engine's rule, mirrored
+          val cmp = if (ts(j) == ts(c)) ">" else ">="
           s"""    (SELECT min(t.pos) FROM tok t WHERE t.doi = a.doi
-             |       AND t.term = '${ts(j)}' AND t.pos >= a.p) AS m$mi""".stripMargin
+             |       AND t.term = '${ts(j)}' AND t.pos $cmp a.p) AS m$mi""".stripMargin
         }.mkString(",\n")
         val notNull = others.indices.map(mi => s"m$mi IS NOT NULL")
           .mkString(" AND ")

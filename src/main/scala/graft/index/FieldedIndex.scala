@@ -869,6 +869,24 @@ object FieldedIndex {
     * every multi-term rewrite. Returns (term, doc_id). */
   def regexpQuery(spark: SparkSession, indexDir: String, spec: FieldSpec,
                   pattern: String): DataFrame = {
+    // the pattern normalizes through the field's chain so its LITERALS
+    // match the lowercased index terms — but that would also fold an
+    // uppercase escape class into its COMPLEMENT (\D → \d, \S → \s,
+    // \W → \w, \P → \p, \B → \b), silently inverting the query's
+    // meaning. Refuse those loudly; the lowercase classes express the
+    // same predicates against an all-lowercase dictionary.
+    var ei = 0
+    var badEsc = false
+    while (ei < pattern.length - 1) {
+      if (pattern(ei) == '\\') { // a proper escape walk: "\\\\D" is fine
+        if ("DSWPB".indexOf(pattern(ei + 1)) >= 0) badEsc = true
+        ei += 2
+      } else ei += 1
+    }
+    require(!badEsc,
+      "regexp: uppercase escape classes (\\D \\S \\W \\P \\B) would invert " +
+        "under the analyzer's lowercasing — use the lowercase classes " +
+        "against the lowercased dictionary")
     val terms = Analyzer.analyzeChain(spec.chain, pattern).headOption match {
       case None => Seq.empty[String]
       case Some(analyzed) =>

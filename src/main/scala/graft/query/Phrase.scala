@@ -270,8 +270,14 @@ object Phrase {
     * bit-identically — Lucene's own enumeration is a stateful pointer
     * race whose tie order is queue-internal): every clause occurrence
     * (c, p) anchors at most one window — each OTHER clause contributes its
-    * FIRST position ≥ p (so p is the window's minimum by construction);
-    * the window matches iff slopUsed = max(window) − p + 1 − n, clamped at
+    * FIRST position ≥ p (so p is the window's minimum by construction),
+    * except a clause sharing the ANCHOR's TERM, which contributes its
+    * first position STRICTLY past p: the anchor consumed that occurrence,
+    * so `span_near {a, a}` needs two distinct occurrences of `a` (the
+    * Lucene distinct-spans requirement — without the exception one
+    * occurrence would satisfy both duplicate clauses through a width-1
+    * window); the window matches iff
+    * slopUsed = max(window) − p + 1 − n, clamped at
     * 0 for overlapping duplicate positions, is ≤ slop. Weights accumulate
     * micro-quantized exactly like the ordered kernel. A clause term absent
     * from a doc kills that doc (conjunction), and order never matters:
@@ -333,8 +339,10 @@ object Phrase {
             while (ok && j < pos.length) {
               if (j != c) {
                 val pj = pos(j)
-                // first position ≥ p
-                var idx = java.util.Arrays.binarySearch(pj, p)
+                // first position ≥ p; STRICTLY > p for a clause sharing
+                // the anchor's term: the anchor consumed occurrence p
+                val floor = if (terms(j) == terms(c)) p + 1 else p
+                var idx = java.util.Arrays.binarySearch(pj, floor)
                 if (idx < 0) idx = -idx - 1
                 if (idx >= pj.length) ok = false
                 else if (pj(idx) > hi) hi = pj(idx)

@@ -230,12 +230,21 @@ object Ann {
     * lookup. Idempotent via the _ivf_done marker. */
   def ensureIvf(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
                 dir: String, lloydRounds: Int = IvfLloydRounds): String = {
-    val done = new java.io.File(s"$dir/_ivf_done")
+    val done = new java.io.File(s"$dir/_ivf_done_v2")
     if (!done.exists()) {
       val cents = ivfCentroids(emb, lloydRounds)
       cents.write.mode("overwrite").parquet(s"$dir/centroids")
       assignCells(emb, cents)
         .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+      // id-keyed vector sidecar (the faiss "reconstruct" store): globally
+      // sorted by vec_id so the probe's query-vector fetch prunes to one
+      // file/row-group — without it the fetch would list and scan EVERY
+      // cell partition before the pruned nprobe scan, defeating the
+      // partition-pruning design at exactly the nlist the design targets
+      spark.read.parquet(s"$dir/cells")
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .sort("vec_id")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
       done.createNewFile()
     }
     dir
@@ -261,7 +270,10 @@ object Ann {
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
                queryVecId: Long, k: Int): DataFrame = {
     val cells = spark.read.parquet(s"$dir/cells")
-    val q = cells.filter(col("vec_id") === queryVecId)
+    // point fetch off the vec_id-sorted sidecar (row-group pruned), never
+    // a scan of the cell partitions
+    val q = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === queryVecId)
       .select(col("embedding"), col("nrm")).head()
     val qEmb = q.getSeq[Float](0).toArray
     val qNrm = q.getDouble(1)

@@ -214,6 +214,9 @@ class EsDslSpec extends AnyFunSuite {
     bad("""{"aggs":{"a":{"stats":{"field":"year"}}},"size":5}""", "size 0")
     bad("""{"aggs":{"a":{"rare_terms":{"field":"year"}}}}""",
       "unsupported aggregation")
+    // a decoration beside an aggs body is refused, never silently dropped
+    bad("""{"aggs":{"a":{"stats":{"field":"year"}}},
+      |"sort":[{"year":{"order":"asc"}}]}""".stripMargin, "aggs body")
   }
 
   test("top-level decorations: sort, search_after, collapse, highlight, rescore") {
@@ -267,6 +270,9 @@ class EsDslSpec extends AnyFunSuite {
       |"sort":[{"year":{"order":"asc"}}]}""".stripMargin, "one of")
     bad("""{"query":{"match":{"title":"x"}},"search_after":[1,2],"from":3}""",
       "does not compose")
+    // non-numeric cursors refuse instead of coercing to 0
+    bad("""{"query":{"match":{"title":"x"}},"search_after":["a","b"]}""",
+      "two integers")
     bad("""{"query":{"match":{"title":"x"}},
       |"highlight":{"fields":{"year":{}}}}""".stripMargin, "matched")
   }

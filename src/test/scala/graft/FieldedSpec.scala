@@ -245,6 +245,24 @@ class FieldedSpec extends AnyFunSuite {
     // proximity still bounds: d5 (= alpha x x x beta) needs 3 slop
     assert(!hits("beta alpha", 2, inOrder = false).contains("d5"))
     assert(hits("beta alpha", 3, inOrder = false).contains("d5"))
+    // duplicate clauses need DISTINCT occurrences: no doc holds two
+    // alphas, so {alpha, alpha} matches nothing at any slop (one
+    // occurrence must not satisfy both clauses through a width-1 window)
+    assert(hits("alpha alpha", 200, inOrder = false).isEmpty)
+  }
+
+  test("regexp refuses uppercase escape classes the analyzer would invert") {
+    val d = spec("DOI")
+    val e = intercept[IllegalArgumentException] {
+      FieldedIndex.regexpQuery(spark, idx, d, """10\.1/nd\.\D+""")
+    }
+    assert(e.getMessage.contains("uppercase escape"))
+    // escaped backslash before an uppercase letter is a literal, not a
+    // class — must NOT trip the guard (and matches nothing lowercased)
+    assert(FieldedIndex.regexpQuery(spark, idx, d, """x\\D""").count() === 0L)
+    // the lowercase classes express the same predicate and stay allowed
+    assert(FieldedIndex.regexpQuery(spark, idx, d,
+      """10\.1/nd\.\d\d""").count() > 0L)
   }
 
   test("phrase against a positionless index fails loudly, not wrongly") {

@@ -136,7 +136,8 @@ class SpanNearPropertySpec extends AnyFunSuite {
 
   /** Set-wise recompute of the anchored-window law from the analyzed maps
     * (no iterators, no blocks): every clause occurrence anchors a window of
-    * each other clause's first position ≥ it. */
+    * each other clause's first position ≥ it — strictly past it for a
+    * clause sharing the anchor's term (distinct-occurrences rule). */
   private def bruteUnordered(corpus: Seq[Seq[Seq[String]]], raw: String,
       slop: Int, k: Int): Seq[(Long, Long)] = {
     val ts = Analyzer.analyzeChain(Analyzer.TextStop, raw)
@@ -155,7 +156,7 @@ class SpanNearPropertySpec extends AnyFunSuite {
         var fx6 = 0L
         for (c <- pos.indices; p <- pos(c)) {
           val mins = pos.indices.filter(_ != c)
-            .map(j => pos(j).find(_ >= p))
+            .map(j => pos(j).find(q => if (ts(j) == ts(c)) q > p else q >= p))
           if (mins.forall(_.isDefined)) {
             val hi = (p +: mins.map(_.get)).max
             val sl = math.max(0, (hi - p + 1) - pos.length)
