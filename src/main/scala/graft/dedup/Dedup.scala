@@ -61,15 +61,6 @@ object Dedup {
             element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>")))).as("shingle"))
 
-  /** Per-doc distinct-shingle-set size — row-local (|shingles(text)|), no
-    * aggregation: the verify stages join it without any broadcast hint (a
-    * one-row-per-doc relation must never be forced broadcast; AQE picks the
-    * strategy from runtime sizes). */
-  private def shingleSizes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      size(ShinglesExpr.shinglesCol(col("text"))).cast("long").as("n"))
-      .filter(col("n") > 0)
-
   /** Hot-shingle df cap for [[ngramJaccardPairs]]: shingles present in more
     * than this many docs are dropped from the Jaccard universe BEFORE the
     * inverted self-join. Without it a single boilerplate shingle ("all
@@ -96,19 +87,41 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs ≥ thr over the capped shingle universe
-    * ([[MaxShingleDf]]): inverted-index self-join on shingle (only
-    * co-occurring pairs materialize — never the n² cross product, and no
-    * bucket exceeds cap²/2 pairs), intersection counts, |A∪B| from
+    * ([[MaxShingleDf]]): inverted-index candidate generation on shingle
+    * (only co-occurring pairs materialize — never the n² cross product, and
+    * no bucket exceeds cap²/2 pairs), intersection counts, |A∪B| from
     * per-doc CAPPED set sizes (a shingle dropped from the universe is in
-    * neither the intersection nor the union — self-consistent Jaccard). */
+    * neither the intersection nor the union — self-consistent Jaccard).
+    *
+    * Execution shape (optimization guide §2.3/§2.4, re-planned in round 6):
+    * ONE pass over the shingle kernel, ONE exchange of (shingle, doc_id)
+    * rows into per-shingle doc lists whose size IS the df — the df cap is a
+    * size filter on the aggregated list, replacing the former
+    * hot-set-aggregate + anti-join + self-join plan that evaluated the
+    * shingle kernel 8× and shuffled the shingle relation 4× (plan audit,
+    * plans/r06). Candidate pairs then explode ROW-LOCALLY from each kept
+    * (sorted) doc list — the same ≤ cap²/2 bound per shingle — and every
+    * downstream relation (pair counts, capped set sizes) is
+    * candidate/doc-sized. */
   def ngramJaccardPairs(docs: DataFrame, thr: Double,
                         maxShingleDf: Long = MaxShingleDf): DataFrame = {
     require(maxShingleDf > 0, "hot-shingle cap must be positive")
-    val sh = cappedShingles(docs, maxShingleDf)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
+    // one shuffle of the shingle relation: per-shingle doc lists whose size
+    // IS the df (shingles are distinct per doc), so the cap is a filter on
+    // the aggregated row; re-exploding yields the capped (shingle, doc_id)
+    // relation ALREADY partitioned by shingle — the self-join below then
+    // needs no further exchange, and the one exchange's map side (the only
+    // evaluation of the shingle kernel) is shared by every consumer via
+    // exchange reuse
+    val byShingle = shingles(docs)
+      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxShingleDf)
+    val sh2 = byShingle.select(col("shingle"), explode(col("ds")).as("doc_id"))
+    // capped per-doc set sizes from the kept lists (≡ the anti-joined count)
+    val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh2.as("a").join(sh2.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("c"))
     val jac = inter
@@ -154,18 +167,29 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // exact verify on candidates only
-    val sh = shingles(docs)
-    val sizes = shingleSizes(docs)
-    val inter = cand.join(sh.as("a"), col("a_id") === col("a.doc_id"))
-      .join(sh.as("b"), col("b_id") === col("b.doc_id") &&
-        col("a.shingle") === col("b.shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+    // exact verify on candidates only — round 6 (guide §2.3/§2.4): restrict
+    // the corpus to CANDIDATE docs (broadcast semi-join on the tiny id set)
+    // BEFORE the shingle kernel runs, then compute |A∩B| / set sizes
+    // ROW-LOCALLY per pair with array_intersect over the two docs' distinct
+    // shingle arrays. The former shape evaluated the kernel over the whole
+    // corpus 4× (a-side, b-side, two size passes) and shuffled the full
+    // (doc_id, shingle) relation into the verify joins; now the kernel
+    // touches candidate docs only and nothing corpus-sized shuffles.
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val shArr = docs.join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"),
+        ShinglesExpr.shinglesCol(col("text")).as("sh"))
+    cand
+      .join(shArr.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shArr.as("sb"), col("b_id") === col("sb.doc_id"))
       .select(col("a_id"), col("b_id"),
-        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("jac"))
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("c"),
+        size(col("sa.sh")).cast("long").as("na"),
+        size(col("sb.sh")).cast("long").as("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
       .filter(col("jac") >= thr)
       .select(col("a_id"), col("b_id"),
         round(col("jac") * 1e6).cast("long").as("jac_x6"))
@@ -199,15 +223,19 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sig"),
         col("bs.band").as("band"), col("bs.bv").as("bv"))
+    // hamming filter BEFORE the distinct (guide §2.3 — shuffle fewer
+    // bytes): sig rides the banded join row, so the popcount is row-local
+    // on the join output and the distinct then deduplicates only the
+    // ACTUAL near-dup pairs (band multiplicity ≤ SimBands) instead of
+    // every banded candidate. hamming is a function of (a_id, b_id) — one
+    // sig per doc — so filter∘distinct ≡ distinct∘filter, row-identical.
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.sig").as("a_sig"), col("y.sig").as("b_sig"))
-      .distinct()
-      .select(col("a_id"), col("b_id"),
-        expr("CAST(bit_count(a_sig ^ b_sig) AS BIGINT)").as("hamming"))
+        expr("CAST(bit_count(x.sig ^ y.sig) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= SimHamMax)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -242,16 +270,20 @@ object Dedup {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
-    val nEdges = sym.count()
+    // persist the PAIR list, not the symmetrized union: the union's two
+    // branches would each recompute the (expensive) pair generator before
+    // the cache materializes — the whole banded join ran twice per call
+    // (guide §5; measured in the round-6 plan audit). The mirrored edge
+    // set is derived from the cached pairs where needed.
+    val p = pairs.select(col("a_id"), col("b_id")).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = p.count()
 
-    if (nEdges / 2 <= ccDriverMaxEdges) {
+    if (nPairs <= ccDriverMaxEdges) {
       // driver union-find with path compression; unions always link the
       // larger root to the smaller, so every root IS the component's min
       // member and cluster_id = find(id). Node ids fold out of the one
-      // collected edge array — no second job.
+      // collected pair array — no second job, no mirrored-edge pass.
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -262,17 +294,19 @@ object Dedup {
         x
       }
       val ids = new java.util.TreeSet[java.lang.Long]()
-      sym.select(col("src"), col("dst")).collect().foreach { r =>
-        val (sId, dId) = (r.getLong(0), r.getLong(1))
-        ids.add(sId) // dst appears as src of the mirrored edge
-        val (a, b) = (find(sId), find(dId))
+      p.collect().foreach { r =>
+        val (aId, bId) = (r.getLong(0), r.getLong(1))
+        ids.add(aId); ids.add(bId)
+        val (a, b) = (find(aId), find(bId))
         if (a != b) parent.put(math.max(a, b), math.min(a, b))
       }
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
       ids.forEach(id => out += ((id.longValue(), find(id))))
-      sym.unpersist()
+      p.unpersist()
       return out.toSeq.toDF("doc_id", "cluster_id").orderBy("doc_id")
     }
+    val sym = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
 
     // ---- distributed relax + pointer-jump loop (RDD level) --------------
     val sc = spark.sparkContext
@@ -315,7 +349,7 @@ object Dedup {
       labels = next
     }
     edgesByDst.unpersist(blocking = false)
-    sym.unpersist()
+    p.unpersist()
     labels.toDF("doc_id", "cluster_id").orderBy("doc_id")
   }
 

@@ -387,18 +387,23 @@ object PipelineQueries {
     * row-local gates into the scan-side stage. */
   def pipelineClean(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val lang = TextOps.langId(d).select("doc_id", "pred_lang")
-    val qual = TextOps.quality(d)
-      .select("doc_id", "n_tokens", "uniq_ratio_x6")
+    // round-6 fusion (guide §2.4): lang/quality are row-local expressions
+    // over the same scan, so they compute IN ONE projection (shared
+    // TextOps column builders — identical values to the standalone ops)
+    // and filter before the single dedup-winner join — the former
+    // three-join chain shuffled the corpus-keyed (doc_id) relation three
+    // times to attach columns the scan already had.
+    val toks = split(col("text"), " ")
     val winners = d.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    d.select("doc_id")
-      .join(winners, "doc_id")
-      .join(lang, "doc_id")
-      .join(qual, "doc_id")
+    d.select(col("doc_id"),
+        TextOps.langPickCol(toks).getField("l").as("pred_lang"),
+        TextOps.nTokensCol(toks).as("n_tokens"),
+        TextOps.uniqRatioX6Col(toks).as("uniq_ratio_x6"))
       .filter(col("pred_lang") === "en" &&
         col("n_tokens") >= CleanMinTokens &&
         col("uniq_ratio_x6") >= CleanMinUniqX6)
+      .join(winners, "doc_id")
       .select("doc_id", "pred_lang", "n_tokens", "uniq_ratio_x6")
       .orderBy("doc_id")
   }

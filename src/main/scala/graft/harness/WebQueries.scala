@@ -47,15 +47,22 @@ object WebQueries {
     * → analysis chain → distinct (url, term) → df. The oracle recomputes
     * from the `text` column — equality proves extraction byte-identity. */
   def webDf(spark: SparkSession, dir: String): DataFrame = {
+    // round-6 shape (guide §2.3/§4): project to (url, warc_ts, html) BEFORE
+    // the url exchange (text/lang never cross the wire), extract + analyze
+    // AFTER the LWW winner filter (losers never pay the extractor), analyze
+    // through the codegen expression (identical semantics to the UDF —
+    // AnalyzerSpec), and dedup terms ROW-LOCALLY with array_distinct: after
+    // LWW there is exactly one row per url, so distinct (url, term) is a
+    // per-row set — the former corpus-wide distinct exchange was a no-op
+    // re-shuffle.
     val w = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
-    val deduped = webdocs(spark)
-      .withColumn("extracted", HtmlExtract.extractCol(col("html")))
+    webdocs(spark)
+      .select(col("url"), col("warc_ts"), col("html"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-    deduped
-      .select(col("url"),
-        explode(graft.index.TextIndex.analyzeStopUdf(col("extracted"))).as("term"))
-      .distinct()
+      .select(col("url"), explode(array_distinct(
+        graft.index.TextIndex.analyzeStopCol(
+          HtmlExtract.extractCol(col("html"))))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy("term")
   }
@@ -76,15 +83,20 @@ object WebQueries {
     * with map-side partials, so Zipf-skewed hosts (the web's shape) cost
     * one combiner each per task, never a hot reducer of raw rows. */
   def webHost(spark: SparkSession, dir: String): DataFrame = {
+    // round-6: project before the url exchange (html/url/warc_ts only) and
+    // count tokens through the codegen analyzer expression (the ScalaUDF
+    // forced a non-codegen projection stage — guide §4); window structure
+    // unchanged (both url windows share one exchange, PlanSpec-pinned).
     val w = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
     val wUrl = Window.partitionBy(col("url"))
     webdocs(spark)
+      .select(col("url"), col("warc_ts"), col("html"))
       .withColumn("_rn", row_number().over(w))
       .withColumn("url_crawls", count(lit(1)).over(wUrl))
       .filter(col("_rn") === 1)
-      .withColumn("extracted", HtmlExtract.extractCol(col("html")))
       .withColumn("n_tokens",
-        size(graft.index.TextIndex.analyzeStopUdf(col("extracted"))).cast("long"))
+        size(graft.index.TextIndex.analyzeStopCol(
+          HtmlExtract.extractCol(col("html")))).cast("long"))
       .select(regexp_extract(col("url"), HostRegex, 1).as("host"),
         col("url_crawls"), col("n_tokens"))
       .groupBy("host")

@@ -96,21 +96,36 @@ object TextIndex {
 
   /** Score a set of analyzed queries (qid, term — duplicates meaningful, as in
     * Lucene a repeated query term contributes once per occurrence) against the
-    * corpus; returns (qid, doc_id, score). The query relation is broadcast;
-    * the only corpus-sized shuffles are the exact tf/df aggregations. */
+    * corpus; returns (qid, doc_id, score). The query relation is broadcast.
+    *
+    * Shuffle census (optimization guide §2.3/§2.4): tf is DOCUMENT-LOCAL, so
+    * the per-doc (term, tf) relation comes from the row-local
+    * [[graft.analysis.AnalyzeTfExpr]] kernel filtered to the query's terms —
+    * the corpus-wide (term, doc_id) aggregation exchange AND the corpus-sized
+    * tf⋈dl join of the former formulation both disappear (dl rides in the
+    * same row). df restricted to query terms falls out of the same filtered
+    * relation (count per term = docs containing the term — identical to the
+    * full-vocabulary df for those terms). The only remaining corpus-sized
+    * work is two narrow scans (score pass + stats pass); the only exchanges
+    * are query-sized aggregations. Rank-identity with the previous
+    * formulation is oracle-gated (q_bm25_topk / q_bm25_queryset). */
   def scoreQueries(spark: SparkSession, docs: DataFrame,
                    queryTerms: Seq[(Int, String)]): DataFrame = {
     import spark.implicits._
     val q = queryTerms.toDF("qid", "term")
-    val tf = termFreqs(tokens(docs))
-    // df over the full corpus vocabulary restricted to query terms (identical
-    // values either way; restricting first keeps the broadcast tiny).
-    val dfT = docFreqs(tf.join(broadcast(q.select("term").distinct()), "term"))
-    val dl = docLens(docs)
-    val stats = corpusStats(dl)
-    tf.join(broadcast(q), "term")
+    val qTerms = queryTerms.map(_._2).distinct
+    // row-local: per-doc tf entries restricted to query terms, dl attached
+    val tfq = docTermFreqs(docs)
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("tfs"),
+          t => t.getField("term").isInCollection(qTerms))).as("t"))
+      .select(col("doc_id"), col("dl"), col("t.term").as("term"),
+        col("t.tf").cast("long").as("tf"))
+    // df over query terms only: one small aggregation of the filtered rows
+    val dfT = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = corpusStats(docLens(docs))
+    tfq.join(broadcast(q), "term")
       .join(broadcast(dfT), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(bm25Col(col("tf"), col("df"), col("n_docs"), col("dl"),

@@ -28,32 +28,34 @@ object TextOps {
 
   private def tokensCol: Column = split(col("text"), " ")
 
+  /** The language-ID argmax as one expression over a token array: a struct
+    * (hits, -profile-index, lang) per profile, `greatest` picks max hits
+    * with the lexicographically-first language on ties. `.getField("l")` /
+    * `.getField("h")` project the prediction / best hit count. Shared by
+    * [[langId]] and the fused cleaning pipeline so both compute the
+    * identical row-local value. */
+  def langPickCol(toks: Column): Column =
+    greatest(LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).cast("long").as("h"),
+        // invert profile order so greatest() prefers the alphabetically first
+        lit(-i).as("nl"), lit(lang).as("l"))
+    }: _*)
+
   /** Per-language profile hit counts + argmax prediction with deterministic
     * lexicographic tie-break. Output: doc_id, pred_lang, best_hits. */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = tokensCol
-    val scored = LangProfiles.foldLeft(docs.select(col("doc_id"), toks.as("toks"))) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"hits_$lang",
-          size(filter(col("toks"), t => t.isin(words: _*))).cast("long"))
-    }
-    // argmax over langs: greatest hits, lexicographically-first lang on ties
-    val best = LangProfiles.map { case (lang, _) =>
-      struct(col(s"hits_$lang").as("h"), lit(lang).as("l"))
-    }
-    // maximize (hits, reverse-lang): encode lexicographic-first tie-break by
-    // comparing structs (hits asc, lang desc) and taking greatest
-    val pick = LangProfiles.map { case (lang, _) =>
-      struct(col(s"hits_$lang").as("h"),
-        // invert lang bytes so greatest() prefers the alphabetically first
-        lit(-LangProfiles.indexWhere(_._1 == lang)).as("nl"),
-        lit(lang).as("l"))
-    }
-    scored.withColumn("best", greatest(pick: _*))
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langPickCol(tokensCol).as("best"))
       .select(col("doc_id"), col("best.l").as("pred_lang"),
         col("best.h").as("best_hits"))
       .orderBy("doc_id")
-  }
+
+  /** n_tokens / uniq_ratio_x6 as expressions over a token array — shared by
+    * [[quality]] and the fused cleaning pipeline (identical values by
+    * construction). */
+  def nTokensCol(toks: Column): Column = size(toks).cast("long")
+  def uniqRatioX6Col(toks: Column): Column =
+    round(size(array_distinct(toks)).cast("double") / size(toks) * 1e6)
+      .cast("long")
 
   /** Quality metrics: raw token count, char count, mean word length,
     * stopword ratio, unique-token ratio (all micro-unit longs where
@@ -63,15 +65,14 @@ object TextOps {
     val stopArr = array(Analyzer.EnglishStopSorted.map(lit): _*)
     docs.select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
+      nTokensCol(toks).as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
       round(aggregate(transform(toks, t => length(t).cast("double")),
         lit(0.0), (acc, x) => acc + x) / size(toks) * 1e6).cast("long")
         .as("avg_word_len_x6"),
       round(size(filter(toks, t => array_contains(stopArr, t))).cast("double")
         / size(toks) * 1e6).cast("long").as("stop_ratio_x6"),
-      round(size(array_distinct(toks)).cast("double") / size(toks) * 1e6)
-        .cast("long").as("uniq_ratio_x6"))
+      uniqRatioX6Col(toks).as("uniq_ratio_x6"))
       .orderBy("doc_id")
   }
 
