@@ -167,20 +167,18 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // exact verify on candidates only — round 6 (guide §2.3/§2.4): restrict
-    // the corpus to CANDIDATE docs (broadcast semi-join on the tiny id set)
-    // BEFORE the shingle kernel runs, then compute |A∩B| / set sizes
-    // ROW-LOCALLY per pair with array_intersect over the two docs' distinct
-    // shingle arrays. The former shape evaluated the kernel over the whole
-    // corpus 4× (a-side, b-side, two size passes) and shuffled the full
-    // (doc_id, shingle) relation into the verify joins; now the kernel
-    // touches candidate docs only and nothing corpus-sized shuffles.
-    val candIds = cand
-      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
-      .distinct()
-    val shArr = docs.join(broadcast(candIds), "doc_id")
-      .select(col("doc_id"),
-        ShinglesExpr.shinglesCol(col("text")).as("sh"))
+    // exact verify on candidates only — round 6 (guide §2.3/§2.4): attach
+    // each doc's DISTINCT shingle ARRAY (one row-local kernel pass per join
+    // side) to the candidate pairs and compute |A∩B| / set sizes
+    // ROW-LOCALLY with array_intersect. The former shape evaluated the
+    // kernel AND exploded the full (doc_id, shingle) relation into shuffled
+    // verify joins 4× over; here the candidate relation is the build side
+    // of both joins (evaluated ONCE — a cand-derived semi-join filter on
+    // the doc side would instead re-plan the banded join per consumer,
+    // measured 3× the cost), the shingle arrays stream, and nothing
+    // corpus-sized shuffles.
+    val shArr = docs.select(col("doc_id"),
+      ShinglesExpr.shinglesCol(col("text")).as("sh"))
     cand
       .join(shArr.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(shArr.as("sb"), col("b_id") === col("sb.doc_id"))
@@ -277,9 +275,16 @@ object Dedup {
     // set is derived from the cached pairs where needed.
     val p = pairs.select(col("a_id"), col("b_id")).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = p.count()
+    // ONE bounded job decides the branch AND feeds the driver path: collect
+    // at most max+1 pairs (CollectLimit — incremental partition scans, so
+    // driver memory stays bounded by the threshold even on a huge pair
+    // graph); a full result means the collected array IS the whole edge
+    // list and the former separate count() job is unnecessary.
+    val maxE = ccDriverMaxEdges
+    val head = p.limit(
+      math.min(maxE + 1L, Int.MaxValue.toLong).toInt).collect()
 
-    if (nPairs <= ccDriverMaxEdges) {
+    if (head.length <= maxE) {
       // driver union-find with path compression; unions always link the
       // larger root to the smaller, so every root IS the component's min
       // member and cluster_id = find(id). Node ids fold out of the one
@@ -294,7 +299,7 @@ object Dedup {
         x
       }
       val ids = new java.util.TreeSet[java.lang.Long]()
-      p.collect().foreach { r =>
+      head.foreach { r =>
         val (aId, bId) = (r.getLong(0), r.getLong(1))
         ids.add(aId); ids.add(bId)
         val (a, b) = (find(aId), find(bId))

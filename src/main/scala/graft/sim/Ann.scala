@@ -260,9 +260,31 @@ object Ann {
     s
   }
 
+  /** Driver-resident coarse-quantizer cache: (marker mtime, centroid
+    * rows) per index dir. The coarse quantizer IS driver-resident in every
+    * IVF serving design; re-collecting its C rows per query was one whole
+    * Spark job of pure overhead (round-6 measurement). Invalidation rides
+    * the `_ivf_done_v2` marker's mtime — [[ensureIvf]] rewrites it on any
+    * rebuild. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[(Long, Array[Float], Double)])]()
+
+  private def centroidsFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Long, Array[Float], Double)] = {
+    val stamp = new java.io.File(s"$dir/_ivf_done_v2").lastModified()
+    centroidCache.compute(dir, (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur
+      else (stamp, spark.read.parquet(s"$dir/centroids").collect().map { r =>
+        (r.getAs[Long]("cid"),
+          r.getAs[scala.collection.Seq[Float]]("c_emb").toArray,
+          r.getAs[Double]("c_nrm"))
+      }))._2
+  }
+
   /** Serving-side IVF query against a persisted index ([[ensureIvf]]):
-    * centroids collect to the driver (C rows — the coarse quantizer IS
-    * driver-resident in every IVF serving design), probe order =
+    * centroids collect to the driver once per index generation
+    * ([[centroidsFor]] — C rows, the coarse quantizer IS driver-resident
+    * in every IVF serving design), probe order =
     * micro-rounded cosine desc / cid asc (identical to [[ivfTopK]] and
     * the oracle), then exact cosine top-k over ONLY the probed cells'
     * partitions. Returns (vec_id, cos_x6) — same contract as
@@ -277,11 +299,8 @@ object Ann {
       .select(col("embedding"), col("nrm")).head()
     val qEmb = q.getSeq[Float](0).toArray
     val qNrm = q.getDouble(1)
-    val probed = spark.read.parquet(s"$dir/centroids").collect()
-      .map { r =>
-        val cid = r.getAs[Long]("cid")
-        val cEmb = r.getAs[scala.collection.Seq[Float]]("c_emb").toArray
-        val cNrm = r.getAs[Double]("c_nrm")
+    val probed = centroidsFor(spark, dir)
+      .map { case (cid, cEmb, cNrm) =>
         (math.round(dotF(qEmb, cEmb) / (qNrm * cNrm) * 1e6), cid)
       }
       .sortBy { case (cos, cid) => (-cos, cid) }
