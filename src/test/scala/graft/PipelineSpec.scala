@@ -379,4 +379,53 @@ class PipelineSpec extends AnyFunSuite {
       assert(ccDist === expected)
     } finally graft.dedup.Dedup.ccDriverMaxEdges = prev
   }
+
+  // ---- round-6 optimization pins: the re-planned operators must stay
+  // row-identical to their straightforward reference formulations --------
+
+  test("simhash banded pairs ≡ brute-force popcount pairs (round-6 plan change)") {
+    // the banded join + filter-before-distinct must be EXACT at
+    // hamming ≤ SimBands−1: compare against the O(n²) driver reference
+    // over the full fixture corpus
+    val sigs = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j)))
+      if h <= Dedup.SimHamMax
+    } yield (ids(i), ids(j), h.toLong)).toSet
+    val banded = Dedup.simHashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute,
+      s"banded minus brute: ${banded -- brute}; brute minus banded: ${brute -- banded}")
+  }
+
+  test("ngram jaccard single-exchange formulation ≡ anti-join reference (round-6 plan change)") {
+    // the retained cappedShingles builder replays the pre-round-6 plan:
+    // anti-joined capped universe → inverted self-join → size joins
+    val thr = PipelineQueries.JaccardThr
+    val cap = Dedup.MaxShingleDf
+    val sh = Dedup.cappedShingles(docs, cap)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ref = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
+          .as("jac"))
+      .filter(col("jac") >= thr)
+      .select(col("a_id"), col("b_id"),
+        round(col("jac") * 1e6).cast("long").as("jac_x6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val opt = Dedup.ngramJaccardPairs(docs, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(opt === ref,
+      s"opt minus ref: ${opt -- ref}; ref minus opt: ${ref -- opt}")
+  }
 }

@@ -247,4 +247,29 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("tf:int") && !p.contains("tf:bigint"),
       s"doc-values scan reads more than the term subfield:\n$p")
   }
+
+  // ---- round-6 optimization pins -----------------------------------------
+
+  test("bm25 scoring derives tf row-locally — no full-vocabulary aggregation") {
+    val df = graft.harness.TextQueries.bm25QuerySet(spark, sf)
+    val p = planString(df)
+    // tf comes from the per-doc analyze kernel filtered to query terms;
+    // the pre-round-6 plan aggregated the whole exploded token relation
+    // (26 exchanges); regression bound with slack for planner drift
+    assert(p.contains("graft_analyze_tf"),
+      s"bm25 scoring no longer uses the row-local tf kernel:\n$p")
+    assert(countExchanges(df) <= 12,
+      s"bm25 scoring regained corpus-wide exchanges (${countExchanges(df)}):\n$p")
+  }
+
+  test("web df: codegen analyzer, row-local term dedup, ≤3 exchanges") {
+    val df = graft.harness.WebQueries.webDf(spark, sf)
+    val p = planString(df)
+    assert(!p.contains("ScalaUDF"),
+      s"web df analysis fell off codegen:\n$p")
+    // url window + term agg + presentation sort; the pre-round-6 plan
+    // added a corpus-wide distinct exchange
+    assert(countExchanges(df) <= 3,
+      s"web df regained shuffles (${countExchanges(df)}):\n$p")
+  }
 }
