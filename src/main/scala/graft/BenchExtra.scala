@@ -84,7 +84,12 @@ object BenchExtra {
       val secs = (0 until reps).map { _ =>
         val (_, sec) = timeIt {
           try fn(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
+          catch { case e: Throwable =>
+            // visible, unlike the frozen Bench's silent -1: a failing query
+            // must not read as a speedup in queries_min
+            System.err.println(s"[bench-extra] $name FAILED: ${e.getMessage}")
+            -1L
+          }
         }
         sec
       }

@@ -94,30 +94,26 @@ object Dedup {
     * neither the intersection nor the union — self-consistent Jaccard).
     *
     * Execution shape (optimization guide §2.3/§2.4, re-planned in round 6):
-    * ONE pass over the shingle kernel, ONE exchange of (shingle, doc_id)
-    * rows into per-shingle doc lists whose size IS the df — the df cap is a
-    * size filter on the aggregated list, replacing the former
-    * hot-set-aggregate + anti-join + self-join plan that evaluated the
-    * shingle kernel 8× and shuffled the shingle relation 4× (plan audit,
-    * plans/r06). Candidate pairs then explode ROW-LOCALLY from each kept
-    * (sorted) doc list — the same ≤ cap²/2 bound per shingle — and every
-    * downstream relation (pair counts, capped set sizes) is
+    * the capped universe ([[cappedShingles]] — count-based hot-set
+    * aggregate with map-side partials, then a broadcast anti-join; NO
+    * per-shingle doc lists ever materialize, so aggregation buffers stay
+    * bounded however hot a boilerplate shingle is) is re-partitioned by
+    * shingle through ONE explicit exchange that every consumer (both
+    * self-join sides AND the set-size aggregation) shares via exchange
+    * reuse — the former plan re-planned the whole capped-universe subtree
+    * per consumer, evaluating the shingle kernel 8× and shuffling the
+    * shingle relation 4× (plan audit, plans/r06). The self-join needs no
+    * further exchange (both sides already hash-partitioned by shingle);
+    * downstream relations (pair counts, capped set sizes) are
     * candidate/doc-sized. */
   def ngramJaccardPairs(docs: DataFrame, thr: Double,
                         maxShingleDf: Long = MaxShingleDf): DataFrame = {
     require(maxShingleDf > 0, "hot-shingle cap must be positive")
-    // one shuffle of the shingle relation: per-shingle doc lists whose size
-    // IS the df (shingles are distinct per doc), so the cap is a filter on
-    // the aggregated row; re-exploding yields the capped (shingle, doc_id)
-    // relation ALREADY partitioned by shingle — the self-join below then
-    // needs no further exchange, and the one exchange's map side (the only
-    // evaluation of the shingle kernel) is shared by every consumer via
-    // exchange reuse
-    val byShingle = shingles(docs)
-      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) <= maxShingleDf)
-    val sh2 = byShingle.select(col("shingle"), explode(col("ds")).as("doc_id"))
-    // capped per-doc set sizes from the kept lists (≡ the anti-joined count)
+    // the ONE shared exchange: identical subtree for all three consumers
+    // ⇒ ReusedExchange; its map side (the only evaluation of the shingle
+    // kernel + hot-set anti-join) runs once
+    val sh2 = cappedShingles(docs, maxShingleDf).repartition(col("shingle"))
+    // capped per-doc set sizes (≡ the per-doc count over the capped universe)
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh2.as("a").join(sh2.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -186,6 +182,10 @@ object Dedup {
         size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("c"),
         size(col("sa.sh")).cast("long").as("na"),
         size(col("sb.sh")).cast("long").as("nb"))
+      // c ≥ 1 reproduces the former inner-join-on-shared-shingle semantics
+      // exactly at EVERY threshold (a zero-intersection banded candidate
+      // must not surface even at thr ≤ 0)
+      .filter(col("c") >= 1)
       .select(col("a_id"), col("b_id"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jac"))
       .filter(col("jac") >= thr)
@@ -281,10 +281,13 @@ object Dedup {
     // graph); a full result means the collected array IS the whole edge
     // list and the former separate count() job is unnecessary.
     val maxE = ccDriverMaxEdges
-    val head = p.limit(
-      math.min(maxE + 1L, Int.MaxValue.toLong).toInt).collect()
+    val lim = math.min(maxE + 1L, Int.MaxValue.toLong).toInt
+    val head = p.limit(lim).collect()
 
-    if (head.length <= maxE) {
+    // head.length < lim ⟺ the limit was NOT saturated ⟺ head IS the whole
+    // pair list (and ≤ maxE of them). Comparing against maxE directly would
+    // mis-branch onto a TRUNCATED list when maxE ≥ Int.MaxValue.
+    if (head.length < lim) {
       // driver union-find with path compression; unions always link the
       // larger root to the smaller, so every root IS the component's min
       // member and cluster_id = find(id). Node ids fold out of the one

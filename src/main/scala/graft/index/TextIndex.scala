@@ -105,9 +105,12 @@ object TextIndex {
     * tf⋈dl join of the former formulation both disappear (dl rides in the
     * same row). df restricted to query terms falls out of the same filtered
     * relation (count per term = docs containing the term — identical to the
-    * full-vocabulary df for those terms). The only remaining corpus-sized
-    * work is two narrow scans (score pass + stats pass); the only exchanges
-    * are query-sized aggregations. Rank-identity with the previous
+    * full-vocabulary df for those terms). Remaining corpus-sized work is
+    * three narrow scans — the score probe, the df aggregation's own scan
+    * (its subtree shares no exchange with the probe, so the tf kernel runs
+    * twice), and the stats pass — with only query-sized exchanges; the
+    * former plan's corpus-wide (term, doc_id) aggregation exchange and
+    * corpus-sized dl broadcast are gone. Rank-identity with the previous
     * formulation is oracle-gated (q_bm25_topk / q_bm25_queryset). */
   def scoreQueries(spark: SparkSession, docs: DataFrame,
                    queryTerms: Seq[(Int, String)]): DataFrame = {

@@ -271,14 +271,17 @@ object Ann {
 
   private def centroidsFor(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[(Long, Array[Float], Double)] = {
+    def read() = spark.read.parquet(s"$dir/centroids").collect().map { r =>
+      (r.getAs[Long]("cid"),
+        r.getAs[scala.collection.Seq[Float]]("c_emb").toArray,
+        r.getAs[Double]("c_nrm"))
+    }
     val stamp = new java.io.File(s"$dir/_ivf_done_v2").lastModified()
+    // marker absent (stamp 0: external/partial build) ⇒ no residency —
+    // read fresh each probe rather than caching an unverifiable snapshot
+    if (stamp == 0L) return read()
     centroidCache.compute(dir, (_, cur) =>
-      if (cur != null && cur._1 == stamp) cur
-      else (stamp, spark.read.parquet(s"$dir/centroids").collect().map { r =>
-        (r.getAs[Long]("cid"),
-          r.getAs[scala.collection.Seq[Float]]("c_emb").toArray,
-          r.getAs[Double]("c_nrm"))
-      }))._2
+      if (cur != null && cur._1 == stamp) cur else (stamp, read()))._2
   }
 
   /** Serving-side IVF query against a persisted index ([[ensureIvf]]):
