@@ -49,7 +49,17 @@ object Ann {
   def nearDupPairs(emb: DataFrame, thr: Double): DataFrame = {
     val withN = emb.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val a = withN.as("a"); val b = withN.as("b")
+    // round 6: the stream side of the nested-loop join inherits the SCAN's
+    // partitioning — a small parquet file reads as ONE split, serializing
+    // the whole n²/2 dot workload on a single task. Spread the stream side
+    // across the cores when the scan under-partitions (never shrink an
+    // already-wide layout; the exchange moves only n rows).
+    val spark = emb.sparkSession
+    val width = spark.sparkContext.defaultParallelism
+    val aSide =
+      if (withN.rdd.getNumPartitions >= width) withN
+      else withN.repartition(width)
+    val a = aSide.as("a"); val b = withN.as("b")
     a.crossJoin(b)
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
