@@ -1750,17 +1750,25 @@ object FieldedIndex {
       .where(col("doc_id").isInCollection(hitIds))
     val src = srcDf.select(col("doc_id"),
       explode(valsCol(srcDf, spec.field)).as("value"))
-    val frames = termsByQid.map { case (qid, terms) =>
-      val wrapped = transform(split(col("value"), " "),
+    // ONE hits⋈source join for every query (round 6): each hit row carries
+    // its qid, so the per-query wrapping is a qid-selected CASE over the
+    // same row instead of one join + union branch per query — row-identical
+    // to the former per-qid frames (a hit has exactly one qid), with half
+    // the codegen/stage count on multi-query highlights.
+    val fragByQid = termsByQid.map { case (qid, terms) =>
+      qid -> array_join(transform(split(col("value"), " "),
         t => when(lower(t).isin(terms: _*),
-          concat(lit("<em>"), t, lit("</em>"))).otherwise(t))
-      hits.where(col("qid") === qid)
-        .join(src, "doc_id")
-        .withColumn("fragment", array_join(wrapped, " "))
-        .where(col("fragment").contains("<em>"))
-        .select(col("qid"), col("rnk"), col("doc_id"), col("fragment"))
+          concat(lit("<em>"), t, lit("</em>"))).otherwise(t)), " ")
     }
-    frames.reduce(_.unionByName(_)).orderBy("qid", "rnk", "fragment")
+    val fragCol = fragByQid.tail.foldLeft(
+      when(col("qid") === fragByQid.head._1, fragByQid.head._2)) {
+      case (acc, (qid, w)) => acc.when(col("qid") === qid, w)
+    }
+    hits.join(src, "doc_id")
+      .withColumn("fragment", fragCol)
+      .where(col("fragment").contains("<em>"))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("fragment"))
+      .orderBy("qid", "rnk", "fragment")
   }
 
   /** ES `significant_terms` aggregation: terms over-represented in a
