@@ -158,6 +158,12 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // co-partition by the join key (round 6, the shared-exchange shape):
+      // ONE exchange both self-join sides reuse at runtime — the signature
+      // kernel evaluates once, the bucket join runs key-parallel with no
+      // broadcast build, and at corpus scale this is the exchange the join
+      // would have required anyway
+      .repartition(col("band"), col("sig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -221,6 +227,12 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("sig"),
         col("bs.band").as("band"), col("bs.bv").as("bv"))
+      // co-partition by the join key (round 6, the shared-exchange shape):
+      // ONE exchange both self-join sides reuse at runtime — the simhash
+      // kernel evaluates once, the banded join runs key-parallel with no
+      // broadcast build, and at corpus scale this is the exchange the join
+      // would have required anyway
+      .repartition(col("band"), col("bv"))
     // hamming filter BEFORE the distinct (guide §2.3 — shuffle fewer
     // bytes): sig rides the banded join row, so the popcount is row-local
     // on the join output and the distinct then deduplicates only the
